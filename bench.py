@@ -1,0 +1,64 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is planned fresh and fully materialized (count of the result) so
+the measurement covers scan -> shuffle -> aggregate, not just planning. A
+tiny warmup query first absorbs JVM/codegen startup so numbers reflect
+steady-state executor throughput — the quantity that scales to a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headliners: the relational core + the heaviest extension operators
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_revenue",
+    "top_orders_per_customer",
+    "segment_order_stats",
+    "flagship_us_customers",
+]
+
+
+def main() -> None:
+    from databricks_observe_spark.registry import queries
+    from databricks_observe_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # warmup: JVM + parquet footer reads
+    qs[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Relational analytics core — scan/filter/join/aggregate/window/top-k.
+
+The reference's relational surface is thin (one filter query plus
+metadata SQL); these queries exercise the same primitive inventory
+(SURVEY.md §2.2-2.6) at analytical complexity on the TPC-H-ish fixtures, and
+double as the benchmark headliners.
+
+Scale notes (100 TB stance):
+- Dimension tables (region/nation/supplier/part/customer at small SF;
+  region/nation always) are broadcast explicitly where Catalyst's size
+  estimate might miss; fact-fact joins (lineitem |x| orders) stay shuffled
+  hash joins on their natural keys with AQE handling skew.
+- All money arithmetic is done in DECIMAL(18,2)/(38,4) and only cast to
+  DOUBLE at the end: decimal aggregation is exact and order-independent, so
+  results are bit-identical across engines and across shuffle
+  non-determinism — a correctness property, not just an oracle convenience.
+- Aggregations are expressed as plain groupBy/agg so Catalyst emits
+  partial (map-side) + final aggregates; no Python touches the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+D = "decimal(18,2)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(D)
+
+
+def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (A1/A3 analog at scale).
+
+    Pure map-side-combinable aggregation: one scan, one shuffle of 4-group
+    partial aggregates.
+    """
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    charge = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(D) - _dec("l_discount"))
+        * (F.lit(1).cast(D) + _dec("l_tax"))
+    ).cast("decimal(38,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            # exact decimal sum -> double, then IEEE divide: identical in any
+            # engine and under any aggregation order (decimal/decimal division
+            # would round at engine-specific scales)
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q3-shaped: segment filter -> 3-way join -> revenue top-10.
+
+    customer is the small side (broadcast after the segment filter);
+    lineitem |x| orders is the only real shuffle. Exact decimal revenue makes
+    the top-10 cut deterministic across engines.
+    """
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    ).cast("decimal(38,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def local_supplier_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5-shaped: 6-way join, region filter, revenue per nation.
+
+    region/nation/supplier/customer are broadcast; the customer-nation ==
+    supplier-nation condition is applied as a post-join filter exactly as in
+    TPC-H. One shuffle (lineitem |x| orders); everything else map-side.
+    """
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    nation = t["nation"]
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    ).cast("decimal(38,4)")
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+def top_orders_per_customer(t: dict[str, DataFrame]) -> DataFrame:
+    """Ranking window (§2.5): top-3 orders by totalprice per customer.
+
+    One shuffle on o_custkey; rank computed inside the sorted partition.
+    Ties broken by o_orderkey so the cut is deterministic.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def segment_order_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Join + multi-aggregate per market segment (A1/A4/A6 composition)."""
+    joined = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_order_value"),
+        F.max(_dec("o_totalprice")).cast("double").alias("max_order"),
+        F.min(_dec("o_totalprice")).cast("double").alias("min_order"),
+    )
+
+
+SEGMENT_ORDER_STATS_SQL = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_order,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def order_priority_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP(o_orderstatus, o_orderpriority) order counts (§2.4 extension)."""
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+ORDER_PRIORITY_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""

@@ -1,0 +1,67 @@
+"""Query registry — the driver-facing inventory.
+
+Maps every implemented operator (SURVEY.md §2) to:
+- a PySpark callable ``(spark, sf_dir) -> DataFrame``
+- an equivalent DuckDB-runnable ANSI-SQL oracle (or None for ops that are
+  not SQL-expressible, which the driver checks rows-only).
+
+``__spark_entry__.py`` re-exports this; tests iterate it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_observe_spark.engine import prepare
+from databricks_observe_spark.operators import flagship, relational
+
+# name -> (tables-dict -> DataFrame, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
+    "flagship_us_customers": (flagship.america_customers, flagship.FLAGSHIP_ORACLE_SQL),
+    "pricing_summary": (relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
+    "shipping_priority": (relational.shipping_priority, relational.SHIPPING_PRIORITY_SQL),
+    "local_supplier_revenue": (
+        relational.local_supplier_revenue,
+        relational.LOCAL_SUPPLIER_REVENUE_SQL,
+    ),
+    "top_orders_per_customer": (
+        relational.top_orders_per_customer,
+        relational.TOP_ORDERS_PER_CUSTOMER_SQL,
+    ),
+    "segment_order_stats": (
+        relational.segment_order_stats,
+        relational.SEGMENT_ORDER_STATS_SQL,
+    ),
+    "order_priority_rollup": (
+        relational.order_priority_rollup,
+        relational.ORDER_PRIORITY_ROLLUP_SQL,
+    ),
+}
+
+
+# ctx cache: prepare() is pure view registration, reuse across queries() calls
+_CTX: dict[tuple[int, str], dict] = {}
+
+
+def _ctx(spark: SparkSession, sf_dir: str) -> dict:
+    key = (id(spark), sf_dir)
+    if key not in _CTX:
+        _CTX[key] = prepare(spark, sf_dir)
+    return _CTX[key]
+
+
+def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_ctx(spark, sf_dir))
+
+    return runner
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _wrap(fn) for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators import relational as R
+
+
+def test_pricing_summary_groups(tables):
+    df = R.pricing_summary(tables)
+    rows = {(r.l_returnflag, r.l_linestatus): r for r in df.collect()}
+    assert len(rows) >= 3
+    total = sum(r.count_order for r in rows.values())
+    expected = tables["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02").count()
+    assert total == expected
+    for r in rows.values():
+        assert abs(r.avg_qty * r.count_order - r.sum_qty) < 1e-6 * max(1.0, r.sum_qty)
+
+
+def test_shipping_priority_topk(tables):
+    rows = R.shipping_priority(tables).collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_top_orders_per_customer_rank(tables):
+    df = R.top_orders_per_customer(tables)
+    assert df.groupBy("o_custkey").count().agg(F.max("count")).first()[0] <= 3
+    # within a customer, rn follows totalprice desc
+    sample = df.filter(F.col("rn") <= 3).orderBy("o_custkey", "rn").limit(9).collect()
+    by_cust: dict = {}
+    for r in sample:
+        by_cust.setdefault(r.o_custkey, []).append(r.o_totalprice)
+    for prices in by_cust.values():
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_rollup_has_grand_total(tables):
+    rows = R.order_priority_rollup(tables).collect()
+    grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    assert grand[0].n_orders == tables["orders"].count()

@@ -1,0 +1,111 @@
+"""Local differential oracle check — mimics the driver's CORRECTNESS gate.
+
+Runs every ``queries()`` entry on Spark at sf0.01 and its ``oracle_sql()``
+twin on DuckDB over the same parquet, then compares row count, column-name
+set, and an order-insensitive exact value comparison (columns sorted by
+name, rows sorted). Strict: floats must match bit-for-bit — the engine is
+built to produce exact decimal-derived doubles.
+
+Usage: python tools/check_oracle.py [name ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+
+
+def canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_cell(x) for x in v)
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from databricks_observe_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = args.names or list(qs)
+
+    con = duckdb.connect()
+    from databricks_observe_spark.sources.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        sc, sr = canon_rows(scols, srows)
+        oc, orr = canon_rows(ocols, orows)
+        status = []
+        if sc != oc:
+            status.append(f"schema spark={sc} duck={oc}")
+        if len(sr) != len(orr):
+            status.append(f"rowcount spark={len(sr)} duck={len(orr)}")
+        if not status and sr != orr:
+            ndiff = sum(1 for a, b in zip(sr, orr) if a != b)
+            status.append(f"values differ ({ndiff}/{len(sr)} rows)")
+            for a, b in zip(sr, orr):
+                if a != b:
+                    status.append(f"  spark={a!r}\n  duck ={b!r}")
+                    break
+        if status:
+            print(f"FAIL {name}: " + "; ".join(status[:3]))
+            failures.append(name)
+        else:
+            print(f"PASS {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
