@@ -1,0 +1,285 @@
+"""Catalog introspection & metadata profiling operators (SURVEY.md §2.1-2.4).
+
+Rebuilds, as single declarative Spark jobs, what the reference does with
+per-table SQL round trips and Python dict probes:
+
+- ``discovered_objects``      — S1-S3 SHOW triple loop + P2 exclusions + A4 dedup
+- ``tables_enriched``         — J1 left-outer info probe + F2/F3/F4 derivations
+- ``columns_schema``          — S5 N+1 columns loop -> one grouped collect (A3)
+- ``table_profiles``          — E2's 3-queries-per-table loop -> one job
+- ``named_assets``            — F1 sanitize + A5 dedup over pipelines/jobs
+- ``object_count_rollup``     — ROLLUP summary (§2.4 extension)
+
+Scale stance: the catalog frames are metastore-sized (thousands to millions
+of rows at worst) — every join against them is a broadcast; the only
+full-table scans are the per-table ``COUNT(*)`` in ``table_profiles``, which
+run as one union job so Spark schedules them concurrently instead of the
+reference's serial N+1 (``assets/dlt_assets.py:150-166``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from databricks_observe_spark.sources.catalog_model import (
+    EXCLUDED_CATALOGS,
+    EXCLUDED_SCHEMAS,
+    SKIP_ASSETS,
+    oracle_with_clause,
+)
+
+SANITIZE_RE = "[^a-zA-Z0-9_]+"  # semantics of dlt_assets.py:33-34 / F1
+
+
+def _not_excluded(catalog_col: str = "catalog", schema_col: str = "schema") -> F.Column:
+    """P2: denylist filter (dlt_assets.py:101-103). Set-membership on
+    lowercased names; Catalyst folds the literal lists."""
+    return ~F.lower(F.col(catalog_col)).isin(list(EXCLUDED_CATALOGS)) & ~F.lower(
+        F.col(schema_col)
+    ).isin(list(EXCLUDED_SCHEMAS))
+
+
+def discovered_objects(t: dict[str, DataFrame]) -> DataFrame:
+    """S1-S3 + P2 + A4: discovered (catalog, schema, table) triples,
+    exclusions applied, deduplicated."""
+    return (
+        t["catalog_objects"]
+        .filter(_not_excluded())
+        .dropDuplicates(["catalog", "schema", "table"])
+    )
+
+
+DISCOVERED_OBJECTS_SQL = oracle_with_clause("catalog_objects") + """
+SELECT DISTINCT catalog, schema, "table"
+FROM catalog_objects
+WHERE lower(catalog) NOT IN ('') AND lower(schema) NOT IN ('information_schema')
+"""
+
+
+def tables_enriched(t: dict[str, DataFrame]) -> DataFrame:
+    """J1 + F2/F3/F4: discovered objects left-joined to information_schema,
+    with the reference's kind/format/description derivations.
+
+    The info side is broadcast (metastore-sized); missing probe defaults
+    reproduce DA:110-120: kind='table', format=''.
+    """
+    info = t["information_schema_tables"].select(
+        F.col("table_catalog").alias("catalog"),
+        F.col("table_schema").alias("schema"),
+        F.col("table_name").alias("table"),
+        # F2: lower + space->underscore normalization (DA:94-97)
+        F.regexp_replace(F.lower(F.col("table_type")), " ", "_").alias("kind_raw"),
+        F.col("comment").alias("description"),
+        F.regexp_replace(F.lower(F.col("data_source_format")), " ", "_").alias("format_raw"),
+    )
+    joined = discovered_objects(t).join(
+        F.broadcast(info), on=["catalog", "schema", "table"], how="left"
+    )
+    # F3: CASE mapping delta->deltalake, unknown->'' (DA:114-119);
+    # F4/J1 defaults: missing probe -> kind 'table', format '' (DA:111-112)
+    fmt = F.coalesce(F.col("format_raw"), F.lit(""))
+    return joined.select(
+        "catalog",
+        "schema",
+        "table",
+        F.coalesce(F.col("kind_raw"), F.lit("table")).alias("kind"),
+        F.when(fmt == "delta", "deltalake")
+        .when(fmt == "unknown_data_source_format", "")
+        .otherwise(fmt)
+        .alias("format"),
+        F.col("description"),
+    )
+
+
+TABLES_ENRICHED_SQL = oracle_with_clause("catalog_objects") + """
+SELECT d.catalog, d.schema, d."table",
+       COALESCE(replace(lower(i.table_type), ' ', '_'), 'table') AS kind,
+       CASE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '')
+            WHEN 'delta' THEN 'deltalake'
+            WHEN 'unknown_data_source_format' THEN ''
+            ELSE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '') END AS format,
+       i.comment AS description
+FROM (
+  SELECT DISTINCT catalog, schema, "table" FROM catalog_objects
+  WHERE lower(catalog) NOT IN ('') AND lower(schema) NOT IN ('information_schema')
+) d
+LEFT JOIN information_schema_tables i
+  ON d.catalog = i.table_catalog AND d.schema = i.table_schema AND d."table" = i.table_name
+"""
+
+
+def columns_schema(t: dict[str, DataFrame]) -> DataFrame:
+    """S5 + A3: one grouped pass over information_schema.columns replaces the
+    reference's query-per-table loop (DA:159-166).
+
+    Order-stable: sorts the collected (ordinal, name:type) pairs before
+    joining into a string (SURVEY.md §7 hard part 3).
+    """
+    cols = t["information_schema_columns"]
+    pair = F.struct(
+        F.col("ordinal_position").alias("ord"),
+        F.concat_ws(":", "column_name", "data_type").alias("nt"),
+    )
+    return (
+        cols.groupBy(
+            F.col("table_catalog").alias("catalog"),
+            F.col("table_schema").alias("schema"),
+            F.col("table_name").alias("table"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_columns"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["nt"]), ","
+            ).alias("schema_str"),
+        )
+    )
+
+
+COLUMNS_SCHEMA_SQL = oracle_with_clause("information_schema_columns") + """
+SELECT table_catalog AS catalog, table_schema AS schema, table_name AS "table",
+       COUNT(*) AS n_columns,
+       string_agg(column_name || ':' || data_type, ',' ORDER BY ordinal_position) AS schema_str
+FROM information_schema_columns
+GROUP BY 1, 2, 3
+"""
+
+
+def table_profiles(t: dict[str, DataFrame]) -> DataFrame:
+    """E2 rewrite: the hourly profiling job as ONE Spark job.
+
+    Reference issues 3 remote queries per table in a serial Python loop
+    (COUNT(*), DESCRIBE DETAIL, columns — DA:150-166). Here: a union of
+    per-table counts (scheduled concurrently; each count is a
+    metadata-cheap parquet row-group scan), joined to the grouped schema
+    strings and the enriched catalog row. Everything except the counts is
+    broadcast-sized.
+    """
+    spark = t["lineitem"].sparkSession
+    profiled = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    counts = reduce(
+        DataFrame.union,
+        [
+            t[name].groupBy(F.lit(name).alias("table")).agg(
+                F.count(F.lit(1)).alias("row_count")
+            )
+            for name in profiled
+        ],
+    )
+    enriched = tables_enriched(t).filter(
+        (F.col("catalog") == "testdata") & (F.col("schema") == "main")
+    )
+    schema = columns_schema(t).select("catalog", "schema", "table", "n_columns", "schema_str")
+    return (
+        counts.join(F.broadcast(enriched), on="table", how="inner")
+        .join(
+            F.broadcast(schema),
+            on=["catalog", "schema", "table"],
+            how="left",
+        )
+        .select(
+            "catalog", "schema", "table", "kind", "format", "description",
+            "row_count", "n_columns", "schema_str",
+        )
+    )
+
+
+def _profile_counts_union_sql() -> str:
+    profiled = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{n}' AS \"table\", COUNT(*) AS row_count FROM {n}" for n in profiled
+    )
+
+
+TABLE_PROFILES_SQL = oracle_with_clause(
+    "catalog_objects", "information_schema_columns"
+) + f"""
+, counts AS ({_profile_counts_union_sql()})
+, enriched AS (
+  SELECT d.catalog, d.schema, d."table",
+         COALESCE(replace(lower(i.table_type), ' ', '_'), 'table') AS kind,
+         CASE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '')
+              WHEN 'delta' THEN 'deltalake'
+              WHEN 'unknown_data_source_format' THEN ''
+              ELSE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '') END AS format,
+         i.comment AS description
+  FROM (
+    SELECT DISTINCT catalog, schema, "table" FROM catalog_objects
+    WHERE lower(catalog) NOT IN ('') AND lower(schema) NOT IN ('information_schema')
+  ) d
+  LEFT JOIN information_schema_tables i
+    ON d.catalog = i.table_catalog AND d.schema = i.table_schema AND d."table" = i.table_name
+  WHERE d.catalog = 'testdata' AND d.schema = 'main'
+)
+, schemas AS (
+  SELECT table_catalog AS catalog, table_schema AS schema, table_name AS "table",
+         COUNT(*) AS n_columns,
+         string_agg(column_name || ':' || data_type, ',' ORDER BY ordinal_position) AS schema_str
+  FROM information_schema_columns GROUP BY 1, 2, 3
+)
+SELECT e.catalog, e.schema, e."table", e.kind, e.format, e.description,
+       c.row_count, s.n_columns, s.schema_str
+FROM counts c
+JOIN enriched e ON c."table" = e."table"
+LEFT JOIN schemas s ON e.catalog = s.catalog AND e.schema = s.schema AND e."table" = s."table"
+"""
+
+
+def named_assets(t: dict[str, DataFrame]) -> DataFrame:
+    """F1 + A5 + T2: sanitized pipeline/job asset names, deduplicated.
+
+    Mirrors get_materializable_assets (DA:192-233): union of the two REST
+    sources, names sanitized, first-id-wins per sanitized name (the `seen`
+    set keeps the first occurrence; we keep min id for determinism).
+    """
+    pipelines = t["pipelines"].select(
+        F.lit("pipeline").alias("asset_type"),
+        F.col("pipeline_id").cast("string").alias("entity_id"),
+        F.regexp_replace("name", SANITIZE_RE, "_").alias("asset_name"),
+    )
+    jobs = t["jobs"].select(
+        F.lit("job").alias("asset_type"),
+        F.col("job_id").cast("string").alias("entity_id"),
+        F.regexp_replace("name", SANITIZE_RE, "_").alias("asset_name"),
+    )
+    return (
+        pipelines.unionByName(jobs)
+        .groupBy("asset_type", "asset_name")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+
+
+NAMED_ASSETS_SQL = oracle_with_clause("pipelines", "jobs") + f"""
+SELECT asset_type, asset_name, MIN(entity_id) AS entity_id FROM (
+  SELECT 'pipeline' AS asset_type,
+         regexp_replace(name, '{SANITIZE_RE}', '_', 'g') AS asset_name,
+         CAST(pipeline_id AS VARCHAR) AS entity_id
+  FROM pipelines
+  UNION ALL
+  SELECT 'job', regexp_replace(name, '{SANITIZE_RE}', '_', 'g'), CAST(job_id AS VARCHAR)
+  FROM jobs
+) GROUP BY asset_type, asset_name
+"""
+
+
+def object_count_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP(catalog, schema) object counts — the idiomatic summary the
+    reference's discovery loop implies (§2.4 extension)."""
+    return (
+        t["catalog_objects"]
+        .rollup("catalog", "schema")
+        .agg(F.count(F.lit(1)).alias("n_objects"))
+    )
+
+
+OBJECT_COUNT_ROLLUP_SQL = oracle_with_clause("catalog_objects") + """
+SELECT catalog, schema, COUNT(*) AS n_objects
+FROM catalog_objects GROUP BY ROLLUP (catalog, schema)
+"""

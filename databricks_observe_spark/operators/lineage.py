@@ -1,0 +1,202 @@
+"""Lineage graph operators — transitive closure + asset-spec assembly.
+
+Rebuilds the hardest reference semantic (SURVEY.md §2.10): the recursive
+upstream walk of ``get_recursive_lineage`` (``assets/dlt_assets.py:59-77``)
+as a driver-orchestrated iterative BFS fixpoint over an edges DataFrame, and
+the E1 asset-graph assembly (``DA:79-133``) as one declarative chain.
+
+Reference semantics preserved exactly:
+- direct self-edges are dropped before traversal (DA:68-69);
+- cycles terminate (the ``visited`` set, DA:62-65) — and, notably, a node in
+  a cycle IS its own transitive upstream (the reference only filters *direct*
+  self-deps), so (a, a) pairs arising via a cycle are kept;
+- results are deduplicated (DA:77).
+
+Scale stance: each BFS iteration is one self-equi-join on the (catalog,
+schema, table) key — a shuffle partitioned by that key. ``localCheckpoint``
+truncates the lineage each round so the plan does not grow with graph depth
+(SURVEY.md §7 hard part 1); a left-anti join against the accumulated closure
+keeps the frontier minimal (delta iteration, not naive re-expansion). Depth
+is bounded by the longest dependency chain — O(diameter) jobs, each fully
+parallel — the standard Spark answer to recursive CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from databricks_observe_spark.operators.catalog_ops import tables_enriched
+from databricks_observe_spark.sources.catalog_model import SKIP_ASSETS, oracle_with_clause
+
+_DST = ["dst_catalog", "dst_schema", "dst_table"]
+_SRC = ["src_catalog", "src_schema", "src_table"]
+_ALL = _DST + _SRC
+
+
+def base_edges(edges: DataFrame) -> DataFrame:
+    """Distinct edges with direct self-edges removed (DA:68-69)."""
+    self_edge = (
+        (F.col("dst_catalog") == F.col("src_catalog"))
+        & (F.col("dst_schema") == F.col("src_schema"))
+        & (F.col("dst_table") == F.col("src_table"))
+    )
+    return edges.select(*_ALL).filter(~self_edge).distinct()
+
+
+def transitive_closure(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+    """All (dst, src) pairs where src is a direct or transitive upstream.
+
+    Delta-iteration BFS: only the newly-discovered frontier joins the edge
+    set each round; every intermediate is localCheckpoint'ed so the logical
+    plan stays O(1) regardless of depth.
+    """
+    base = base_edges(edges).localCheckpoint()
+    # pre-renamed probe side avoids self-join attribute ambiguity: the same
+    # checkpointed plan appears on both sides of the join every iteration
+    hop = base.select(*[F.col(c).alias(f"e_{c}") for c in _ALL])
+    closure = base
+    frontier = base
+    for _ in range(max_iters):
+        stepped = (
+            frontier.join(
+                hop,
+                on=[
+                    F.col(f"src_{k}") == F.col(f"e_dst_{k}")
+                    for k in ("catalog", "schema", "table")
+                ],
+            )
+            .select(*_DST, *[F.col(f"e_{c}").alias(c) for c in _SRC])
+            .distinct()
+        )
+        new = stepped.join(closure, on=_ALL, how="left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.union(new).localCheckpoint()
+        frontier = new
+    return closure
+
+
+def lineage_closure(t: dict[str, DataFrame]) -> DataFrame:
+    return transitive_closure(t["lineage_edges"])
+
+
+# DuckDB recursive CTE oracle; UNION (not UNION ALL) dedups against the
+# accumulated result, which is what terminates the cycle — same fixpoint.
+LINEAGE_CLOSURE_SQL = oracle_with_clause("lineage_edges").replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, base AS (
+  SELECT DISTINCT dst_catalog, dst_schema, dst_table, src_catalog, src_schema, src_table
+  FROM lineage_edges
+  WHERE NOT (dst_catalog = src_catalog AND dst_schema = src_schema AND dst_table = src_table)
+),
+closure AS (
+  SELECT dst_catalog, dst_schema, dst_table, src_catalog, src_schema, src_table FROM base
+  UNION
+  SELECT c.dst_catalog, c.dst_schema, c.dst_table, b.src_catalog, b.src_schema, b.src_table
+  FROM closure c
+  JOIN base b ON c.src_catalog = b.dst_catalog AND c.src_schema = b.dst_schema
+             AND c.src_table = b.dst_table
+)
+SELECT DISTINCT * FROM closure
+"""
+
+
+def asset_specs(t: dict[str, DataFrame]) -> DataFrame:
+    """E1 assembly (DA:79-133): enriched tables + transitive deps + kinds.
+
+    - deps: closure rows aggregated per dst into a count and a sorted
+      dotted-name list (deterministic; the reference's list(set(...)));
+    - kinds: sorted distinct {kind, format-kind, 'databricks'} (DA:127);
+    - SKIP_ASSETS anti-filter (P3, DA:133) via broadcast left-anti join.
+    """
+    spark = t["lineage_edges"].sparkSession
+    enriched = tables_enriched(t)
+    closure = lineage_closure(t)
+    deps = (
+        closure.groupBy(
+            F.col("dst_catalog").alias("catalog"),
+            F.col("dst_schema").alias("schema"),
+            F.col("dst_table").alias("table"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_upstreams"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.concat_ws(".", "src_catalog", "src_schema", "src_table"))
+                ),
+                ",",
+            ).alias("upstreams_str"),
+        )
+    )
+    skip = spark.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join("('" + "', '".join(k) + "')" for k in SKIP_ASSETS)
+        + ") AS _t(catalog, schema, table)"
+    )
+    return (
+        enriched.join(F.broadcast(skip), on=["catalog", "schema", "table"], how="left_anti")
+        .join(F.broadcast(deps), on=["catalog", "schema", "table"], how="left")
+        .select(
+            F.concat_ws(".", "catalog", "schema", "table").alias("asset_key"),
+            "kind",
+            "format",
+            "description",
+            F.array_join(
+                F.array_sort(F.array_distinct(F.array("kind", "format", F.lit("databricks")))),
+                ",",
+            ).alias("kinds_str"),
+            F.coalesce(F.col("n_upstreams"), F.lit(0)).alias("n_upstreams"),
+            F.coalesce(F.col("upstreams_str"), F.lit("")).alias("upstreams_str"),
+        )
+    )
+
+
+ASSET_SPECS_SQL = oracle_with_clause("catalog_objects", "lineage_edges").replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, base AS (
+  SELECT DISTINCT dst_catalog, dst_schema, dst_table, src_catalog, src_schema, src_table
+  FROM lineage_edges
+  WHERE NOT (dst_catalog = src_catalog AND dst_schema = src_schema AND dst_table = src_table)
+),
+closure AS (
+  SELECT dst_catalog, dst_schema, dst_table, src_catalog, src_schema, src_table FROM base
+  UNION
+  SELECT c.dst_catalog, c.dst_schema, c.dst_table, b.src_catalog, b.src_schema, b.src_table
+  FROM closure c
+  JOIN base b ON c.src_catalog = b.dst_catalog AND c.src_schema = b.dst_schema
+             AND c.src_table = b.dst_table
+),
+enriched AS (
+  SELECT d.catalog, d.schema, d."table",
+         COALESCE(replace(lower(i.table_type), ' ', '_'), 'table') AS kind,
+         CASE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '')
+              WHEN 'delta' THEN 'deltalake'
+              WHEN 'unknown_data_source_format' THEN ''
+              ELSE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '') END AS format,
+         i.comment AS description
+  FROM (
+    SELECT DISTINCT catalog, schema, "table" FROM catalog_objects
+    WHERE lower(catalog) NOT IN ('') AND lower(schema) NOT IN ('information_schema')
+  ) d
+  LEFT JOIN information_schema_tables i
+    ON d.catalog = i.table_catalog AND d.schema = i.table_schema AND d."table" = i.table_name
+),
+deps AS (
+  SELECT dst_catalog AS catalog, dst_schema AS schema, dst_table AS "table",
+         COUNT(*) AS n_upstreams,
+         string_agg(src_catalog || '.' || src_schema || '.' || src_table, ','
+                    ORDER BY src_catalog || '.' || src_schema || '.' || src_table) AS upstreams_str
+  FROM (SELECT DISTINCT * FROM closure)
+  GROUP BY 1, 2, 3
+)
+SELECT e.catalog || '.' || e.schema || '.' || e."table" AS asset_key,
+       e.kind, e.format, e.description,
+       array_to_string(list_sort(list_distinct([e.kind, e.format, 'databricks'])), ',') AS kinds_str,
+       COALESCE(d.n_upstreams, 0) AS n_upstreams,
+       COALESCE(d.upstreams_str, '') AS upstreams_str
+FROM enriched e
+LEFT JOIN deps d ON e.catalog = d.catalog AND e.schema = d.schema AND e."table" = d."table"
+WHERE NOT (e.catalog = 'testdata' AND e.schema = 'main' AND e."table" = 'us_customers')
+"""

@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from databricks_observe_spark.engine import prepare
-from databricks_observe_spark.operators import flagship, relational
+from databricks_observe_spark.operators import catalog_ops, flagship, lineage, relational
 
 # name -> (tables-dict -> DataFrame, oracle_sql | None)
 _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
@@ -38,6 +38,19 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         relational.order_priority_rollup,
         relational.ORDER_PRIORITY_ROLLUP_SQL,
     ),
+    # --- catalog introspection & profiling (§2.1-2.4) ---
+    "discovered_objects": (catalog_ops.discovered_objects, catalog_ops.DISCOVERED_OBJECTS_SQL),
+    "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),
+    "columns_schema": (catalog_ops.columns_schema, catalog_ops.COLUMNS_SCHEMA_SQL),
+    "table_profiles": (catalog_ops.table_profiles, catalog_ops.TABLE_PROFILES_SQL),
+    "named_assets": (catalog_ops.named_assets, catalog_ops.NAMED_ASSETS_SQL),
+    "object_count_rollup": (
+        catalog_ops.object_count_rollup,
+        catalog_ops.OBJECT_COUNT_ROLLUP_SQL,
+    ),
+    # --- lineage graph (§2.10) ---
+    "lineage_closure": (lineage.lineage_closure, lineage.LINEAGE_CLOSURE_SQL),
+    "asset_specs": (lineage.asset_specs, lineage.ASSET_SPECS_SQL),
 }
 
 

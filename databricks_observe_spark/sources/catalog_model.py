@@ -155,6 +155,10 @@ JOBS = [
 ]
 JOBS_COLS = ("job_id", "name")
 
+# discovered by SHOW TABLES but missing from information_schema.tables:
+# exercises the J1 left-outer defaults (kind='table', format='')
+EXTRA_SHOW_OBJECTS = [("testdata", "main", "ad_hoc_view")]
+
 _LITERALS = {
     "information_schema_tables": (INFORMATION_SCHEMA_TABLES, INFORMATION_SCHEMA_TABLES_COLS),
     "information_schema_columns": (INFORMATION_SCHEMA_COLUMNS, INFORMATION_SCHEMA_COLUMNS_COLS),
@@ -233,15 +237,43 @@ def values_sql(name: str) -> str:
 def oracle_with_clause(*names: str) -> str:
     """`WITH`-clause prefix defining catalog views for a DuckDB oracle query.
 
-    ``updates`` is special-cased to the events-derived mapping.
+    ``updates`` (events-derived) and ``catalog_objects`` (projection +
+    SHOW-only extra row) are special-cased; ``catalog_objects`` pulls in
+    ``information_schema_tables`` automatically.
     """
-    parts = []
+    resolved: list[str] = []
     for n in names:
+        if n == "catalog_objects" and "information_schema_tables" not in resolved:
+            resolved.append("information_schema_tables")
+        if n not in resolved:
+            resolved.append(n)
+    parts = []
+    for n in resolved:
         if n == "updates":
             parts.append(f"updates AS (\n{UPDATES_SQL_DUCKDB}\n)")
+        elif n == "catalog_objects":
+            parts.append(f"catalog_objects AS (\n{CATALOG_OBJECTS_SQL_DUCKDB}\n)")
         else:
             parts.append(f"{n} AS (\n{values_sql(n)}\n)")
     return "WITH " + ",\n".join(parts) + "\n"
+
+
+def spark_values_sql(name: str) -> str:
+    """Render a literal table as Spark SQL over VALUES with explicit casts.
+
+    A SQL VALUES list becomes a Catalyst LocalRelation: single partition,
+    no Python workers, constant-folded and broadcast for free — unlike
+    ``spark.createDataFrame`` which round-trips rows through pickled RDD
+    slices (one task per core for a 14-row table).
+    """
+    rows, cols = _LITERALS[name]
+    types = dict(
+        (part.strip().split(" ", 1)[0], part.strip().split(" ", 1)[1])
+        for part in _SPARK_DDL[name].split(",")
+    )
+    body = ", ".join("(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows)
+    casts = ", ".join(f"CAST({c} AS {types[c]}) AS {c}" for c in cols)
+    return f"SELECT {casts} FROM (VALUES {body}) AS _t({', '.join(cols)})"
 
 
 def catalog_frames(spark: SparkSession) -> dict[str, DataFrame]:
@@ -254,19 +286,29 @@ def catalog_frames(spark: SparkSession) -> dict[str, DataFrame]:
     inherits the fact table's partitioning and scales with input size.
     """
     out: dict[str, DataFrame] = {}
-    for name, (rows, cols) in _LITERALS.items():
-        df = spark.createDataFrame(rows, schema=_SPARK_DDL[name])
+    for name in _LITERALS:
+        df = spark.sql(spark_values_sql(name))
         df.createOrReplaceTempView(name)
         out[name] = df
     updates = spark.sql(UPDATES_SQL_SPARK)
     updates.createOrReplaceTempView("updates")
     out["updates"] = updates
     # catalog_objects: the SHOW CATALOGS/SCHEMAS/TABLES triple loop (S1-S3)
-    # collapses to a projection of information_schema_tables.
+    # collapses to a projection of information_schema_tables, plus one object
+    # visible to SHOW but absent from information_schema (exercises the
+    # left-outer probe defaults of DA:110-120 / J1).
     catalog_objects = out["information_schema_tables"].select(
         F.col("table_catalog").alias("catalog"),
         F.col("table_schema").alias("schema"),
         F.col("table_name").alias("table"),
+    ).union(
+        spark.sql(
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                "(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in EXTRA_SHOW_OBJECTS
+            )
+            + ") AS _t(catalog, schema, table)"
+        )
     )
     catalog_objects.createOrReplaceTempView("catalog_objects")
     out["catalog_objects"] = catalog_objects
@@ -275,5 +317,6 @@ def catalog_frames(spark: SparkSession) -> dict[str, DataFrame]:
 
 CATALOG_OBJECTS_SQL_DUCKDB = (
     "SELECT table_catalog AS catalog, table_schema AS schema, table_name AS \"table\" "
-    "FROM information_schema_tables"
+    "FROM information_schema_tables "
+    "UNION ALL SELECT 'testdata', 'main', 'ad_hoc_view'"
 )

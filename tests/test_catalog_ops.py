@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators import catalog_ops as C
+
+
+def test_discovered_objects_exclusions(tables):
+    rows = C.discovered_objects(tables).collect()
+    assert all(r.catalog != "" for r in rows)
+    assert all(r.schema != "information_schema" for r in rows)
+    # dedup: triples unique
+    triples = [(r.catalog, r.schema, r["table"]) for r in rows]
+    assert len(triples) == len(set(triples))
+
+
+def test_tables_enriched_format_mapping(tables):
+    rows = {r["table"]: r for r in C.tables_enriched(tables).collect()}
+    assert rows["orders"].format == "deltalake"  # F3: delta -> deltalake
+    assert rows["documents"].format == ""  # F3: unknown -> ''
+    assert rows["region"].format == "parquet"  # F3: passthrough
+    assert rows["documents"].kind == "external_table"  # F2 normalization
+    assert rows["events"].description is None  # F4 null comment
+    assert rows["ad_hoc_view"].kind == "table"  # J1 probe default
+
+
+def test_columns_schema_ordinal_order(tables):
+    rows = {r["table"]: r for r in C.columns_schema(tables).collect()}
+    assert rows["region"].schema_str == "r_regionkey:int,r_name:string"
+    assert rows["lineitem"].n_columns == 11
+    assert rows["lineitem"].schema_str.startswith("l_orderkey:bigint,l_partkey:bigint")
+
+
+def test_table_profiles_counts(tables):
+    rows = {r["table"]: r for r in C.table_profiles(tables).collect()}
+    assert rows["lineitem"].row_count == tables["lineitem"].count()
+    assert rows["region"].row_count == 5
+    assert rows["region"].n_columns == 2
+    assert len(rows) == 10  # every layer-1 table profiled, one job
+
+
+def test_named_assets_sanitize_dedup(tables):
+    rows = {(r.asset_type, r.asset_name): r for r in C.named_assets(tables).collect()}
+    # F1: non-alphanumeric runs -> single underscore
+    assert ("pipeline", "dlt_bronze_silver_") in rows
+    assert ("job", "Weekly_Report_1") in rows
+    # A5 dedup: two 'Daily ETL Load' pipelines collapse to first id
+    assert rows[("pipeline", "Daily_ETL_Load")].entity_id == "pl-001"

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators.lineage import (
+    asset_specs,
+    base_edges,
+    transitive_closure,
+)
+
+
+def _closure_pairs(spark, edges):
+    df = spark.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('c','s','{d}','c','s','{s}')" for d, s in edges
+        )
+        + ") AS t(dst_catalog,dst_schema,dst_table,src_catalog,src_schema,src_table)"
+    )
+    return {
+        (r.dst_table, r.src_table) for r in transitive_closure(df).collect()
+    }
+
+
+def test_chain_closure(spark):
+    # a <- b <- c: a's upstreams are {b, c}
+    pairs = _closure_pairs(spark, [("a", "b"), ("b", "c")])
+    assert pairs == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_self_edge_filtered(spark):
+    # direct self-edge dropped before traversal (DA:68-69)
+    pairs = _closure_pairs(spark, [("a", "a"), ("a", "b")])
+    assert pairs == {("a", "b")}
+
+
+def test_cycle_terminates_and_includes_self(spark):
+    # x <- y <- x cycle: terminates; x is its own *transitive* upstream —
+    # the reference only filters direct self-deps (get_recursive_lineage,
+    # dlt_assets.py:59-77), so (x, x) via the cycle is kept.
+    pairs = _closure_pairs(spark, [("x", "y"), ("y", "x")])
+    assert pairs == {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+
+
+def test_diamond_dedup(spark):
+    # a <- {b, c} <- d: (a, d) appears once despite two paths (DA:77 dedup)
+    pairs = _closure_pairs(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    assert ("a", "d") in pairs and len(pairs) == 5
+
+
+def test_asset_specs_assembly(tables):
+    rows = {r.asset_key: r for r in asset_specs(tables).collect()}
+    # SKIP_ASSETS anti-filter removed the flagship output (P3)
+    assert "testdata.main.us_customers" not in rows
+    # excluded schema rows never discovered (P2)
+    assert not any("information_schema" in k for k in rows)
+    # lineitem reaches the cycle through part: cyc nodes in its closure
+    li = rows["testdata.main.lineitem"]
+    ups = set(li.upstreams_str.split(","))
+    assert {"testdata.main.cyc_a", "testdata.main.cyc_b"} <= ups
+    assert li.n_upstreams == len(ups)
+    # kinds: sorted distinct {kind, format-kind, databricks} (DA:127)
+    assert rows["testdata.main.orders"].kinds_str == "databricks,deltalake,managed"
+    # J1 left-outer defaults for the SHOW-only object (DA:110-120)
+    adhoc = rows["testdata.main.ad_hoc_view"]
+    assert adhoc.kind == "table" and adhoc.format == "" and adhoc.n_upstreams == 0
