@@ -1,0 +1,181 @@
+"""Event-stream batch operators — JSON props, tumbling and session windows.
+
+The reference has no windowed aggregation (its cadence machinery is polling
+loops + cron); SURVEY.md §2.7 maps that machinery to Spark's idiomatic
+time-window operators, exercised here in batch over ``events`` (the window
+functions are identical in Structured Streaming — see
+``databricks_observe_spark/streaming`` for the streaming forms).
+
+Scale stance: ``events`` is the table that would be 100 TB. Every operator
+is a single scan + single shuffle on (window/user) keys; JSON extraction
+uses the JVM ``get_json_object`` (no Python), and aggregates are
+decimal-exact so results are reproducible under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def event_type_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type rollup incl. a value extracted from the JSON props column
+    (F8: get_json_object — schema-on-read, no UDF)."""
+    ev = t["events"].withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_value"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+EVENT_TYPE_STATS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def tumbling_hourly(t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling 1-hour windows per event type (ST3's cadence, made
+    declarative). ``window()`` is identical under readStream + watermark."""
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_HOURLY_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding windows: 1-day windows advancing every 6 hours — each event
+    lands in 4 windows. The window/slide expansion happens JVM-side."""
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+# DuckDB oracle: expand each event into the 4 sliding windows that contain
+# it (offset cross join), then aggregate — same semantics, independent plan.
+SLIDING_DAILY_SQL = f"""
+SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM (
+  SELECT e.user_id,
+         time_bucket(INTERVAL 6 HOUR, e.ts) - (o.h * INTERVAL 6 HOUR) AS ws
+  FROM events e CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(h)
+)
+GROUP BY 1
+"""
+
+
+def user_sessions(t: dict[str, DataFrame]) -> DataFrame:
+    """Session windows per user with a 2-hour inactivity gap
+    (``session_window`` — the batch twin of the streaming state operator)."""
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "2 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# gaps-and-islands oracle: new session when the gap to the previous event
+# of the same user is >= 2h (matches session_window's merge rule: an event
+# extends the session only while it lands strictly inside prev_ts + gap).
+USER_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session DESC
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def high_value_events(t: dict[str, DataFrame]) -> DataFrame:
+    """Filter + JSON projection: events whose props.k exceeds 90 —
+    P1-shaped predicate over schema-on-read JSON."""
+    ev = t["events"].withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        ev.filter(F.col("k") > 90)
+        .select("event_id", "user_id", "event_type", "k", "value")
+    )
+
+
+HIGH_VALUE_EVENTS_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+"""

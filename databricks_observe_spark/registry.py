@@ -15,7 +15,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from databricks_observe_spark.engine import prepare
-from databricks_observe_spark.operators import catalog_ops, flagship, lineage, relational
+from databricks_observe_spark.operators import (
+    catalog_ops,
+    events,
+    flagship,
+    lineage,
+    relational,
+    runs,
+)
 
 # name -> (tables-dict -> DataFrame, oracle_sql | None)
 _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
@@ -51,6 +58,27 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # --- lineage graph (§2.10) ---
     "lineage_closure": (lineage.lineage_closure, lineage.LINEAGE_CLOSURE_SQL),
     "asset_specs": (lineage.asset_specs, lineage.ASSET_SPECS_SQL),
+    # --- run/update streams: windows, transitions, as-of/range (§2.5, §2.7) ---
+    "latest_update_per_entity": (
+        runs.latest_update_per_entity,
+        runs.LATEST_UPDATE_PER_ENTITY_SQL,
+    ),
+    "state_transitions": (runs.state_transitions, runs.STATE_TRANSITIONS_SQL),
+    "first_completed": (runs.first_completed, runs.FIRST_COMPLETED_SQL),
+    "asof_last_error_before_purchase": (
+        runs.asof_last_error_before_purchase,
+        runs.ASOF_LAST_ERROR_SQL,
+    ),
+    "signup_purchase_window": (
+        runs.signup_purchase_window,
+        runs.SIGNUP_PURCHASE_WINDOW_SQL,
+    ),
+    # --- event stream: JSON + time windows (§2.7, §2.8) ---
+    "event_type_stats": (events.event_type_stats, events.EVENT_TYPE_STATS_SQL),
+    "tumbling_hourly": (events.tumbling_hourly, events.TUMBLING_HOURLY_SQL),
+    "sliding_daily": (events.sliding_daily, events.SLIDING_DAILY_SQL),
+    "user_sessions": (events.user_sessions, events.USER_SESSIONS_SQL),
+    "high_value_events": (events.high_value_events, events.HIGH_VALUE_EVENTS_SQL),
 }
 
 

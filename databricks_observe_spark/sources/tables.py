@@ -52,9 +52,9 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             # ensure_conf) and convert to Spark's microsecond TIMESTAMP. The
             # fixtures are micro-aligned so this is lossless and agrees with
             # the DuckDB oracle's nanosecond view of the same file.
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer division — float division would lose ns precision on
+            # int64-sized epochs and shift timestamps by 1 microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators import events as E, runs as R
+
+
+def test_latest_update_is_singular_per_entity(tables):
+    df = R.latest_update_per_entity(tables)
+    per_entity = df.groupBy("entity_type", "entity_id").count().collect()
+    assert all(r["count"] == 1 for r in per_entity)
+    # the reported ts is the max poll ts for that entity
+    raw_max = tables["updates"].groupBy("entity_id").agg(F.max("ts").alias("m"))
+    got = {r.entity_id: r.ts for r in df.collect()}
+    for r in raw_max.collect():
+        assert got[r.entity_id] == r.m.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def test_state_transitions_only_completed_entries(tables):
+    rows = R.state_transitions(tables).collect()
+    assert len(rows) > 0
+    # every emission corresponds to a COMPLETED poll whose predecessor (if
+    # any) for the same (entity, update) was not COMPLETED
+    first = R.first_completed(tables)
+    # transitions >= first-completed set size (re-entries re-emit)
+    assert len(rows) >= first.count()
+
+
+def test_first_completed_exactly_once(tables):
+    df = R.first_completed(tables)
+    keys = df.select("entity_id", "update_id").collect()
+    assert len(keys) == len({(r.entity_id, r.update_id) for r in keys})
+    # re-polls exist in the fixture (n_polls > 1 somewhere) — the dedup is real
+    assert df.filter(F.col("n_polls") > 1).count() > 0
+
+
+def test_asof_is_strictly_prior_and_same_user(tables):
+    rows = R.asof_last_error_before_purchase(tables).collect()
+    with_err = [r for r in rows if r.last_error_ts is not None]
+    assert with_err, "fixture should produce at least one matched as-of pair"
+    assert all(r.last_error_ts < r.purchase_ts for r in with_err)
+    assert all(r.secs_since_error >= 0 for r in with_err)
+
+
+def test_signup_window_left_join_keeps_zero_rows(tables):
+    df = R.signup_purchase_window(tables)
+    n_signups = tables["events"].filter(F.col("event_type") == "signup").count()
+    assert df.count() == n_signups
+    zeros = df.filter(F.col("n_purchases") == 0).collect()
+    assert all(r.purchase_value == 0.0 for r in zeros)
+
+
+def test_tumbling_covers_all_events(tables):
+    df = E.tumbling_hourly(tables)
+    assert df.agg(F.sum("n_events")).first()[0] == tables["events"].count()
+
+
+def test_sliding_windows_quadruple_count(tables):
+    df = E.sliding_daily(tables)
+    assert df.agg(F.sum("n_events")).first()[0] == 4 * tables["events"].count()
+
+
+def test_sessions_partition_events(tables):
+    df = E.user_sessions(tables)
+    assert df.agg(F.sum("n_events")).first()[0] == tables["events"].count()
+    # gap >= 2h between consecutive sessions of the same user
+    sess = df.orderBy("user_id", "session_start").collect()
+    prev = {}
+    import datetime
+    for r in sess:
+        start = datetime.datetime.strptime(r.session_start, "%Y-%m-%d %H:%M:%S.%f")
+        if r.user_id in prev:
+            assert (start - prev[r.user_id]).total_seconds() >= 7200
+        prev[r.user_id] = start
