@@ -1,0 +1,288 @@
+"""Deduplication operators over the ``documents`` corpus.
+
+The scale-path toolkit a 100 TB training-data pipeline needs (BASELINE.json
+north star), each expressed as pure DataFrame ops (no UDFs):
+
+- ``exact_dedup``        — hash-groupBy on md5(text): one shuffle on the
+  digest (never on the text payload), canonical = min doc_id.
+- ``ngram_jaccard_pairs``— exact word-3-gram Jaccard >= 0.5: shingle
+  inverted index self-join. Scale note: candidate generation by shared
+  shingle is the classic blow-up point; high-frequency shingles are the
+  skew — at scale you'd drop stop-shingles (document-frequency cap) before
+  the join. Kept exact here because the threshold filter runs on count
+  aggregates, not on materialized pairs.
+- ``minhash_lsh_pairs``  — MinHash (16 md5-salted components) + banded LSH
+  (4 bands x 4 rows): the scalable near-dup path. Join key is the band
+  signature, so work is proportional to colliding candidates, not n^2.
+- ``simhash_fingerprints`` — 16-bit SimHash over token multiset; hamming
+  buckets for near-dup grouping.
+- ``embedding_near_dup`` — cosine >= 0.3 pairs via block self-join on the
+  embedding table (brute force at test SF; the LSH-bucketed variant in
+  operators/similarity.py is the scale path).
+
+Every hash is md5-derived so the DuckDB oracle matches bit-for-bit; minhash
+MIN runs on fixed-width hex strings (lexicographic == numeric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from databricks_observe_spark.functions.textfns import (
+    minhash_expr,
+    minhash_sql,
+    shingles,
+)
+from databricks_observe_spark.functions.vectors import cosine_expr
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.5
+COSINE_NEAR_DUP = 0.3
+
+
+def exact_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup groups: one row per distinct text, canonical doc kept.
+
+    Shuffles 16-byte digests, not documents — the property that matters at
+    100 TB. ``n_copies`` > 1 rows are the removable duplicates.
+    """
+    return (
+        t["documents"]
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingled(t: dict[str, DataFrame]) -> DataFrame:
+    return t["documents"].select(
+        "doc_id", F.explode(shingles("text", 3)).alias("shingle")
+    )
+
+
+_SHINGLED_SQL = """
+  SELECT DISTINCT doc_id,
+         w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tok
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 2))) AS i) i
+"""
+
+
+def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact shingle-Jaccard near-duplicate pairs (>= 0.5).
+
+    inverted-index self-join -> per-pair intersection counts -> sizes join.
+    Jaccard is a ratio of exact integers: bit-identical across engines.
+    """
+    sh = _shingled(t)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), on="doc_a")
+        .join(F.broadcast(sb), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
+    """16-component MinHash signature per document, one aggregation pass."""
+    return _shingled(t).groupBy("doc_id").agg(
+        *[minhash_expr(i) for i in range(N_MINHASH)]
+    )
+
+
+def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard.
+
+    Signatures -> band signatures (concat of 4 components) -> self-join per
+    band -> distinct candidates -> estimate = matching components / 16.
+    At scale only the band join shuffles, keyed by (band, signature).
+    """
+    sig = minhash_signatures(t)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.concat(
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    pairs = None
+    for b in range(N_BANDS):
+        left = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bsig"))
+        right = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bsig"))
+        cand = (
+            left.join(right, on="bsig")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        pairs = cand if pairs is None else pairs.union(cand)
+    candidates = pairs.distinct()
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    return (
+        candidates.join(siga, on="doc_a")
+        .join(sigb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(N_MINHASH)).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_sig_sql() -> str:
+    comps = ", ".join(minhash_sql(i) for i in range(N_MINHASH))
+    return f"SELECT doc_id, {comps} FROM sh GROUP BY doc_id"
+
+
+def _bands_sql() -> str:
+    bands = ", ".join(
+        " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f" AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"SELECT doc_id, {bands} FROM sig"
+
+
+MINHASH_LSH_PAIRS_SQL = (
+    f"WITH sh AS ({_SHINGLED_SQL}),\n"
+    f"sig AS ({_minhash_sig_sql()}),\n"
+    f"bands AS ({_bands_sql()}),\n"
+    "cand AS (\n"
+    + "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS)
+    )
+    + "\n)\n"
+    "SELECT c.doc_a, c.doc_b, ("
+    + " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))
+    + f") / {N_MINHASH}.0 AS est_jaccard\n"
+    "FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id"
+)
+
+
+def simhash_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+    """16-bit SimHash per document over the token multiset.
+
+    Bit b of md5's first 4 hex chars votes +1/-1 weighted by token
+    occurrences; fingerprint packs the sign bits. Integer arithmetic only.
+    """
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    nib = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), j + 1, 1)) - 1
+        for j in range(4)
+    ]
+    bit_votes = [
+        F.sum(
+            2 * ((nib[b // 4] / F.lit(2 ** (3 - b % 4))).cast("int") % 2) - 1
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    fp = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(2 ** (15 - b))).otherwise(F.lit(0))
+        for b in range(16)
+    )
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+SIMHASH_FINGERPRINTS_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),\n"
+    "votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(2 * (CAST(floor((strpos('0123456789abcdef', substr(md5(tok), {b // 4 + 1}, 1)) - 1) "
+        f"/ {2 ** (3 - b % 4)}) AS INT) % 2) - 1) AS v{b}"
+        for b in range(16)
+    )
+    + " FROM toks GROUP BY doc_id)\n"
+    "SELECT doc_id, CAST("
+    + " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** (15 - b)} ELSE 0 END" for b in range(16))
+    + " AS BIGINT) AS simhash FROM votes"
+)
+
+
+def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.3).
+
+    Brute-force block self-join — correct at any SF but O(n^2): the LSH
+    variant in operators/similarity.py is the 100 TB path; this is the
+    oracle-checkable exact baseline.
+    """
+    e = t["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine_expr("va", "vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_NEAR_DUP)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_NEAR_DUP}
+"""

@@ -1,0 +1,218 @@
+"""Text-analysis operators over ``documents`` (extension surface).
+
+Language-ID, quality scoring, token counting, fingerprinting — the text
+half of the training-data pipeline toolkit. Everything is JVM built-ins
+(split/regexp/md5/higher-order array fns); the corpus scan is one pass per
+operator and aggregates are exact-arithmetic so oracles match bit-for-bit.
+
+- ``text_stats``        — per-doc quality metrics (token/type counts, TTR,
+  stopword ratio): the filters a curation pipeline thresholds on.
+- ``lang_profile``      — per-language corpus rollup.
+- ``langid_trigram``    — character-trigram language-ID: profiles learned
+  from the even-doc_id half (top-40 trigrams per language), odd half
+  classified by profile overlap, argmax with lang tie-break. A real n-gram
+  classifier exercised entirely in SQL-expressible form.
+- ``doc_fingerprints``  — winnowing-style rolling fingerprint: min md5 over
+  word-4-gram windows (content-defined, shift-robust).
+- ``token_count_regex`` — BPE-ish regex token counts vs whitespace counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+TRAIN_MOD = 2  # even doc_id -> training half
+TOP_TRIGRAMS = 40
+
+
+def text_stats(t: dict[str, DataFrame]) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        ((F.length("text") - F.size(toks) + 1) / F.size(toks)).alias("avg_token_len"),
+        (stop_hits / F.size(toks)).alias("stopword_ratio"),
+    )
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+TEXT_STATS_SQL = f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang, source,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_types,
+       len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+       (length(text) - len(toks) + 1) * 1.0 / len(toks) AS avg_token_len,
+       len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) * 1.0 / len(toks)
+         AS stopword_ratio
+FROM d
+"""
+
+
+def lang_profile(t: dict[str, DataFrame]) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+LANG_PROFILE_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def _char_trigrams(df: DataFrame) -> DataFrame:
+    """Distinct character trigrams per doc (JVM sequence/transform)."""
+    return df.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("tg"),
+    )
+
+
+def langid_trigram(t: dict[str, DataFrame]) -> DataFrame:
+    """Char-trigram language-ID, trained/evaluated on an even/odd split.
+
+    Profiles: top-40 trigrams per language by document frequency in the
+    training half (ties -> trigram asc). Prediction: language whose profile
+    shares the most distinct trigrams with the doc (ties -> lang asc).
+    """
+    docs = t["documents"]
+    tg = _char_trigrams(docs)
+    train = tg.filter(F.col("doc_id") % TRAIN_MOD == 0)
+    test = tg.filter(F.col("doc_id") % TRAIN_MOD != 0)
+
+    freq = train.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("tg"))
+    profiles = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_TRIGRAMS)
+        .select(F.col("lang").alias("profile_lang"), "tg")
+    )
+
+    scores = (
+        test.join(F.broadcast(profiles), on="tg")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("profile_lang").alias("pred_lang"),
+            "score",
+            (F.col("lang") == F.col("profile_lang")).cast("int").alias("correct"),
+        )
+    )
+
+
+LANGID_TRIGRAM_SQL = f"""
+WITH tg AS (
+  SELECT DISTINCT doc_id, lang, substr(text, i.i, 3) AS tg
+  FROM documents
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i) i
+),
+freq AS (
+  SELECT lang, tg, COUNT(*) AS df FROM tg WHERE doc_id % {TRAIN_MOD} = 0 GROUP BY 1, 2
+),
+profiles AS (
+  SELECT lang AS profile_lang, tg FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, tg ASC) AS rnk FROM freq
+  ) WHERE rnk <= {TOP_TRIGRAMS}
+),
+scores AS (
+  SELECT t.doc_id, t.lang, p.profile_lang, COUNT(*) AS score
+  FROM tg t JOIN profiles p ON t.tg = p.tg
+  WHERE t.doc_id % {TRAIN_MOD} <> 0
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang AS true_lang, profile_lang AS pred_lang, score,
+       CAST(lang = profile_lang AS INT) AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang ASC) AS rn
+  FROM scores
+) WHERE rn = 1
+"""
+
+
+def doc_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over word-4-gram windows.
+
+    Content-defined (survives token insertion far from the minimum);
+    grouping by fingerprint surfaces near-dup clusters cheaply.
+    """
+    win = F.expr(
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),"
+        " i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 4))))"
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.array_min(win).alias("fingerprint"),
+        F.size(win).alias("n_windows"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         md5(toks[i.i] || ' ' || toks[i.i + 1] || ' ' || toks[i.i + 2] || ' ' || toks[i.i + 3]) AS h
+  FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i) i
+)
+SELECT doc_id, MIN(h) AS fingerprint, COUNT(*) AS n_windows
+FROM wins GROUP BY doc_id
+"""
+
+
+def token_count_regex(t: dict[str, DataFrame]) -> DataFrame:
+    """BPE-ish regex tokenization count vs whitespace count (both engines
+    use the same RE2/Java-compatible pattern)."""
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+TOKEN_COUNT_REGEX_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens,
+       length(text) AS n_chars
+FROM documents
+"""

@@ -17,11 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from databricks_observe_spark.engine import prepare
 from databricks_observe_spark.operators import (
     catalog_ops,
+    dedup,
     events,
     flagship,
     lineage,
+    multimodal,
     relational,
     runs,
+    similarity,
+    text,
 )
 
 # name -> (tables-dict -> DataFrame, oracle_sql | None)
@@ -79,6 +83,32 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "sliding_daily": (events.sliding_daily, events.SLIDING_DAILY_SQL),
     "user_sessions": (events.user_sessions, events.USER_SESSIONS_SQL),
     "high_value_events": (events.high_value_events, events.HIGH_VALUE_EVENTS_SQL),
+    # --- deduplication (extension surface: BASELINE.json north star) ---
+    "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
+    "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
+    "simhash_fingerprints": (
+        dedup.simhash_fingerprints,
+        dedup.SIMHASH_FINGERPRINTS_SQL,
+    ),
+    "embedding_near_dup": (dedup.embedding_near_dup, dedup.EMBEDDING_NEAR_DUP_SQL),
+    # --- similarity search ---
+    "ann_bruteforce_topk": (
+        similarity.ann_bruteforce_topk,
+        similarity.ANN_BRUTEFORCE_TOPK_SQL,
+    ),
+    "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
+    "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_TOPK_SQL),
+    # --- text analysis ---
+    "text_stats": (text.text_stats, text.TEXT_STATS_SQL),
+    "lang_profile": (text.lang_profile, text.LANG_PROFILE_SQL),
+    "langid_trigram": (text.langid_trigram, text.LANGID_TRIGRAM_SQL),
+    "doc_fingerprints": (text.doc_fingerprints, text.DOC_FINGERPRINTS_SQL),
+    "token_count_regex": (text.token_count_regex, text.TOKEN_COUNT_REGEX_SQL),
+    # --- multimodal columns ---
+    "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
+    # mapInPandas feature extraction: not SQL-expressible -> rows-only check
+    "media_features": (multimodal.media_features, None),
 }
 
 

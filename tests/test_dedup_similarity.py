@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators import dedup as D, similarity as S
+
+
+def test_exact_dedup_partitions_corpus(tables):
+    df = D.exact_dedup(tables)
+    assert df.agg(F.sum("n_copies")).first()[0] == tables["documents"].count()
+    # canonical ids are real doc ids
+    docs = {r.doc_id for r in tables["documents"].select("doc_id").collect()}
+    assert {r.canonical_doc_id for r in df.collect()} <= docs
+
+
+def test_jaccard_pairs_bounds(tables):
+    rows = D.ngram_jaccard_pairs(tables).collect()
+    for r in rows:
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+
+
+def test_minhash_estimates_track_true_jaccard(tables):
+    """LSH candidates with high estimated similarity should be the same
+    pairs exact Jaccard flags — the estimator must correlate."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(tables).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(tables).collect()
+    }
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    if strong:  # at sf0.001 near-dups may not exist; guard
+        found = {p for p, e in est.items() if e >= 0.5}
+        assert len(strong & found) / len(strong) >= 0.8
+
+
+def test_simhash_close_for_near_dups(tables):
+    fps = {r.doc_id: r.simhash for r in D.simhash_fingerprints(tables).collect()}
+    assert all(0 <= v < 2**16 for v in fps.values())
+    exact = [r for r in D.ngram_jaccard_pairs(tables).collect() if r.jaccard >= 0.9]
+    for r in exact:
+        ham = bin(fps[r.doc_a] ^ fps[r.doc_b]).count("1")
+        assert ham <= 4, f"near-identical docs should have close simhash, got {ham}"
+
+
+def test_ann_bruteforce_shape_and_order(tables):
+    rows = S.ann_bruteforce_topk(tables).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r.cosine_r for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_buckets_partition_everything(tables):
+    df = S.lsh_bucket_stats(tables)
+    assert df.agg(F.sum("n_vecs")).first()[0] == tables["embeddings"].count()
+    assert all(set(r.bucket) <= {"0", "1"} for r in df.collect())
+
+
+def test_ann_lsh_recall_vs_bruteforce(tables):
+    """The approximate search must find a meaningful share of the true
+    top-5 (same-bucket neighbors rank first under random projections)."""
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.ann_bruteforce_topk(tables).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in S.ann_lsh_topk(tables).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # fixture vectors are near-random (max pairwise cosine ~0.5), so LSH
+    # recall is modest by construction; the floor guards against a broken
+    # bucketing, not against the geometry
+    assert recall >= 0.15, f"LSH recall collapsed: {recall}"
