@@ -1,0 +1,151 @@
+"""Structured Streaming forms of the reference's polling/sensor machinery.
+
+Reference behavior being rebuilt (SURVEY.md §2.7):
+
+- ST1: poll every 5 s until terminal state (``pipeline_discovery.py:59-77``,
+  ``job_discovery.py:37-55``) -> micro-batch trigger cadence.
+- ST2: the completion sensor's cursor — a JSON map ``"pid:uid" -> state``
+  persisted across ticks (``sensors/dlt_sensor.py:12-46``) -> streaming
+  ``dropDuplicates`` keyed on (entity_id, update_id) with the checkpoint as
+  the cursor. Exactly-once across restarts comes from checkpoint + replay
+  (tested by re-running the same source against the same checkpoint).
+- ST3: cron cadences -> ``trigger(processingTime=...)``; tests use
+  ``availableNow`` for determinism.
+
+Scale stance: state is keyed by (entity_id, update_id) — bounded by live
+updates, not event volume — and the watermark lets Spark evict keys older
+than the lateness bound, so state size is O(active updates), which is what
+survives a 100 TB event stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from databricks_observe_spark.session import ensure_conf
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+TERMINAL_STATE = "COMPLETED"  # dlt_sensor.py:6
+WATERMARK = "1 hour"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (stands in for the REST
+    polling feed). ts arrives as raw nanos (nanosAsLong) and is normalized
+    exactly like the batch loader."""
+    ensure_conf(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file sources want a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_updates(events: DataFrame) -> DataFrame:
+    """The same events->updates column mapping as the batch catalog model
+    (sources/catalog_model.py) — identical semantics, streaming plan."""
+    return events.select(
+        F.expr("CASE WHEN user_id % 2 = 0 THEN 'pipeline' ELSE 'job' END").alias(
+            "entity_type"
+        ),
+        F.expr(
+            "CASE WHEN user_id % 2 = 0 THEN concat('pl-00', CAST(1 + ((user_id % 8) div 2) AS STRING)) "
+            "ELSE CAST(101 + ((user_id % 6) div 2) AS STRING) END"
+        ).alias("entity_id"),
+        F.concat(F.lit("u"), (F.col("event_id") % 211).cast("string")).alias("update_id"),
+        F.expr(
+            "CASE event_type WHEN 'purchase' THEN 'COMPLETED' WHEN 'signup' THEN 'COMPLETED' "
+            "WHEN 'click' THEN 'RUNNING' WHEN 'view' THEN 'WAITING' ELSE 'FAILED' END"
+        ).alias("state"),
+        "ts",
+    )
+
+
+def first_completed_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str
+) -> StreamingQuery:
+    """ST2 as a stream: emit each (entity, update) at most once on
+    COMPLETED, exactly the sensor-cursor dedup (dlt_sensor.py:23-41).
+
+    - ``dropDuplicates`` state == the cursor map; the checkpoint == the
+      persisted cursor JSON (dlt_sensor.py:43-46).
+    - watermark bounds state: re-polls arriving later than 1h are assumed
+      impossible upstream (the sensor polls at >=60 s, dlt_sensor.py:8).
+    - idempotent restart: rerunning over the same files + checkpoint emits
+      nothing new (at-most-once emission, ST4).
+    """
+    updates = stream_updates(stream_events(spark, sf_dir))
+    completed = (
+        updates.filter(F.col("state") == TERMINAL_STATE)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicates(["entity_id", "update_id"])
+        .select("entity_type", "entity_id", "update_id", "ts")
+    )
+    return (
+        completed.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_counts_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str
+) -> StreamingQuery:
+    """Watermarked tumbling 1-hour counts per event type — the streaming
+    twin of operators/events.py:tumbling_hourly (identical window exprs)."""
+    events = stream_events(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return (
+        counts.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def transition_log_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_path: str
+) -> StreamingQuery:
+    """K2-style materialization sink: append the exactly-once completion
+    log to partitioned parquet via foreachBatch (idempotent by batchId)."""
+    updates = stream_updates(stream_events(spark, sf_dir))
+    completed = (
+        updates.filter(F.col("state") == TERMINAL_STATE)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicates(["entity_id", "update_id"])
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(out_path)
+        )
+
+    return (
+        completed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators.runs import first_completed
+from databricks_observe_spark.streaming import state as ST
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_first_completed_stream_matches_batch(spark, tables):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fc_")
+    q = ST.first_completed_stream(spark, SF_DIR, ckpt, "fc_stream")
+    q.awaitTermination(120)
+    got = {
+        (r.entity_id, r.update_id)
+        for r in spark.sql("SELECT * FROM fc_stream").collect()
+    }
+    expected = {
+        (r.entity_id, r.update_id) for r in first_completed(tables).collect()
+    }
+    # streaming dedup keeps the first COMPLETED per key — same key set as
+    # the batch exactly-once summary (watermark drops nothing here: all
+    # events fit one availableNow run)
+    assert got == expected
+
+
+def test_tumbling_stream_matches_batch(spark, tables):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tw_")
+    q = ST.tumbling_counts_stream(spark, SF_DIR, ckpt, "tw_stream")
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tw_stream").collect()
+    }
+    batch = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {(r.w.start, r.event_type): r.n for r in batch}
+    # availableNow + watermark: windows older than (max ts - 1h) are final
+    # and emitted; the tail windows within the watermark stay open. Every
+    # emitted window must match the batch result exactly.
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_transition_log_sink_exactly_once_across_restart(spark):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_log_")
+    out = tempfile.mkdtemp(prefix="translog_") + "/log"
+    q = ST.transition_log_stream(spark, SF_DIR, ckpt, out)
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    n = df.count()
+    assert n > 0
+    assert "event_date" in df.columns  # partition column survived
+    keys = df.select("entity_id", "update_id").collect()
+    assert len(keys) == len({(r.entity_id, r.update_id) for r in keys})
+
+    # restart from the same checkpoint over the same source: the cursor
+    # (checkpoint state) suppresses every already-emitted key — the sink
+    # is unchanged. This is the sensor's persisted-cursor semantics
+    # (dlt_sensor.py:43-46) under process restart.
+    q2 = ST.transition_log_stream(spark, SF_DIR, ckpt, out)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
