@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headliners: the relational core + the heaviest extension operators
+# headliners: the relational core + catalog/lineage + the heaviest
+# extension operators (dedup / similarity / text / event windows)
 BENCH_QUERIES = [
     "pricing_summary",
     "shipping_priority",
@@ -28,6 +29,22 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "segment_order_stats",
     "flagship_us_customers",
+    "table_profiles",
+    "lineage_closure",
+    "asset_specs",
+    "state_transitions",
+    "user_sessions",
+    "tumbling_hourly",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "embedding_near_dup",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "langid_trigram",
+    "text_stats",
+    "media_features",
 ]
 
 

@@ -28,12 +28,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from databricks_observe_spark.functions.textfns import (
-    minhash_expr,
-    minhash_sql,
-    shingles,
+from databricks_observe_spark.functions.textfns import minhash_expr, minhash_sql
+from databricks_observe_spark.functions.vectors import (
+    dot_sql_unrolled,
+    dot_unrolled,
+    norm_sql_unrolled,
+    norm_unrolled,
 )
-from databricks_observe_spark.functions.vectors import cosine_expr
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -66,8 +67,23 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingled(t: dict[str, DataFrame]) -> DataFrame:
-    return t["documents"].select(
-        "doc_id", F.explode(shingles("text", 3)).alias("shingle")
+    # materialize the token array first: inside a higher-order transform the
+    # lambda is interpreted and would re-split the text once per shingle
+    # index (O(tokens^2) per doc); over a plain array column each slice is
+    # O(k). At scale this is "tokenize once, write, then shingle".
+    toks = t["documents"].select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).localCheckpoint()
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            )
+        ).alias("shingle"),
     )
 
 
@@ -255,22 +271,75 @@ SIMHASH_FINGERPRINTS_SQL = (
 )
 
 
+EMB_DIM = 64
+
+
 def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.3).
 
     Brute-force block self-join — correct at any SF but O(n^2): the LSH
     variant in operators/similarity.py is the 100 TB path; this is the
     oracle-checkable exact baseline.
+
+    Two-phase hot path:
+
+    1. **Arrow/numpy prefilter** (``mapInPandas`` + BLAS matmul against a
+       broadcast matrix): finds candidate pairs with similarity above
+       (threshold - 1e-6). Dense-vector math is the one place JVM
+       expression codegen loses: a 64-term dot generates a >8 KB method
+       that HotSpot refuses to JIT (runs interpreted, ~20us/pair), while a
+       numpy matmul does the same work at memory bandwidth.
+    2. **Exact verification**: the few surviving pairs are re-scored with
+       the deterministic unrolled expression (fixed summation order) that
+       the DuckDB oracle mirrors term for term — so results are
+       bit-identical despite the BLAS prefilter's engine-specific rounding.
+
+    Scale note: the broadcast matrix caps at ~1M x 64 (500 MB); beyond
+    that, tile the right-hand side (block-nested join over matrix chunks)
+    or switch to the LSH path in operators/similarity.py.
     """
-    e = t["embeddings"].select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = (
+        t["embeddings"]
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .select("vec_id", "v", norm_unrolled("v", EMB_DIM).alias("nrm"))
+        .localCheckpoint()
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = cosine_expr("va", "vb")
+    spark = e.sparkSession
+    side = e.select("vec_id", "v").toPandas()
+    import numpy as np
+
+    ids_all = side["vec_id"].to_numpy()
+    mat_all = np.array(side["v"].tolist(), dtype=np.float64)
+    nrm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_all, mat_all, nrm_all))
+    thr = COSINE_NEAR_DUP - 1e-6
+
+    def candidates(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            nrm = _np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ b_mat.T) / _np.outer(nrm, b_nrm)
+            ai, bj = _np.nonzero(sims >= thr)
+            a, b = ids[ai], b_ids[bj]
+            keep = a < b
+            yield _pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+
+    cands = e.select("vec_id", "v").mapInPandas(
+        candidates, "vec_a bigint, vec_b bigint"
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot_unrolled("va", "vb", EMB_DIM) / (F.col("na") * F.col("nb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cands.join(F.broadcast(ea), on="vec_a")
+        .join(F.broadcast(eb), on="vec_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= COSINE_NEAR_DUP)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
@@ -278,11 +347,10 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, {norm_sql_unrolled('v', EMB_DIM)} AS nrm FROM e0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+       round({dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm), 6) AS cosine_r
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_NEAR_DUP}
+WHERE {dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm) >= {COSINE_NEAR_DUP}
 """

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from databricks_observe_spark.functions.vectors import cosine_expr, dot_expr, hyperplanes
+from databricks_observe_spark.functions.vectors import (
+    dot_sql_unrolled,
+    dot_unrolled,
+    hyperplanes,
+    norm_sql_unrolled,
+    norm_unrolled,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -37,22 +43,43 @@ PLANES = TABLES_PLANES[0]  # table 0 doubles as the bucket-stats histogram
 
 
 def _doubled(t: dict[str, DataFrame]) -> DataFrame:
-    return t["embeddings"].select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        "label",
+    """Raw double vector ``v`` + precomputed scalar L2 norm ``nrm``.
+
+    Materialized (localCheckpoint) so joins see plain columns — otherwise
+    projection-collapse re-evaluates the norm tree per candidate pair. Per-
+    pair cosine is then one codegen dot product and a scalar divide."""
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            "label",
+        )
+        .select("vec_id", "v", norm_unrolled("v", DIM).alias("nrm"), "label")
+        .localCheckpoint()
     )
+
+
+# shared oracle CTE: raw vectors + norms
+_E_SQL = (
+    "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),\n"
+    f"e AS (SELECT vec_id, v, {norm_sql_unrolled('v', 64)} AS nrm, label FROM e0)"
+)
 
 
 def ann_bruteforce_topk(t: dict[str, DataFrame]) -> DataFrame:
     """Exact cosine top-5 neighbors for each query vector (vec_id < 10)."""
     e = _doubled(t)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         e.join(F.broadcast(q), on=F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr("qv", "v"))
+        .withColumn(
+            "cosine", dot_unrolled("qv", "v", DIM) / (F.col("qnrm") * F.col("nrm"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -69,12 +96,11 @@ def ann_bruteforce_topk(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ANN_BRUTEFORCE_TOPK_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+WITH {_E_SQL},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id, e.label,
-         list_dot_product(q.qv, e.v) /
-         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+         {dot_sql_unrolled('q.qv', 'e.v', 64)} / (q.qnrm * e.nrm) AS cosine
   FROM q JOIN e ON e.vec_id <> q.query_id
 )
 SELECT query_id, vec_id AS neighbor_id,
@@ -85,15 +111,26 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def _plane_dot(vec_col: str, plane: list[float]) -> F.Column:
+    """Unrolled constant-hyperplane dot: v[1]*c1 + ... — pure codegen."""
+    out = F.element_at(F.col(vec_col), 1) * F.lit(plane[0])
+    for i in range(1, len(plane)):
+        out = out + F.element_at(F.col(vec_col), i + 1) * F.lit(plane[i])
+    return out
+
+
+def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
+    return "(" + " + ".join(
+        f"{vec_col}[{i + 1}] * {plane[i]!r}" for i in range(len(plane))
+    ) + ")"
+
+
 def _bucket_expr(vec_col: str, planes=None) -> F.Column:
     """Sign-LSH bucket id: concatenated sign bits of hyperplane dots."""
     bits = []
     for plane in planes if planes is not None else PLANES:
-        lit_plane = F.array(*[F.lit(x) for x in plane])
         bits.append(
-            F.when(dot_expr(F.col(vec_col), lit_plane) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
+            F.when(_plane_dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
         )
     return F.concat(*bits)
 
@@ -101,9 +138,8 @@ def _bucket_expr(vec_col: str, planes=None) -> F.Column:
 def _bucket_sql(vec_col: str, planes=None) -> str:
     parts = []
     for plane in planes if planes is not None else PLANES:
-        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
         parts.append(
-            f"CASE WHEN list_dot_product({vec_col}, {arr}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+            f"CASE WHEN {_plane_dot_sql(vec_col, plane)} >= 0 THEN '1' ELSE '0' END"
         )
     return " || ".join(parts)
 
@@ -123,7 +159,7 @@ def lsh_bucket_stats(t: dict[str, DataFrame]) -> DataFrame:
 
 LSH_BUCKET_STATS_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
-SELECT {_bucket_sql('v')} AS bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+SELECT {_bucket_sql('e.v')} AS bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
 FROM e GROUP BY 1
 """
 
@@ -142,21 +178,22 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         *[F.col(f"bucket{i}").alias(f"qbucket{i}") for i in range(N_TABLES)],
     )
     cands = None
     for i in range(N_TABLES):
         c = (
             e.join(
-                F.broadcast(q.select("query_id", "qv", f"qbucket{i}")),
+                F.broadcast(q.select("query_id", "qv", "qnrm", f"qbucket{i}")),
                 on=F.col(f"bucket{i}") == F.col(f"qbucket{i}"),
             )
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "qv", "vec_id", "v")
+            .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
         )
         cands = c if cands is None else cands.union(c)
     scored = cands.dropDuplicates(["query_id", "vec_id"]).withColumn(
-        "cosine", cosine_expr("qv", "v")
+        "cosine", dot_unrolled("qv", "v", DIM) / (F.col("qnrm") * F.col("nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -172,22 +209,21 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
 
 
 ANN_LSH_TOPK_SQL = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_bucket_sql('embedding::DOUBLE[]', TABLES_PLANES[0])} AS bucket0,
-         {_bucket_sql('embedding::DOUBLE[]', TABLES_PLANES[1])} AS bucket1
-  FROM embeddings
+WITH {_E_SQL},
+eb AS (
+  SELECT vec_id, v, nrm,
+         {_bucket_sql('v', TABLES_PLANES[0])} AS bucket0,
+         {_bucket_sql('v', TABLES_PLANES[1])} AS bucket1
+  FROM e
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket0 AS qb0, bucket1 AS qb1
-      FROM e WHERE vec_id < {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket0 AS qb0, bucket1 AS qb1
+      FROM eb WHERE vec_id < {N_QUERIES}),
 cand AS (
-  SELECT DISTINCT q.query_id, q.qv, e.vec_id, e.v
-  FROM q JOIN e ON (e.bucket0 = q.qb0 OR e.bucket1 = q.qb1) AND e.vec_id <> q.query_id
+  SELECT DISTINCT q.query_id, q.qv, q.qnrm, eb.vec_id, eb.v, eb.nrm
+  FROM q JOIN eb ON (eb.bucket0 = q.qb0 OR eb.bucket1 = q.qb1) AND eb.vec_id <> q.query_id
 ),
 scored AS (
-  SELECT query_id, vec_id,
-         list_dot_product(qv, v) /
-         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+  SELECT query_id, vec_id, {dot_sql_unrolled('qv', 'v', 64)} / (qnrm * nrm) AS cosine
   FROM cand
 )
 SELECT query_id, vec_id AS neighbor_id,

@@ -173,11 +173,16 @@ def doc_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
     Content-defined (survives token insertion far from the minimum);
     grouping by fingerprint surfaces near-dup clusters cheaply.
     """
+    # tokenize once (materialized) — re-splitting inside the interpreted
+    # transform lambda would be O(tokens^2) per doc
+    toks = t["documents"].select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).localCheckpoint()
     win = F.expr(
-        "transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),"
-        " i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 4))))"
+        "transform(sequence(1, greatest(size(w) - 3, 1)),"
+        " i -> md5(concat_ws(' ', slice(w, i, 4))))"
     )
-    return t["documents"].select(
+    return toks.select(
         "doc_id",
         F.array_min(win).alias("fingerprint"),
         F.size(win).alias("n_windows"),

@@ -1,0 +1,68 @@
+"""Compare Spark wall-clock vs the DuckDB oracle for every registered query.
+
+Usage: python tools/bench_vs_duckdb.py [--sf DIR] [--md]
+Prints one line per query; --md emits a markdown table row format (used to
+refresh the measured table in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import duckdb
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--md", action="store_true")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from databricks_observe_spark.session import get_spark
+    from databricks_observe_spark.sources.tables import TABLE_NAMES
+
+    spark = get_spark("bench-vs-duckdb")
+    qs, osql = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    qs["flagship_us_customers"](spark, args.sf).count()  # warmup
+
+    tot_s = tot_d = 0.0
+    rows = []
+    for name in qs:
+        t0 = time.time()
+        n = qs[name](spark, args.sf).count()
+        ts = time.time() - t0
+        td = float("nan")
+        if name in osql:
+            t0 = time.time()
+            con.execute(osql[name]).fetchall()
+            td = time.time() - t0
+            tot_d += td
+        tot_s += ts
+        rows.append((name, ts, td, n))
+
+    if args.md:
+        print("| query | spark s | duckdb s | ratio | rows |")
+        print("|---|---|---|---|---|")
+        for name, ts, td, n in rows:
+            ratio = f"{ts / td:.1f}x" if td == td else "—"
+            tds = f"{td:.2f}" if td == td else "—"
+            print(f"| {name} | {ts:.2f} | {tds} | {ratio} | {n} |")
+        print(f"| **total** | **{tot_s:.1f}** | **{tot_d:.1f}** | "
+              f"**{tot_s / tot_d:.1f}x** | |")
+    else:
+        for name, ts, td, n in rows:
+            print(f"{name:32s} spark={ts:6.2f}s duck={td:6.2f}s rows={n}")
+        print(f"TOTAL spark={tot_s:.1f}s duck={tot_d:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
