@@ -1,0 +1,83 @@
+"""Control-plane semantics: trigger-and-wait polling, modeled as data.
+
+The reference triggers a pipeline/job then polls every 5 s until a terminal
+state or a 600 s timeout (ST1; ``pipeline_discovery.py:44-79``,
+``job_discovery.py:22-55``). Two behaviors are preserved exactly (SURVEY.md
+§2.11):
+
+- **pipeline** polling RAISES ``TimeoutError`` on timeout
+  (``pipeline_discovery.py:79``);
+- **job** polling RETURNS ``"TIMEOUT"`` (``job_discovery.py:50-53``).
+
+Side-effect POSTs (K3) are out of engine scope; a trigger is modeled as a
+row in a ``run_requests`` frame and the poll loop consumes the ``updates``
+stream ordered by time — so the semantics are testable without a control
+plane. The poll is a DataFrame lookup per tick (a keyed point query, S11),
+not a collect-the-world loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PIPELINE_TERMINAL = {"COMPLETED", "FAILED", "CANCELED"}  # pipeline_discovery.py:74
+JOB_TERMINAL = {"TERMINATED", "SKIPPED", "INTERNAL_ERROR"}  # job_discovery.py:44
+POLL_INTERVAL_S = 5  # pipeline_discovery.py:61 / job_discovery.py:55
+DEFAULT_TIMEOUT_S = 600  # pipeline_discovery.py:44 / job_discovery.py:22
+
+
+def _poll_states(updates: DataFrame, entity_id: str, after_ts=None) -> DataFrame:
+    """S9/S11-shaped keyed lookup: state history for one entity, time-ordered.
+
+    The entity_id equality predicate prunes at the source (pushed to the
+    scan); only this entity's rows ever leave the executors.
+    """
+    df = updates.filter(F.col("entity_id") == entity_id)
+    if after_ts is not None:
+        df = df.filter(F.col("ts") >= after_ts)
+    return df.select("entity_id", "update_id", "state", "ts").orderBy("ts")
+
+
+def wait_for_pipeline(
+    updates: DataFrame,
+    pipeline_id: str,
+    timeout_seconds: int = DEFAULT_TIMEOUT_S,
+    terminal: frozenset[str] | set[str] = frozenset(PIPELINE_TERMINAL),
+) -> str:
+    """Replay the poll loop over the updates stream in virtual time.
+
+    Walks the entity's state history in ``POLL_INTERVAL_S`` virtual-time
+    ticks; returns the first terminal state seen within the timeout
+    horizon, else **raises TimeoutError** (pipeline semantics,
+    pipeline_discovery.py:79).
+    """
+    rows = _poll_states(updates, pipeline_id).collect()
+    if not rows:
+        raise TimeoutError(
+            f"pipeline {pipeline_id} did not reach a terminal state in "
+            f"{timeout_seconds}s (no updates)"
+        )
+    t0 = rows[0].ts
+    for r in rows:
+        elapsed = (r.ts - t0).total_seconds()
+        if elapsed > timeout_seconds:
+            break
+        if r.state in terminal:
+            return r.state
+    raise TimeoutError(
+        f"pipeline {pipeline_id} did not reach a terminal state in {timeout_seconds}s"
+    )
+
+
+def wait_for_job(
+    updates: DataFrame,
+    job_id: str,
+    timeout_seconds: int = DEFAULT_TIMEOUT_S,
+    terminal: frozenset[str] | set[str] = frozenset({"COMPLETED", "FAILED", "CANCELED"}),
+) -> str:
+    """Job variant: same walk, but a timeout **returns "TIMEOUT"** instead
+    of raising (job_discovery.py:50-53)."""
+    try:
+        return wait_for_pipeline(updates, job_id, timeout_seconds, terminal)
+    except TimeoutError:
+        return "TIMEOUT"

@@ -237,3 +237,56 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
+
+
+def order_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles per priority (§2.4 extension).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    (n-1)*p linear-interpolation definition; outputs rounded to 4 to
+    absorb last-ulp interpolation differences.
+    """
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        )
+    )
+
+
+ORDER_VALUE_PERCENTILES_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def approx_user_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """HLL-sketch cardinality vs exact per event type (§2.4 extension).
+
+    approx_count_distinct is the constant-memory scale path for
+    cardinality over 100 TB; the exact column quantifies the sketch error.
+    Sketch values are engine-specific -> rows-only driver check.
+    """
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+    )

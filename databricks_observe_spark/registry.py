@@ -49,6 +49,12 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         relational.order_priority_rollup,
         relational.ORDER_PRIORITY_ROLLUP_SQL,
     ),
+    "order_value_percentiles": (
+        relational.order_value_percentiles,
+        relational.ORDER_VALUE_PERCENTILES_SQL,
+    ),
+    # HLL sketch values are engine-specific -> rows-only check
+    "approx_user_counts": (relational.approx_user_counts, None),
     # --- catalog introspection & profiling (§2.1-2.4) ---
     "discovered_objects": (catalog_ops.discovered_objects, catalog_ops.DISCOVERED_OBJECTS_SQL),
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),

@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators import control as C, sinks as K
+from databricks_observe_spark.operators.catalog_ops import table_profiles
+
+
+def test_wait_for_pipeline_reaches_terminal(tables):
+    # pl-001 exists in the updates stream and reaches COMPLETED/FAILED
+    state = C.wait_for_pipeline(tables["updates"], "pl-001", timeout_seconds=10**9)
+    assert state in C.PIPELINE_TERMINAL
+
+
+def test_pipeline_timeout_raises_job_returns(tables):
+    # a terminal state that never occurs forces the timeout path
+    never = frozenset({"NO_SUCH_STATE"})
+    with pytest.raises(TimeoutError):
+        C.wait_for_pipeline(
+            tables["updates"], "pl-001", timeout_seconds=60, terminal=never
+        )
+    # job semantics: same walk returns the sentinel instead (job_discovery.py:50-53)
+    assert (
+        C.wait_for_job(tables["updates"], "101", timeout_seconds=60, terminal=never)
+        == "TIMEOUT"
+    )
+
+
+def test_wait_unknown_entity_raises(tables):
+    with pytest.raises(TimeoutError):
+        C.wait_for_pipeline(tables["updates"], "pl-does-not-exist")
+
+
+def test_overwrite_table_roundtrip(tables, spark):
+    out = tempfile.mkdtemp(prefix="k1_") + "/t"
+    fmt = K.overwrite_table(tables["region"], out)
+    assert fmt in ("delta", "parquet")
+    assert spark.read.format(fmt).load(out).count() == 5
+    # overwrite replaces, not appends (CA:14 mode semantics)
+    K.overwrite_table(tables["region"], out, fmt)
+    assert spark.read.format(fmt).load(out).count() == 5
+
+
+def test_events_partitioned_by_date_prunes(tables, spark):
+    out = tempfile.mkdtemp(prefix="events_part_") + "/events"
+    K.write_events_by_date(tables["events"], out)
+    df = spark.read.parquet(out)
+    assert df.count() == tables["events"].count()
+    # a date predicate must reach the scan as partition pruning
+    pruned = df.filter(F.col("event_date") == "2024-01-05")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == tables["events"].filter(
+        F.to_date("ts") == "2024-01-05"
+    ).count()
+
+
+def test_append_materializations_accumulates(tables, spark):
+    out = tempfile.mkdtemp(prefix="k2_") + "/mats"
+    profiles = table_profiles(tables)
+    K.append_materializations(profiles, out, run_id="r1")
+    K.append_materializations(profiles, out, run_id="r2")
+    df = spark.read.parquet(out)
+    assert df.count() == 2 * profiles.count()
+    assert {r.run_id for r in df.select("run_id").distinct().collect()} == {"r1", "r2"}

@@ -1,0 +1,57 @@
+"""Plan-quality gates: the physical plans the 100 TB design depends on.
+
+These assert optimizer *choices*, not results: predicates reaching the
+parquet scan, dimension joins broadcast, partial aggregation present.
+A regression here means a query silently became a full-scan or a shuffle
+join — invisible at test SF, catastrophic at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators import relational as R
+from databricks_observe_spark.operators.flagship import america_customers
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(tables):
+    df = tables["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must read only the referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double" in plan
+
+
+def test_flagship_broadcasts_dimensions(tables):
+    plan = _plan(america_customers(tables))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "SortMergeJoin" not in plan
+    # the region-name predicate is pushed into the region scan
+    assert "EqualTo(r_name,AMERICA)" in plan
+
+
+def test_pricing_summary_partial_aggregation(tables):
+    plan = _plan(R.pricing_summary(tables))
+    # map-side combine: partial_ functions before the exchange
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("HashAggregate")
+
+
+def test_shipping_priority_broadcasts_filtered_customer(tables):
+    plan = _plan(R.shipping_priority(tables))
+    assert "BroadcastHashJoin" in plan
+    # segment filter pushed to the customer scan, not applied post-join
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_local_supplier_joins_stay_hashed(tables):
+    plan = _plan(R.local_supplier_revenue(tables))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
