@@ -101,10 +101,20 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
     inverted-index self-join -> per-pair intersection counts -> sizes join.
     Jaccard is a ratio of exact integers: bit-identical across engines.
     """
-    sh = _shingled(t)
+    sh = _shingled(t).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # posting-list prefilter: shingles appearing in exactly one document
+    # cannot produce a pair — dropping them shrinks the self-join input by
+    # the unique-shingle mass (the majority, in any natural corpus) without
+    # changing a single output row. This is the result-preserving half of
+    # the stop-shingle trick; a df *upper* cap would further bound skew at
+    # scale but changes results, so it stays off here.
+    shared = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 2
+    )
+    sh2 = sh.join(shared.select("shingle"), on="shingle")
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

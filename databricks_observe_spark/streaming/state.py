@@ -122,6 +122,83 @@ def tumbling_counts_stream(
     )
 
 
+SESSION_GAP_S = 2 * 3600  # matches operators/events.py:user_sessions
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str
+) -> StreamingQuery:
+    """Custom stateful operator: per-user sessionization via
+    ``applyInPandasWithState`` — the arbitrary-state API the reference's
+    cursor map would need if its state didn't fit ``dropDuplicates``.
+
+    State per user = (session_start, last_ts, n_events, sum_value) as epoch
+    micros; a batch's rows are sorted and folded into the open session,
+    emitting every session that closes (gap >= 2 h). The final open session
+    per user stays in the state store — at scale an EventTimeTimeout would
+    flush it past the watermark; with the test's availableNow replay the
+    open tail is intentionally unflushed (asserted in tests).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, n_events bigint, sum_value double"
+    )
+    state_schema = (
+        "start_us bigint, last_us bigint, n_events bigint, sum_cents bigint"
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (user_id,) = key
+        rows = _pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us = last_us = -1
+            n = cents = 0
+        closed = []
+        for ts, value in zip(rows["ts"], rows["value"]):
+            us = int(ts.value // 1000)  # pandas ns -> micros
+            c = int(round(value * 100))  # exact cents, no float drift in state
+            if start_us < 0:
+                start_us, last_us, n, cents = us, us, 1, c
+            elif us - last_us >= SESSION_GAP_S * 1_000_000:
+                closed.append((user_id, start_us, n, cents))
+                start_us, last_us, n, cents = us, us, 1, c
+            else:
+                last_us, n, cents = us, n + 1, cents + c
+        state.update((start_us, last_us, n, cents))
+        if closed:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in closed],
+                    "session_start": [_pd.Timestamp(r[1], unit="us") for r in closed],
+                    "n_events": [r[2] for r in closed],
+                    "sum_value": [r[3] / 100.0 for r in closed],
+                }
+            )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def transition_log_stream(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_path: str
 ) -> StreamingQuery:

@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.operators import layout as L
+
+
+def test_bucketed_join_has_no_shuffle(tables, spark):
+    L.write_bucketed(tables["orders"], "orders_b", "o_orderkey", buckets=4)
+    L.write_bucketed(
+        tables["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        buckets=4,
+    )
+    # at test SF the planner prefers broadcast; disable it to surface the
+    # at-scale plan (sort-merge over co-located buckets, zero shuffles)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = L.bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        expected = tables["lineitem"].join(
+            tables["orders"],
+            tables["lineitem"].l_orderkey == tables["orders"].o_orderkey,
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain_join(tables):
+    big = tables["lineitem"].select("l_orderkey", "l_suppkey", "l_quantity")
+    small = tables["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = big.join(small, on="l_suppkey")
+    salted = L.salted_join(big, small, "l_suppkey", salt_buckets=4)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.select(*plain.columns).collect()}
+    assert a == b

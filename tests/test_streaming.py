@@ -69,3 +69,30 @@ def test_transition_log_sink_exactly_once_across_restart(spark):
     q2 = ST.transition_log_stream(spark, SF_DIR, ckpt, out)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n
+
+
+def test_sessionize_stream_custom_state(spark, tables):
+    import tempfile as _tf
+
+    from databricks_observe_spark.operators.events import user_sessions
+
+    ckpt = _tf.mkdtemp(prefix="ckpt_sess_")
+    q = ST.sessionize_stream(spark, SF_DIR, ckpt, "sess_stream")
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S.%f")): (
+            r.n_events,
+            round(r.sum_value, 2),
+        )
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, round(r.sum_value, 2))
+        for r in user_sessions(tables).collect()
+    }
+    # single availableNow batch: every session except each user's final
+    # (still-open) one is emitted, and each must match the batch operator
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert len(got) == len(batch) - n_users
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch.get(k))
