@@ -284,6 +284,93 @@ SIMHASH_FINGERPRINTS_SQL = (
 EMB_DIM = 64
 
 
+def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: each doc
+    mapped to its cluster's minimum doc_id (the canonical survivor).
+
+    Reuses the lineage fixpoint machinery (operators/lineage.py) on the
+    symmetrized pair edges — min-label propagation to convergence. This is
+    the step that turns pairwise dedup output into keep/drop decisions in
+    a real pipeline. Components here are tiny; at 100 TB the same loop
+    runs with the label frame checkpointed per round (large-scale
+    connected components a la Hash-to-Min).
+    """
+    pairs = ngram_jaccard_pairs(t).select("doc_a", "doc_b")
+    fwd = pairs
+    rev = pairs.select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    edges = fwd.union(rev).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(50):
+        prop = (
+            edges.join(labels, on=edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(F.broadcast(prop), on=labels.doc_id == prop.doc_a, how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
+        ).alias("members"),
+    )
+
+
+# oracle: recursive reachability over the symmetric pair edges, then
+# min-label per node = connected component id
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_a AS doc_id, doc_b AS other FROM edges
+  UNION
+  SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a
+),
+labels AS (
+  SELECT doc_id, LEAST(doc_id, MIN(other)) AS cluster_id
+  FROM reach GROUP BY doc_id
+)
+SELECT cluster_id, COUNT(*) AS cluster_size,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+FROM labels GROUP BY cluster_id
+"""
+
+
 def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.3).
 

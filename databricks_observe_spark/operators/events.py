@@ -160,6 +160,28 @@ GROUP BY user_id, session_id
 """
 
 
+def events_cube(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE(event_type, day-of-week) counts — full grouping-sets lattice
+    (§2.4 extension beyond the reference's flat GROUP BYs)."""
+    return (
+        t["events"]
+        .withColumn("dow", F.date_format("ts", "E"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, strftime(ts, '%a') AS dow, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%a'))
+"""
+
+
 def high_value_events(t: dict[str, DataFrame]) -> DataFrame:
     """Filter + JSON projection: events whose props.k exceeds 90 —
     P1-shaped predicate over schema-on-read JSON."""

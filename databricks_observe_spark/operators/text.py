@@ -203,6 +203,81 @@ FROM wins GROUP BY doc_id
 """
 
 
+def heavy_hitter_tokens(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-wide heavy hitters: top-20 tokens by document frequency
+    (ties -> token asc). The exact form of the frequency skim a curation
+    pipeline uses to build stopword/blocklist tables."""
+    df = (
+        t["documents"]
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("tok"))
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("tok", "doc_freq", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+HEAVY_HITTER_TOKENS_SQL = """
+WITH df AS (
+  SELECT tok, COUNT(*) AS doc_freq FROM (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY tok
+)
+SELECT tok, doc_freq, CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, tok ASC) AS INT) AS rnk
+FROM df QUALIFY rnk <= 20
+"""
+
+
+def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (ties -> token asc).
+
+    tf = in-doc count; idf = ln(N / df) computed in exact integer inputs;
+    the score is a deterministic double product. Two shuffles total (token
+    stats, per-doc ranking) regardless of corpus size.
+    """
+    docs = t["documents"]
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).localCheckpoint()
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.dropDuplicates(["doc_id", "tok"])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(df), on="tok").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+TFIDF_KEYWORDS_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 3
+"""
+
+
 def token_count_regex(t: dict[str, DataFrame]) -> DataFrame:
     """BPE-ish regex tokenization count vs whitespace count (both engines
     use the same RE2/Java-compatible pattern)."""

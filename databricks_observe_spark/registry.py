@@ -88,10 +88,12 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "tumbling_hourly": (events.tumbling_hourly, events.TUMBLING_HOURLY_SQL),
     "sliding_daily": (events.sliding_daily, events.SLIDING_DAILY_SQL),
     "user_sessions": (events.user_sessions, events.USER_SESSIONS_SQL),
+    "events_cube": (events.events_cube, events.EVENTS_CUBE_SQL),
     "high_value_events": (events.high_value_events, events.HIGH_VALUE_EVENTS_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
+    "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_fingerprints": (
         dedup.simhash_fingerprints,
@@ -111,6 +113,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "langid_trigram": (text.langid_trigram, text.LANGID_TRIGRAM_SQL),
     "doc_fingerprints": (text.doc_fingerprints, text.DOC_FINGERPRINTS_SQL),
     "token_count_regex": (text.token_count_regex, text.TOKEN_COUNT_REGEX_SQL),
+    "heavy_hitter_tokens": (text.heavy_hitter_tokens, text.HEAVY_HITTER_TOKENS_SQL),
+    "tfidf_keywords": (text.tfidf_keywords, text.TFIDF_KEYWORDS_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check

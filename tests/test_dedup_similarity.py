@@ -79,3 +79,16 @@ def test_ann_lsh_recall_vs_bruteforce(tables):
     # recall is modest by construction; the floor guards against a broken
     # bucketing, not against the geometry
     assert recall >= 0.15, f"LSH recall collapsed: {recall}"
+
+
+def test_near_dup_clusters_partition_pairs(tables):
+    pairs = D.ngram_jaccard_pairs(tables).collect()
+    clusters = D.near_dup_clusters(tables).collect()
+    in_pairs = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    members = [int(m) for r in clusters for m in r.members.split(",")]
+    # every doc in a pair lands in exactly one cluster
+    assert sorted(members) == sorted(in_pairs)
+    for r in clusters:
+        ms = [int(m) for m in r.members.split(",")]
+        assert r.cluster_id == min(ms)
+        assert r.cluster_size == len(ms) >= 2

@@ -84,3 +84,22 @@ def test_decode_media_stub_raises(tables):
 
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\x89PNG", "image/png")
+
+
+def test_tfidf_top3_per_doc(tables):
+    rows = T.tfidf_keywords(tables).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == tables["documents"].count()
+    for rs in by_doc.values():
+        assert len(rs) <= 3
+        scores = [r.tfidf for r in sorted(rs, key=lambda x: x.rnk)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_heavy_hitters_are_frequent(tables):
+    rows = T.heavy_hitter_tokens(tables).collect()
+    assert len(rows) == 20
+    freqs = [r.doc_freq for r in sorted(rows, key=lambda x: x.rnk)]
+    assert freqs == sorted(freqs, reverse=True)
