@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "langid_trigram",
     "text_stats",
+    "tfidf_keywords",
+    "near_dup_clusters",
     "media_features",
 ]
 

@@ -44,13 +44,26 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession like the verification driver does",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
-    from databricks_observe_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("oracle-check").getOrCreate()
+        )
+    else:
+        from databricks_observe_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     qs, oracles = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
 
