@@ -71,9 +71,12 @@ def _shingled(t: dict[str, DataFrame]) -> DataFrame:
     # lambda is interpreted and would re-split the text once per shingle
     # index (O(tokens^2) per doc); over a plain array column each slice is
     # O(k). At scale this is "tokenize once, write, then shingle".
-    toks = t["documents"].select(
-        "doc_id", F.split("text", " ").alias("w")
-    ).localCheckpoint()
+    # Memoized per context so jaccard/minhash/clustering share one pass.
+    if "_doc_tokens" not in t:
+        t["_doc_tokens"] = t["documents"].select(
+            "doc_id", F.split("text", " ").alias("w")
+        ).localCheckpoint()
+    toks = t["_doc_tokens"]
     return toks.select(
         "doc_id",
         F.explode(
@@ -395,14 +398,9 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     that, tile the right-hand side (block-nested join over matrix chunks)
     or switch to the LSH path in operators/similarity.py.
     """
-    e = (
-        t["embeddings"]
-        .select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-        )
-        .select("vec_id", "v", norm_unrolled("v", EMB_DIM).alias("nrm"))
-        .localCheckpoint()
-    )
+    from databricks_observe_spark.operators.similarity import _doubled
+
+    e = _doubled(t).drop("label")
     spark = e.sparkSession
     side = e.select("vec_id", "v").toPandas()
     import numpy as np

@@ -47,17 +47,21 @@ def _doubled(t: dict[str, DataFrame]) -> DataFrame:
 
     Materialized (localCheckpoint) so joins see plain columns — otherwise
     projection-collapse re-evaluates the norm tree per candidate pair. Per-
-    pair cosine is then one codegen dot product and a scalar divide."""
-    return (
-        t["embeddings"]
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-            "label",
+    pair cosine is then one codegen dot product and a scalar divide.
+    Memoized in the context dict: every similarity/dedup operator in a
+    session shares one materialization (at scale: one written table)."""
+    if "_emb_norms" not in t:
+        t["_emb_norms"] = (
+            t["embeddings"]
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+                "label",
+            )
+            .select("vec_id", "v", norm_unrolled("v", DIM).alias("nrm"), "label")
+            .localCheckpoint()
         )
-        .select("vec_id", "v", norm_unrolled("v", DIM).alias("nrm"), "label")
-        .localCheckpoint()
-    )
+    return t["_emb_norms"]
 
 
 # shared oracle CTE: raw vectors + norms
@@ -175,23 +179,38 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     e = _doubled(t)
     for i, planes in enumerate(TABLES_PLANES):
         e = e.withColumn(f"bucket{i}", _bucket_expr("v", planes))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        *[F.col(f"bucket{i}").alias(f"qbucket{i}") for i in range(N_TABLES)],
-    )
-    cands = None
-    for i in range(N_TABLES):
-        c = (
-            e.join(
-                F.broadcast(q.select("query_id", "qv", "qnrm", f"qbucket{i}")),
-                on=F.col(f"bucket{i}") == F.col(f"qbucket{i}"),
-            )
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+    # explode each vector's (table_idx, bucket) memberships so the
+    # multi-table OR becomes ONE equi-join on (table_idx, bucket) — a
+    # single shuffle-free broadcast probe instead of a join per table
+    member = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("tbl"), F.col(f"bucket{i}").alias("bkt"))
+                for i in range(N_TABLES)
+            ]
         )
-        cands = c if cands is None else cands.union(c)
+    ).alias("m")
+    e_exp = e.select("vec_id", "v", "nrm", member).select(
+        "vec_id", "v", "nrm", F.col("m.tbl").alias("tbl"), F.col("m.bkt").alias("bkt")
+    )
+    q_exp = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            member,
+        )
+        .select(
+            "query_id", "qv", "qnrm",
+            F.col("m.tbl").alias("tbl"), F.col("m.bkt").alias("bkt"),
+        )
+    )
+    cands = (
+        e_exp.join(F.broadcast(q_exp), on=["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+    )
     scored = cands.dropDuplicates(["query_id", "vec_id"]).withColumn(
         "cosine", dot_unrolled("qv", "v", DIM) / (F.col("qnrm") * F.col("nrm"))
     )

@@ -173,11 +173,13 @@ def doc_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
     Content-defined (survives token insertion far from the minimum);
     grouping by fingerprint surfaces near-dup clusters cheaply.
     """
-    # tokenize once (materialized) — re-splitting inside the interpreted
-    # transform lambda would be O(tokens^2) per doc
-    toks = t["documents"].select(
-        "doc_id", F.split("text", " ").alias("w")
-    ).localCheckpoint()
+    # tokenize once (materialized, shared via the context memo) —
+    # re-splitting inside the interpreted transform lambda is O(tokens^2)
+    if "_doc_tokens" not in t:
+        t["_doc_tokens"] = t["documents"].select(
+            "doc_id", F.split("text", " ").alias("w")
+        ).localCheckpoint()
+    toks = t["_doc_tokens"]
     win = F.expr(
         "transform(sequence(1, greatest(size(w) - 3, 1)),"
         " i -> md5(concat_ws(' ', slice(w, i, 4))))"
@@ -241,9 +243,11 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
     """
     docs = t["documents"]
     n_docs = docs.count()
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).localCheckpoint()
+    if "_doc_tokens" not in t:
+        t["_doc_tokens"] = docs.select(
+            "doc_id", F.split("text", " ").alias("w")
+        ).localCheckpoint()
+    toks = t["_doc_tokens"].select("doc_id", F.explode("w").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = (
         toks.dropDuplicates(["doc_id", "tok"])

@@ -15,6 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from databricks_observe_spark.engine import prepare
+from databricks_observe_spark.sources.catalog_model import oracle_with_clause
+from databricks_observe_spark.streaming import state as streaming_state
 from databricks_observe_spark.operators import (
     catalog_ops,
     dedup,
@@ -121,6 +123,23 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "media_features": (multimodal.media_features, None),
 }
 
+# --- streaming (runs a real StreamingQuery to exhaustion, then returns the
+# deterministic emitted key set; oracle-paired against the batch view) ---
+
+
+def _streaming_first_completed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)  # ensure confs (nanosAsLong) on the session
+    return streaming_state.streaming_first_completed_query(spark, sf_dir)
+
+
+_STREAMING_QUERIES: dict[str, tuple] = {
+    "streaming_first_completed": (
+        _streaming_first_completed,
+        oracle_with_clause("updates")
+        + streaming_state.STREAMING_FIRST_COMPLETED_SQL_SUFFIX,
+    ),
+}
+
 
 # ctx cache: prepare() is pure view registration, reuse across queries() calls
 _CTX: dict[tuple[int, str], dict] = {}
@@ -141,8 +160,14 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap(fn) for name, (fn, _) in _REGISTRY.items()}
+    out = {name: _wrap(fn) for name, (fn, _) in _REGISTRY.items()}
+    out.update({name: fn for name, (fn, _) in _STREAMING_QUERIES.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    out = {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    out.update(
+        {name: sql for name, (_, sql) in _STREAMING_QUERIES.items() if sql is not None}
+    )
+    return out

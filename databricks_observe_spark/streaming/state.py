@@ -122,6 +122,35 @@ def tumbling_counts_stream(
     )
 
 
+def streaming_first_completed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of the ST2 stream: run the watermarked
+    exactly-once completion pipeline to exhaustion (availableNow) and
+    return the emitted key set.
+
+    Output is the deterministic part of the stream — which (entity,
+    update) keys completed — regardless of which concurrent poll row won
+    the dropDuplicates race, so it pairs with a batch SQL oracle.
+    """
+    import tempfile
+    import uuid
+
+    name = f"fc_q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fcq_")
+    q = first_completed_stream(spark, sf_dir, ckpt, name)
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select("entity_type", "entity_id", "update_id")
+        .distinct()
+    )
+
+
+STREAMING_FIRST_COMPLETED_SQL_SUFFIX = """
+SELECT DISTINCT entity_type, entity_id, update_id
+FROM updates WHERE state = 'COMPLETED'
+"""
+
+
 SESSION_GAP_S = 2 * 3600  # matches operators/events.py:user_sessions
 
 
