@@ -102,6 +102,139 @@ SELECT DISTINCT * FROM closure
 """
 
 
+def topo_levels(t: dict[str, DataFrame], max_iters: int = 100) -> DataFrame:
+    """G2 toposort: longest-upstream-chain level per node (SURVEY §2.10).
+
+    Cycles make longest-path undefined, so nodes on a cycle — exactly
+    those with a (n, n) pair in the transitive closure — are excluded
+    along with their edges, mirroring how the reference's DFS guard
+    simply refuses to recurse into visited nodes. Remaining DAG nodes get
+    level = length of their longest upstream chain (sources = 0), via the
+    same delta-iteration loop as the closure (one join per depth level).
+    """
+    closure = lineage_closure(t)
+    self_pairs = closure.filter(
+        (F.col("dst_catalog") == F.col("src_catalog"))
+        & (F.col("dst_schema") == F.col("src_schema"))
+        & (F.col("dst_table") == F.col("src_table"))
+    ).select(
+        F.col("dst_catalog").alias("catalog"),
+        F.col("dst_schema").alias("schema"),
+        F.col("dst_table").alias("table"),
+    ).localCheckpoint()
+    edges = base_edges(t["lineage_edges"])
+    for side in ("dst", "src"):
+        edges = edges.join(
+            F.broadcast(self_pairs),
+            on=[
+                edges[f"{side}_catalog"] == self_pairs["catalog"],
+                edges[f"{side}_schema"] == self_pairs["schema"],
+                edges[f"{side}_table"] == self_pairs["table"],
+            ],
+            how="left_anti",
+        )
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(
+            F.col("dst_catalog").alias("catalog"),
+            F.col("dst_schema").alias("schema"),
+            F.col("dst_table").alias("table"),
+        )
+        .union(
+            edges.select(
+                F.col("src_catalog").alias("catalog"),
+                F.col("src_schema").alias("schema"),
+                F.col("src_table").alias("table"),
+            )
+        )
+        .distinct()
+    )
+    # chains: (node, len) pairs discovered breadth-first from direct edges
+    chains = edges.select(
+        F.col("dst_catalog").alias("catalog"),
+        F.col("dst_schema").alias("schema"),
+        F.col("dst_table").alias("table"),
+        F.lit(1).alias("len"),
+    ).distinct().localCheckpoint()
+    frontier = chains
+    hop = edges.select(*[F.col(c).alias(f"e_{c}") for c in _ALL])
+    for _ in range(max_iters):
+        stepped = (
+            frontier.join(
+                hop,
+                on=[
+                    F.col("catalog") == F.col("e_src_catalog"),
+                    F.col("schema") == F.col("e_src_schema"),
+                    F.col("table") == F.col("e_src_table"),
+                ],
+            )
+            .select(
+                F.col("e_dst_catalog").alias("catalog"),
+                F.col("e_dst_schema").alias("schema"),
+                F.col("e_dst_table").alias("table"),
+                (F.col("len") + 1).alias("len"),
+            )
+            .distinct()
+        )
+        new = stepped.join(
+            chains, on=["catalog", "schema", "table", "len"], how="left_anti"
+        ).localCheckpoint()
+        if new.isEmpty():
+            break
+        chains = chains.union(new).localCheckpoint()
+        frontier = new
+    levels = chains.groupBy("catalog", "schema", "table").agg(
+        F.max("len").alias("level")
+    )
+    return nodes.join(levels, on=["catalog", "schema", "table"], how="left").select(
+        "catalog", "schema", "table", F.coalesce("level", F.lit(0)).alias("level")
+    )
+
+
+TOPO_LEVELS_SQL = oracle_with_clause("lineage_edges").replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """
+, base AS (
+  SELECT DISTINCT dst_catalog, dst_schema, dst_table, src_catalog, src_schema, src_table
+  FROM lineage_edges
+  WHERE NOT (dst_catalog = src_catalog AND dst_schema = src_schema AND dst_table = src_table)
+),
+closure AS (
+  SELECT dst_catalog, dst_schema, dst_table, src_catalog, src_schema, src_table FROM base
+  UNION
+  SELECT c.dst_catalog, c.dst_schema, c.dst_table, b.src_catalog, b.src_schema, b.src_table
+  FROM closure c
+  JOIN base b ON c.src_catalog = b.dst_catalog AND c.src_schema = b.dst_schema
+             AND c.src_table = b.dst_table
+),
+cyc AS (
+  SELECT dst_catalog AS catalog, dst_schema AS schema, dst_table AS "table" FROM closure
+  WHERE dst_catalog = src_catalog AND dst_schema = src_schema AND dst_table = src_table
+),
+dag AS (
+  SELECT * FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM cyc WHERE catalog = b.dst_catalog AND schema = b.dst_schema AND "table" = b.dst_table)
+    AND NOT EXISTS (SELECT 1 FROM cyc WHERE catalog = b.src_catalog AND schema = b.src_schema AND "table" = b.src_table)
+),
+nodes AS (
+  SELECT DISTINCT dst_catalog AS catalog, dst_schema AS schema, dst_table AS "table" FROM dag
+  UNION
+  SELECT DISTINCT src_catalog, src_schema, src_table FROM dag
+),
+chains AS (
+  SELECT dst_catalog AS catalog, dst_schema AS schema, dst_table AS "table", 1 AS len FROM dag
+  UNION
+  SELECT d.dst_catalog, d.dst_schema, d.dst_table, c.len + 1
+  FROM chains c
+  JOIN dag d ON d.src_catalog = c.catalog AND d.src_schema = c.schema AND d.src_table = c."table"
+)
+SELECT n.catalog, n.schema, n."table", COALESCE(MAX(c.len), 0) AS level
+FROM nodes n
+LEFT JOIN chains c ON n.catalog = c.catalog AND n.schema = c.schema AND n."table" = c."table"
+GROUP BY n.catalog, n.schema, n."table"
+"""
+
+
 def asset_specs(t: dict[str, DataFrame]) -> DataFrame:
     """E1 assembly (DA:79-133): enriched tables + transitive deps + kinds.
 

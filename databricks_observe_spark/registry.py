@@ -70,6 +70,7 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # --- lineage graph (§2.10) ---
     "lineage_closure": (lineage.lineage_closure, lineage.LINEAGE_CLOSURE_SQL),
     "asset_specs": (lineage.asset_specs, lineage.ASSET_SPECS_SQL),
+    "topo_levels": (lineage.topo_levels, lineage.TOPO_LEVELS_SQL),
     # --- run/update streams: windows, transitions, as-of/range (§2.5, §2.7) ---
     "latest_update_per_entity": (
         runs.latest_update_per_entity,

@@ -64,3 +64,21 @@ def test_asset_specs_assembly(tables):
     # J1 left-outer defaults for the SHOW-only object (DA:110-120)
     adhoc = rows["testdata.main.ad_hoc_view"]
     assert adhoc.kind == "table" and adhoc.format == "" and adhoc.n_upstreams == 0
+
+
+def test_topo_levels_dag_semantics(tables):
+    from databricks_observe_spark.operators.lineage import topo_levels
+
+    rows = {(r.catalog, r.schema, r["table"]): r.level for r in topo_levels(tables).collect()}
+    # cycle nodes (cyc_a, cyc_b) and nodes whose edges all touch the cycle
+    # (part only has the cyc_a upstream edge) are excluded from the DAG view
+    assert ("testdata", "main", "cyc_a") not in rows
+    assert ("testdata", "main", "cyc_b") not in rows
+    # region is a source: level 0; the chain region->nation->customer->orders->lineitem
+    assert rows[("testdata", "main", "region")] == 0
+    assert rows[("testdata", "main", "nation")] == 1
+    assert rows[("testdata", "main", "customer")] == 2
+    assert rows[("testdata", "main", "orders")] == 3
+    assert rows[("testdata", "main", "lineitem")] == 4
+    # us_customers sits above customer (level 2) -> 3
+    assert rows[("testdata", "main", "us_customers")] == 3
