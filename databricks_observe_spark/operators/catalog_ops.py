@@ -232,6 +232,42 @@ LEFT JOIN schemas s ON e.catalog = s.catalog AND e.schema = s.schema AND e."tabl
 """
 
 
+def table_files_meta(t: dict[str, DataFrame]) -> DataFrame:
+    """S6 file-level parity: the DESCRIBE DETAIL fields that come from
+    storage, via Spark's ``_metadata`` pseudo-column on file sources —
+    per-table file count, total bytes, and last-modified (the
+    lastModified/createdAt coalesce of DA:154-156).
+
+    Wall-clock metadata is environment-dependent -> rows-only check.
+    """
+    profiled = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    frames = []
+    for name in profiled:
+        per_file = (
+            t[name]
+            .select(
+                F.col("_metadata.file_path").alias("path"),
+                F.col("_metadata.file_size").alias("file_size"),
+                F.col("_metadata.file_modification_time").alias("mtime"),
+            )
+            .distinct()
+        )
+        frames.append(
+            per_file.agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("file_size").alias("total_bytes"),
+                F.date_format(F.max("mtime"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "last_modified"
+                ),
+            ).select("table", "n_files", "total_bytes", "last_modified")
+        )
+    return reduce(DataFrame.union, frames)
+
+
 def named_assets(t: dict[str, DataFrame]) -> DataFrame:
     """F1 + A5 + T2: sanitized pipeline/job asset names, deduplicated.
 

@@ -206,13 +206,26 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
             F.col("m.tbl").alias("tbl"), F.col("m.bkt").alias("bkt"),
         )
     )
-    cands = (
-        e_exp.join(F.broadcast(q_exp), on=["tbl", "bkt"])
+    # candidate ids only through the dedup shuffle (8-byte keys, not
+    # 512-byte vectors); vectors re-attached afterwards via broadcast
+    cand_ids = (
+        e_exp.select("vec_id", "tbl", "bkt")
+        .join(F.broadcast(q_exp.select("query_id", "tbl", "bkt")), on=["tbl", "bkt"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cands.dropDuplicates(["query_id", "vec_id"]).withColumn(
-        "cosine", dot_unrolled("qv", "v", DIM) / (F.col("qnrm") * F.col("nrm"))
+    qvecs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        cand_ids.join(F.broadcast(qvecs), on="query_id")
+        .join(F.broadcast(e.select("vec_id", "v", "nrm")), on="vec_id")
+        .withColumn(
+            "cosine", dot_unrolled("qv", "v", DIM) / (F.col("qnrm") * F.col("nrm"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -62,6 +62,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),
     "columns_schema": (catalog_ops.columns_schema, catalog_ops.COLUMNS_SCHEMA_SQL),
     "table_profiles": (catalog_ops.table_profiles, catalog_ops.TABLE_PROFILES_SQL),
+    # storage mtimes are environment-dependent -> rows-only
+    "table_files_meta": (catalog_ops.table_files_meta, None),
     "named_assets": (catalog_ops.named_assets, catalog_ops.NAMED_ASSETS_SQL),
     "object_count_rollup": (
         catalog_ops.object_count_rollup,
