@@ -36,7 +36,9 @@ TERMINAL_STATE = "COMPLETED"  # dlt_sensor.py:6
 WATERMARK = "1 hour"
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events fixture (stands in for the REST
     polling feed). ts arrives as raw nanos (nanosAsLong) and is normalized
     exactly like the batch loader."""
@@ -44,7 +46,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # file sources want a dir
+        .option("pathGlobFilter", glob)  # file sources want a dir
         .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -71,7 +73,11 @@ def stream_updates(events: DataFrame) -> DataFrame:
 
 
 def first_completed_stream(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_table: str,
+    glob: str = "events.parquet",
 ) -> StreamingQuery:
     """ST2 as a stream: emit each (entity, update) at most once on
     COMPLETED, exactly the sensor-cursor dedup (dlt_sensor.py:23-41).
@@ -83,7 +89,7 @@ def first_completed_stream(
     - idempotent restart: rerunning over the same files + checkpoint emits
       nothing new (at-most-once emission, ST4).
     """
-    updates = stream_updates(stream_events(spark, sf_dir))
+    updates = stream_updates(stream_events(spark, sf_dir, glob))
     completed = (
         updates.filter(F.col("state") == TERMINAL_STATE)
         .withWatermark("ts", WATERMARK)
@@ -229,11 +235,15 @@ def sessionize_stream(
 
 
 def transition_log_stream(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_path: str,
+    glob: str = "events.parquet",
 ) -> StreamingQuery:
     """K2-style materialization sink: append the exactly-once completion
     log to partitioned parquet via foreachBatch (idempotent by batchId)."""
-    updates = stream_updates(stream_events(spark, sf_dir))
+    updates = stream_updates(stream_events(spark, sf_dir, glob))
     completed = (
         updates.filter(F.col("state") == TERMINAL_STATE)
         .withWatermark("ts", WATERMARK)

@@ -96,3 +96,45 @@ def test_sessionize_stream_custom_state(spark, tables):
     assert len(got) == len(batch) - n_users
     for k, v in got.items():
         assert batch[k] == v, (k, v, batch.get(k))
+
+
+def test_watermark_drops_late_completion(spark, tmp_path):
+    """Two-batch replay with a late re-poll: an event older than the
+    watermark bound arriving in a later batch is evicted, so the sensor
+    state cannot regrow without bound (the 100 TB property)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch 1: two completions an hour apart (advances watermark past t0)
+    pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 06:00:00"]).astype("int64"),
+            "user_id": [2, 4],
+            "event_type": ["purchase", "purchase"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(src / "b1.parquet")
+    out = str(tmp_path / "wm_log")
+    q1 = ST.transition_log_stream(spark, str(src), str(tmp_path / "ck"), out, glob="*.parquet")
+    q1.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 2: a NEW update key, but its ts is far older than
+    # (max_ts - 1h watermark) -> dropDuplicates state admits nothing late
+    pd.DataFrame(
+        {
+            "event_id": [2],
+            "ts": pd.to_datetime(["2024-01-01 00:30:00"]).astype("int64"),
+            "user_id": [6],
+            "event_type": ["purchase"],
+            "value": [3.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(src / "b2.parquet")
+    q2 = ST.transition_log_stream(spark, str(src), str(tmp_path / "ck"), out, glob="*.parquet")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2  # late event evicted, log unchanged
