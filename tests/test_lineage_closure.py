@@ -70,10 +70,11 @@ def test_topo_levels_dag_semantics(tables):
     from databricks_observe_spark.operators.lineage import topo_levels
 
     rows = {(r.catalog, r.schema, r["table"]): r.level for r in topo_levels(tables).collect()}
-    # cycle nodes (cyc_a, cyc_b) and nodes whose edges all touch the cycle
-    # (part only has the cyc_a upstream edge) are excluded from the DAG view
+    # cycle nodes (cyc_a, cyc_b) are excluded; part loses its cyc_a edge
+    # but stays in the DAG as a source through the lineitem<-part edge
     assert ("testdata", "main", "cyc_a") not in rows
     assert ("testdata", "main", "cyc_b") not in rows
+    assert rows[("testdata", "main", "part")] == 0
     # region is a source: level 0; the chain region->nation->customer->orders->lineitem
     assert rows[("testdata", "main", "region")] == 0
     assert rows[("testdata", "main", "nation")] == 1
