@@ -1,31 +1,57 @@
-"""Shared text-shaping column expressions (tokens, shingles, hashes).
+"""Shared text-shaping helpers (tokens, shingles, min-hash components).
 
 All JVM-side built-ins — no UDFs. Every hash is md5-based so the DuckDB
 oracle reproduces values exactly; min-hash comparisons operate on fixed-width
 lowercase hex prefixes, where lexicographic order == numeric order, so
 ``MIN`` over strings is a valid min-hash without any hex->int conversion.
+
+Spark/SQL twins live side by side (``*_expr`` / ``*_sql``) so tokenization
+semantics cannot silently drift between the engine and the oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-TOKEN_SPLIT = " "
+from pyspark.sql import DataFrame, functions as F
 
 
-def tokens(col: str = "text") -> F.Column:
-    """Whitespace tokens (the documents fixture is space-separated)."""
-    return F.split(F.col(col), TOKEN_SPLIT)
+def doc_tokens(t: dict[str, DataFrame]) -> DataFrame:
+    """Materialized (doc_id, w: array<string>) token frame, memoized in the
+    context so every shingle/fingerprint/tf-idf consumer shares one pass.
+
+    Materialization matters: inside a higher-order ``transform`` the lambda
+    is interpreted and would re-split the text once per element
+    (O(tokens^2) per doc); over a plain array column each slice is O(k).
+    At scale this is "tokenize once, write, then derive".
+    """
+    if "_doc_tokens" not in t:
+        t["_doc_tokens"] = (
+            t["documents"].select("doc_id", F.split("text", " ").alias("w"))
+        ).localCheckpoint()
+    return t["_doc_tokens"]
 
 
-def shingles(col: str = "text", k: int = 3) -> F.Column:
-    """Distinct word k-gram shingles as an array<string> column."""
+def shingle_expr(k: int, tokens_col: str = "w") -> F.Column:
+    """Distinct word k-gram shingles over a materialized token array.
+
+    Sub-k-token docs yield one truncated shingle (slice semantics), exactly
+    mirrored by :func:`shingled_sql`'s list slicing.
+    """
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(size(split({col}, ' ')) - {k}, 0)),"
-            f" i -> concat_ws(' ', slice(split({col}, ' '), i + 1, {k})))"
+            f"transform(sequence(1, greatest(size({tokens_col}) - {k - 1}, 1)),"
+            f" i -> concat_ws(' ', slice({tokens_col}, i, {k})))"
         )
     )
+
+
+def shingled_sql(k: int) -> str:
+    """DuckDB twin of exploding :func:`shingle_expr` over documents."""
+    return f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i.i : i.i + {k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tok
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(w) - {k - 2}, 2))) AS i) i
+"""
 
 
 def minhash_expr(i: int, shingle_col: str = "shingle") -> F.Column:

@@ -161,11 +161,14 @@ def table_profiles(t: dict[str, DataFrame]) -> DataFrame:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
+    # global agg (not groupBy on a literal): an empty table still yields
+    # its one row_count=0 row, matching the reference's COUNT(*) and the
+    # oracle's UNION ALL
     counts = reduce(
         DataFrame.union,
         [
-            t[name].groupBy(F.lit(name).alias("table")).agg(
-                F.count(F.lit(1)).alias("row_count")
+            t[name].agg(
+                F.lit(name).alias("table"), F.count(F.lit(1)).alias("row_count")
             )
             for name in profiled
         ],

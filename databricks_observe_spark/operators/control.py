@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, functions as F
 
 PIPELINE_TERMINAL = {"COMPLETED", "FAILED", "CANCELED"}  # pipeline_discovery.py:74
 JOB_TERMINAL = {"TERMINATED", "SKIPPED", "INTERNAL_ERROR"}  # job_discovery.py:44
-POLL_INTERVAL_S = 5  # pipeline_discovery.py:61 / job_discovery.py:55
+# reference cadence constant (pipeline_discovery.py:61 / job_discovery.py:55);
+# the batch replay below consumes recorded update rows directly, so no 5 s
+# sleep exists here — the constant documents the live-polling cadence an
+# online deployment would configure on its trigger interval
+POLL_INTERVAL_S = 5
 DEFAULT_TIMEOUT_S = 600  # pipeline_discovery.py:44 / job_discovery.py:22
 
 
@@ -44,11 +48,11 @@ def wait_for_pipeline(
     timeout_seconds: int = DEFAULT_TIMEOUT_S,
     terminal: frozenset[str] | set[str] = frozenset(PIPELINE_TERMINAL),
 ) -> str:
-    """Replay the poll loop over the updates stream in virtual time.
+    """Replay the poll loop over the recorded updates stream.
 
-    Walks the entity's state history in ``POLL_INTERVAL_S`` virtual-time
-    ticks; returns the first terminal state seen within the timeout
-    horizon, else **raises TimeoutError** (pipeline semantics,
+    Walks the entity's state history in event-time order; returns the
+    first terminal state observed no later than ``timeout_seconds`` after
+    the first poll, else **raises TimeoutError** (pipeline semantics,
     pipeline_discovery.py:79).
     """
     rows = _poll_states(updates, pipeline_id).collect()

@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from databricks_observe_spark.functions.textfns import minhash_expr, minhash_sql
+from databricks_observe_spark.functions.textfns import (
+    doc_tokens,
+    minhash_expr,
+    minhash_sql,
+    shingle_expr,
+    shingled_sql,
+)
 from databricks_observe_spark.functions.vectors import (
     dot_sql_unrolled,
     dot_unrolled,
@@ -67,35 +73,12 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingled(t: dict[str, DataFrame]) -> DataFrame:
-    # materialize the token array first: inside a higher-order transform the
-    # lambda is interpreted and would re-split the text once per shingle
-    # index (O(tokens^2) per doc); over a plain array column each slice is
-    # O(k). At scale this is "tokenize once, write, then shingle".
-    # Memoized per context so jaccard/minhash/clustering share one pass.
-    if "_doc_tokens" not in t:
-        t["_doc_tokens"] = t["documents"].select(
-            "doc_id", F.split("text", " ").alias("w")
-        ).localCheckpoint()
-    toks = t["_doc_tokens"]
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(w) - 2, 1)),"
-                    " i -> concat_ws(' ', slice(w, i, 3)))"
-                )
-            )
-        ).alias("shingle"),
+    return doc_tokens(t).select(
+        "doc_id", F.explode(shingle_expr(3)).alias("shingle")
     )
 
 
-_SHINGLED_SQL = """
-  SELECT DISTINCT doc_id,
-         w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tok
-  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 2))) AS i) i
-"""
+_SHINGLED_SQL = shingled_sql(3)
 
 
 def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:

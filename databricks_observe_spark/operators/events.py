@@ -160,12 +160,23 @@ GROUP BY user_id, session_id
 """
 
 
+_DOW = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]  # dayofweek: 1=Sun
+
+
 def events_cube(t: dict[str, DataFrame]) -> DataFrame:
     """CUBE(event_type, day-of-week) counts — full grouping-sets lattice
-    (§2.4 extension beyond the reference's flat GROUP BYs)."""
+    (§2.4 extension beyond the reference's flat GROUP BYs).
+
+    Day name derived from ``dayofweek`` through an explicit mapping:
+    ``date_format(ts, 'E')`` depends on the JVM default locale and would
+    diverge from the oracle's locale-independent strftime on non-English
+    deployments.
+    """
     return (
         t["events"]
-        .withColumn("dow", F.date_format("ts", "E"))
+        .withColumn(
+            "dow", F.element_at(F.array(*[F.lit(d) for d in _DOW]), F.dayofweek("ts"))
+        )
         .cube("event_type", "dow")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

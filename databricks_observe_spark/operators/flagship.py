@@ -46,15 +46,13 @@ def run_flagship(tables: dict[str, DataFrame], output_path: str | None = None):
     Returns (df, count, preview_rows). One cached computation feeds all three
     actions instead of the reference's three recomputations.
     """
+    # caller may keep using the cached df; unpersisting is theirs
     df = america_customers(tables).cache()
-    try:
-        if output_path is not None:
-            df.write.mode("overwrite").parquet(output_path)
-        n = df.count()
-        preview = df.orderBy("c_custkey").limit(5).collect()
-        return df, n, preview
-    finally:
-        pass  # caller may keep using the cached df; unpersist is theirs
+    if output_path is not None:
+        df.write.mode("overwrite").parquet(output_path)
+    n = df.count()
+    preview = df.orderBy("c_custkey").limit(5).collect()
+    return df, n, preview
 
 
 FLAGSHIP_ORACLE_SQL = """

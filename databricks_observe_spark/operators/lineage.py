@@ -77,7 +77,12 @@ def transitive_closure(edges: DataFrame, max_iters: int = 100) -> DataFrame:
 
 
 def lineage_closure(t: dict[str, DataFrame]) -> DataFrame:
-    return transitive_closure(t["lineage_edges"])
+    # memoized: asset_specs and topo_levels (and any future consumer in the
+    # same observation tick) share one fixpoint run — the closure loop is
+    # the most expensive driver-orchestrated piece of the cycle
+    if "_lineage_closure" not in t:
+        t["_lineage_closure"] = transitive_closure(t["lineage_edges"])
+    return t["_lineage_closure"]
 
 
 # DuckDB recursive CTE oracle; UNION (not UNION ALL) dedups against the

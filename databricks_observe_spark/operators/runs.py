@@ -135,10 +135,14 @@ def asof_last_error_before_purchase(t: dict[str, DataFrame]) -> DataFrame:
     making the two plans genuinely independent.
     """
     ev = t["events"]
+    # RANGE frame on the epoch keeps only strictly-earlier rows, matching
+    # the oracle's strict `p.ts > e.ts` even if an error and a purchase
+    # ever share a timestamp (a rows-frame would include same-ts rows
+    # nondeterministically)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     err_ts = F.last(
         F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True

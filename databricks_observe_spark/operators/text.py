@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.textfns import doc_tokens
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 TRAIN_MOD = 2  # even doc_id -> training half
@@ -173,13 +175,7 @@ def doc_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
     Content-defined (survives token insertion far from the minimum);
     grouping by fingerprint surfaces near-dup clusters cheaply.
     """
-    # tokenize once (materialized, shared via the context memo) —
-    # re-splitting inside the interpreted transform lambda is O(tokens^2)
-    if "_doc_tokens" not in t:
-        t["_doc_tokens"] = t["documents"].select(
-            "doc_id", F.split("text", " ").alias("w")
-        ).localCheckpoint()
-    toks = t["_doc_tokens"]
+    toks = doc_tokens(t)
     win = F.expr(
         "transform(sequence(1, greatest(size(w) - 3, 1)),"
         " i -> md5(concat_ws(' ', slice(w, i, 4))))"
@@ -191,13 +187,13 @@ def doc_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# slice-based for parity with Spark's slice(w, i, 4) on short docs
 DOC_FINGERPRINTS_SQL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 wins AS (
-  SELECT doc_id,
-         md5(toks[i.i] || ' ' || toks[i.i + 1] || ' ' || toks[i.i + 2] || ' ' || toks[i.i + 3]) AS h
+  SELECT doc_id, md5(array_to_string(toks[i.i : i.i + 3], ' ')) AS h
   FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i) i
 )
 SELECT doc_id, MIN(h) AS fingerprint, COUNT(*) AS n_windows
@@ -243,11 +239,7 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
     """
     docs = t["documents"]
     n_docs = docs.count()
-    if "_doc_tokens" not in t:
-        t["_doc_tokens"] = docs.select(
-            "doc_id", F.split("text", " ").alias("w")
-        ).localCheckpoint()
-    toks = t["_doc_tokens"].select("doc_id", F.explode("w").alias("tok"))
+    toks = doc_tokens(t).select("doc_id", F.explode("w").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = (
         toks.dropDuplicates(["doc_id", "tok"])

@@ -82,10 +82,15 @@ def first_completed_stream(
     """ST2 as a stream: emit each (entity, update) at most once on
     COMPLETED, exactly the sensor-cursor dedup (dlt_sensor.py:23-41).
 
-    - ``dropDuplicates`` state == the cursor map; the checkpoint == the
-      persisted cursor JSON (dlt_sensor.py:43-46).
-    - watermark bounds state: re-polls arriving later than 1h are assumed
-      impossible upstream (the sensor polls at >=60 s, dlt_sensor.py:8).
+    - ``dropDuplicatesWithinWatermark`` state == the cursor map; the
+      checkpoint == the persisted cursor JSON (dlt_sensor.py:43-46).
+    - the watermark genuinely bounds state: the within-watermark variant
+      evicts a key once the watermark passes its event time (plain
+      ``dropDuplicates`` keeps every key forever when the event-time column
+      is not part of the subset). Re-polls arriving later than 1h are
+      assumed impossible upstream (the sensor polls at >=60 s,
+      dlt_sensor.py:8) — that assumption is exactly what makes
+      within-watermark dedup equivalent to the reference cursor.
     - idempotent restart: rerunning over the same files + checkpoint emits
       nothing new (at-most-once emission, ST4).
     """
@@ -93,7 +98,7 @@ def first_completed_stream(
     completed = (
         updates.filter(F.col("state") == TERMINAL_STATE)
         .withWatermark("ts", WATERMARK)
-        .dropDuplicates(["entity_id", "update_id"])
+        .dropDuplicatesWithinWatermark(["entity_id", "update_id"])
         .select("entity_type", "entity_id", "update_id", "ts")
     )
     return (
@@ -247,15 +252,20 @@ def transition_log_stream(
     completed = (
         updates.filter(F.col("state") == TERMINAL_STATE)
         .withWatermark("ts", WATERMARK)
-        .dropDuplicates(["entity_id", "update_id"])
+        .dropDuplicatesWithinWatermark(["entity_id", "update_id"])
     )
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        # idempotent on replay: dynamic partition overwrite keyed by
+        # batch_id — if the batch re-runs after a crash between sink write
+        # and checkpoint commit, it replaces its own partition instead of
+        # appending duplicates
         (
             df.withColumn("batch_id", F.lit(batch_id))
             .withColumn("event_date", F.to_date("ts"))
-            .write.mode("append")
-            .partitionBy("event_date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "event_date")
             .parquet(out_path)
         )
 
