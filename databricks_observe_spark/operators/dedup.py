@@ -357,6 +357,93 @@ FROM labels GROUP BY cluster_id
 """
 
 
+def curated_corpus(t: dict[str, DataFrame]) -> DataFrame:
+    """The end product of the dedup stage: one surviving document per
+    exact-duplicate group AND per near-duplicate cluster.
+
+    Survivor = the cluster's canonical (minimum) doc_id; non-canonical
+    cluster members are dropped via a broadcast left-anti join. This is the
+    frame a training pipeline feeds downstream — dedup as a data
+    transformation, not just a report.
+    """
+    docs = t["documents"]
+    exact_canon = exact_dedup(t).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    clusters = near_dup_clusters(t)
+    dropped = (
+        clusters.select(
+            F.explode(F.split("members", ",")).alias("member"), "cluster_id"
+        )
+        .select(F.col("member").cast("bigint").alias("doc_id"), "cluster_id")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(exact_canon, on="doc_id", how="left_semi")
+        .join(F.broadcast(dropped), on="doc_id", how="left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+CURATED_CORPUS_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_a AS doc_id, doc_b AS other FROM edges
+  UNION
+  SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a
+),
+labels AS (
+  SELECT doc_id, LEAST(doc_id, MIN(other)) AS cluster_id FROM reach GROUP BY doc_id
+),
+exact_canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+dropped AS (
+  SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM exact_canon)
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def deterministic_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Hash-based stratified sampling: ~20% of documents per language,
+    selected by a content-stable digest (not RNG) — reproducible across
+    runs, engines and partitionings, the property `df.sample()` lacks.
+    """
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    return (
+        t["documents"]
+        .withColumn("h", bucket.cast("bigint") % 100)
+        .filter(F.col("h") < 20)
+        .select("doc_id", "lang", "source", "h")
+    )
+
+
+DETERMINISTIC_SAMPLE_SQL = """
+SELECT doc_id, lang, source, h FROM (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 100 AS h
+  FROM documents
+) WHERE h < 20
+"""
+
+
 def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.3).
 

@@ -99,6 +99,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
+    "curated_corpus": (dedup.curated_corpus, dedup.CURATED_CORPUS_SQL),
+    "deterministic_sample": (dedup.deterministic_sample, dedup.DETERMINISTIC_SAMPLE_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_fingerprints": (
         dedup.simhash_fingerprints,

@@ -92,3 +92,25 @@ def test_near_dup_clusters_partition_pairs(tables):
         ms = [int(m) for m in r.members.split(",")]
         assert r.cluster_id == min(ms)
         assert r.cluster_size == len(ms) >= 2
+
+
+def test_curated_corpus_drops_cluster_tails(tables):
+    docs_n = tables["documents"].count()
+    clusters = D.near_dup_clusters(tables).collect()
+    dropped = sum(r.cluster_size - 1 for r in clusters)
+    curated = D.curated_corpus(tables)
+    assert curated.count() == docs_n - dropped
+    # every cluster canonical survives, every non-canonical is gone
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    for r in clusters:
+        members = [int(m) for m in r.members.split(",")]
+        assert r.cluster_id in kept
+        assert all(m not in kept for m in members if m != r.cluster_id)
+
+
+def test_deterministic_sample_is_stable(tables):
+    a = {r.doc_id for r in D.deterministic_sample(tables).collect()}
+    b = {r.doc_id for r in D.deterministic_sample(tables).collect()}
+    assert a == b
+    n = tables["documents"].count()
+    assert 0.1 * n < len(a) < 0.35 * n  # ~20% with hash variance

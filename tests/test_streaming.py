@@ -138,3 +138,62 @@ def test_watermark_drops_late_completion(spark, tmp_path):
     q2 = ST.transition_log_stream(spark, str(src), str(tmp_path / "ck"), out, glob="*.parquet")
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 2  # late event evicted, log unchanged
+
+
+def test_within_watermark_dedup_bounds_state(spark, tmp_path):
+    """Documents the bounded-state trade: a re-poll of an already-emitted
+    key arriving AFTER the watermark passed it is re-emitted, because its
+    dedup state was evicted — the price of O(active-updates) state. The
+    sensor-parity assumption (re-polls within 1h) keeps the two semantics
+    identical in practice."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # same user (2 -> entity pl-002, even) and same event_id%211 -> same key
+    pd.DataFrame(
+        {
+            "event_id": [211],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"]).astype("int64"),
+            "user_id": [2],
+            "event_type": ["purchase"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(src / "b1.parquet")
+    out = str(tmp_path / "log")
+    q1 = ST.transition_log_stream(spark, str(src), str(tmp_path / "ck"), out, glob="*.parquet")
+    q1.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
+
+    # filler batch advances the watermark past the first key's expiry
+    # (the watermark moves between micro-batches, not within one)
+    pd.DataFrame(
+        {
+            "event_id": [500],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"]).astype("int64"),
+            "user_id": [4],
+            "event_type": ["purchase"],
+            "value": [2.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(src / "b2.parquet")
+    q2 = ST.transition_log_stream(spark, str(src), str(tmp_path / "ck"), out, glob="*.parquet")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # re-poll of the SAME (entity, update) key: its state was evicted when
+    # the watermark passed (first_ts + 1h) -> re-emitted
+    pd.DataFrame(
+        {
+            "event_id": [422],  # 422 % 211 == 0 -> same update_id u0
+            "ts": pd.to_datetime(["2024-01-01 10:01:00"]).astype("int64"),
+            "user_id": [2],
+            "event_type": ["purchase"],
+            "value": [3.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(src / "b3.parquet")
+    q3 = ST.transition_log_stream(spark, str(src), str(tmp_path / "ck"), out, glob="*.parquet")
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
