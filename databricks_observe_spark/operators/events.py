@@ -193,6 +193,51 @@ GROUP BY CUBE (event_type, strftime(ts, '%a'))
 """
 
 
+def user_value_zscores(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user standardized event values via analytic window aggregates.
+
+    Moments come from exact decimal sums (sum, sum-of-squares) so the
+    variance is computed from order-independent quantities — `stddev_samp`
+    over doubles would drift with aggregation order. Flags |z| > 3
+    outliers, the classic observability signal over a metric stream.
+    """
+    w = Window.partitionBy("user_id")
+    vdec = F.col("value").cast("decimal(18,2)")
+    s1 = F.sum(vdec).over(w).cast("double")
+    s2 = F.sum((vdec * vdec).cast("decimal(38,4)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(mean, 6).alias("user_mean"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 3).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+USER_VALUE_ZSCORES_SQL = """
+SELECT event_id, user_id, value,
+       round(s1 / n, 6) AS user_mean,
+       round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore,
+       CAST(abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3 AS INT) AS is_outlier
+FROM (
+  SELECT event_id, user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2,
+         COUNT(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+"""
+
+
 def high_value_events(t: dict[str, DataFrame]) -> DataFrame:
     """Filter + JSON projection: events whose props.k exceeds 90 —
     P1-shaped predicate over schema-on-read JSON."""

@@ -94,6 +94,7 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "sliding_daily": (events.sliding_daily, events.SLIDING_DAILY_SQL),
     "user_sessions": (events.user_sessions, events.USER_SESSIONS_SQL),
     "events_cube": (events.events_cube, events.EVENTS_CUBE_SQL),
+    "user_value_zscores": (events.user_value_zscores, events.USER_VALUE_ZSCORES_SQL),
     "high_value_events": (events.high_value_events, events.HIGH_VALUE_EVENTS_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
