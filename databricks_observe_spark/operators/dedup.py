@@ -472,13 +472,17 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
 
     e = _doubled(t).drop("label")
     spark = e.sparkSession
-    side = e.select("vec_id", "v").toPandas()
-    import numpy as np
+    if "_emb_matrix_bc" not in t:
+        import numpy as np
 
-    ids_all = side["vec_id"].to_numpy()
-    mat_all = np.array(side["v"].tolist(), dtype=np.float64)
-    nrm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, mat_all, nrm_all))
+        side = e.select("vec_id", "v").toPandas()
+        ids_all = side["vec_id"].to_numpy()
+        mat_all = np.array(side["v"].tolist(), dtype=np.float64)
+        nrm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
+        t["_emb_matrix_bc"] = spark.sparkContext.broadcast(
+            (ids_all, mat_all, nrm_all)
+        )
+    bc = t["_emb_matrix_bc"]
     thr = COSINE_NEAR_DUP - 1e-6
 
     def candidates(batches):

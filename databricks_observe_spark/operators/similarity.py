@@ -148,11 +148,25 @@ def _bucket_sql(vec_col: str, planes=None) -> str:
     return " || ".join(parts)
 
 
+def _bucketed(t: dict[str, DataFrame]) -> DataFrame:
+    """_doubled + materialized bucket ids for every hash table.
+
+    The bucket expressions are 4 unrolled 64-term dots per table; computing
+    them once into plain columns (at scale: partition columns of the
+    written index table) keeps them out of every downstream plan."""
+    if "_emb_buckets" not in t:
+        e = _doubled(t)
+        for i, planes in enumerate(TABLES_PLANES):
+            e = e.withColumn(f"bucket{i}", _bucket_expr("v", planes))
+        t["_emb_buckets"] = e.localCheckpoint()
+    return t["_emb_buckets"]
+
+
 def lsh_bucket_stats(t: dict[str, DataFrame]) -> DataFrame:
-    """Vectors per LSH bucket — the partition-pruning histogram."""
+    """Vectors per LSH bucket (table 0) — the partition-pruning histogram."""
     return (
-        _doubled(t)
-        .withColumn("bucket", _bucket_expr("v"))
+        _bucketed(t)
+        .select(F.col("bucket0").alias("bucket"), "label")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -176,9 +190,7 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     partition-local lookup instead of a full scan; the union of small
     candidate sets replaces the O(n*q) cross product. Compare with
     ann_bruteforce_topk for recall (the quality/efficiency trade)."""
-    e = _doubled(t)
-    for i, planes in enumerate(TABLES_PLANES):
-        e = e.withColumn(f"bucket{i}", _bucket_expr("v", planes))
+    e = _bucketed(t)
     # explode each vector's (table_idx, bucket) memberships so the
     # multi-table OR becomes ONE equi-join on (table_idx, bucket) — a
     # single shuffle-free broadcast probe instead of a join per table
