@@ -267,6 +267,67 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def top_balance_per_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """Correlated scalar subquery — written as the user would write it,
+    decorrelated by Catalyst into an aggregate + join (SURVEY §4
+    "subquery decorrelation ... free when applicable"; plan asserted in
+    tests/test_plans.py)."""
+    spark = t["customer"].sparkSession
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (
+          SELECT MAX(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+TOP_BALANCE_PER_NATION_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal = (
+  SELECT MAX(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
+def dormant_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """NOT EXISTS -> anti-join (the P3 anti-filter family as a first-class
+    relational query): customers with no orders on/after a cutoff date.
+
+    The correlated NOT EXISTS becomes a LeftAnti hash join with the orders
+    side filtered BEFORE the join (predicate pushed below the anti-join),
+    so at scale only the post-cutoff slice of orders shuffles.
+    """
+    spark = t["customer"].sparkSession
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
+        """
+    )
+
+
+DORMANT_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+"""
+
+
 def approx_user_counts(t: dict[str, DataFrame]) -> DataFrame:
     """HLL-sketch cardinality vs exact per event type (§2.4 extension).
 

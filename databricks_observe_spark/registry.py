@@ -57,6 +57,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     # HLL sketch values are engine-specific -> rows-only check
     "approx_user_counts": (relational.approx_user_counts, None),
+    "top_balance_per_nation": (
+        relational.top_balance_per_nation,
+        relational.TOP_BALANCE_PER_NATION_SQL,
+    ),
+    "dormant_customers": (relational.dormant_customers, relational.DORMANT_CUSTOMERS_SQL),
     # --- catalog introspection & profiling (§2.1-2.4) ---
     "discovered_objects": (catalog_ops.discovered_objects, catalog_ops.DISCOVERED_OBJECTS_SQL),
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),

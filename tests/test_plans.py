@@ -55,3 +55,17 @@ def test_local_supplier_joins_stay_hashed(tables):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_subquery_decorrelates(tables):
+    plan = _plan(R.top_balance_per_nation(tables))
+    # Catalyst rewrote the scalar subquery into an aggregate + join: the
+    # physical plan contains no subquery operator, only the rewrite
+    assert "Subquery" not in plan
+    assert "HashAggregate" in plan and "Join" in plan
+
+
+def test_not_exists_becomes_anti_join(tables):
+    plan = _plan(R.dormant_customers(tables))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
