@@ -65,11 +65,13 @@ def main() -> None:
     # tables, so per-query timings measure query execution, not index
     # construction
     from databricks_observe_spark.functions.textfns import doc_tokens
+    from databricks_observe_spark.operators.dedup import _shingled
     from databricks_observe_spark.operators.similarity import _bucketed
     from databricks_observe_spark.registry import _ctx
 
     ctx = _ctx(spark, SF_DIR)
     doc_tokens(ctx)
+    _shingled(ctx)
     _bucketed(ctx)
 
     timings: dict[str, float] = {}

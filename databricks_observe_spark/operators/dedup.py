@@ -73,9 +73,20 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingled(t: dict[str, DataFrame]) -> DataFrame:
-    return doc_tokens(t).select(
-        "doc_id", F.explode(shingle_expr(3)).alias("shingle")
-    )
+    """Exploded (doc_id, shingle) frame, memoized + materialized once.
+
+    Four operators consume it (ngram pairs, minhash signatures, near-dup
+    clusters, curated corpus); without the memo each would re-run the
+    tokenize + shingle explode. At 100 TB this is the intermediate you
+    write to storage once per corpus snapshot.
+    """
+    if "_doc_shingles" not in t:
+        t["_doc_shingles"] = (
+            doc_tokens(t)
+            .select("doc_id", F.explode(shingle_expr(3)).alias("shingle"))
+            .localCheckpoint()
+        )
+    return t["_doc_shingles"]
 
 
 _SHINGLED_SQL = shingled_sql(3)
@@ -86,8 +97,12 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
 
     inverted-index self-join -> per-pair intersection counts -> sizes join.
     Jaccard is a ratio of exact integers: bit-identical across engines.
+    Memoized + materialized: the pair table is a stage output consumed by
+    clustering and curation, not recomputed per consumer.
     """
-    sh = _shingled(t).localCheckpoint()
+    if "_jaccard_pairs" in t:
+        return t["_jaccard_pairs"]
+    sh = _shingled(t)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # posting-list prefilter: shingles appearing in exactly one document
     # cannot produce a pair — dropping them shrinks the self-join input by
@@ -109,7 +124,7 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
+    t["_jaccard_pairs"] = (
         inter.join(F.broadcast(sa), on="doc_a")
         .join(F.broadcast(sb), on="doc_b")
         .withColumn(
@@ -118,7 +133,9 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+        .localCheckpoint()
     )
+    return t["_jaccard_pairs"]
 
 
 NGRAM_JACCARD_PAIRS_SQL = f"""
@@ -139,40 +156,62 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 
 
 def minhash_signatures(t: dict[str, DataFrame]) -> DataFrame:
-    """16-component MinHash signature per document, one aggregation pass."""
-    return _shingled(t).groupBy("doc_id").agg(
-        *[minhash_expr(i) for i in range(N_MINHASH)]
-    )
+    """16-component MinHash signature per document, one aggregation pass.
+
+    Materialized (``localCheckpoint``) and memoized in the context: the LSH
+    plan below references the signature frame from ~10 branches (band join
+    sides + final estimate joins), and without a plan cut Catalyst would
+    re-run the explode + 16-way md5 aggregation once per branch. At scale
+    this is the "write the signature table once, then join against it"
+    pattern.
+    """
+    if "_minhash_sig" not in t:
+        t["_minhash_sig"] = (
+            _shingled(t)
+            .groupBy("doc_id")
+            .agg(*[minhash_expr(i) for i in range(N_MINHASH)])
+            .localCheckpoint()
+        )
+    return t["_minhash_sig"]
 
 
 def minhash_lsh_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Banded-LSH candidate pairs with estimated Jaccard.
 
-    Signatures -> band signatures (concat of 4 components) -> self-join per
-    band -> distinct candidates -> estimate = matching components / 16.
-    At scale only the band join shuffles, keyed by (band, signature).
+    Signatures -> (band_idx, band signature) rows via explode -> ONE
+    self-join keyed on (band_idx, bsig) -> distinct candidates -> estimate
+    = matching components / 16. A single shuffle replaces the naive
+    one-join-per-band union; work stays proportional to colliding
+    candidates, not n^2.
     """
     sig = minhash_signatures(t)
     bands = sig.select(
         "doc_id",
-        *[
-            F.concat(
-                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"mh{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("bsig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.bsig")
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bsig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bsig")
+    candidates = (
+        left.join(right, on=["band", "bsig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    pairs = None
-    for b in range(N_BANDS):
-        left = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bsig"))
-        right = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bsig"))
-        cand = (
-            left.join(right, on="bsig")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        pairs = cand if pairs is None else pairs.union(cand)
-    candidates = pairs.distinct()
     siga = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)]
     )
@@ -270,17 +309,11 @@ SIMHASH_FINGERPRINTS_SQL = (
 EMB_DIM = 64
 
 
-def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
-    """Connected components over the near-duplicate pair graph: each doc
-    mapped to its cluster's minimum doc_id (the canonical survivor).
-
-    Reuses the lineage fixpoint machinery (operators/lineage.py) on the
-    symmetrized pair edges — min-label propagation to convergence. This is
-    the step that turns pairwise dedup output into keep/drop decisions in
-    a real pipeline. Components here are tiny; at 100 TB the same loop
-    runs with the label frame checkpointed per round (large-scale
-    connected components a la Hash-to-Min).
-    """
+def _cluster_labels(t: dict[str, DataFrame]) -> DataFrame:
+    """doc_id -> cluster_id (minimum reachable doc_id) via min-label
+    propagation to fixpoint over the symmetrized pair edges; memoized."""
+    if "_ndc_labels" in t:
+        return t["_ndc_labels"]
     pairs = ngram_jaccard_pairs(t).select("doc_a", "doc_b")
     fwd = pairs
     rev = pairs.select(
@@ -318,7 +351,22 @@ def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
         labels = new_labels
         if changed:
             break
-    return labels.groupBy("cluster_id").agg(
+    t["_ndc_labels"] = labels
+    return labels
+
+
+def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: each doc
+    mapped to its cluster's minimum doc_id (the canonical survivor).
+
+    Reuses the lineage fixpoint machinery (operators/lineage.py) on the
+    symmetrized pair edges — min-label propagation to convergence. This is
+    the step that turns pairwise dedup output into keep/drop decisions in
+    a real pipeline. Components here are tiny; at 100 TB the same loop
+    runs with the label frame checkpointed per round (large-scale
+    connected components a la Hash-to-Min).
+    """
+    return _cluster_labels(t).groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.array_join(
             F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
@@ -370,12 +418,8 @@ def curated_corpus(t: dict[str, DataFrame]) -> DataFrame:
     exact_canon = exact_dedup(t).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
-    clusters = near_dup_clusters(t)
     dropped = (
-        clusters.select(
-            F.explode(F.split("members", ",")).alias("member"), "cluster_id"
-        )
-        .select(F.col("member").cast("bigint").alias("doc_id"), "cluster_id")
+        _cluster_labels(t)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
