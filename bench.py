@@ -65,7 +65,7 @@ def main() -> None:
     # tables, so per-query timings measure query execution, not index
     # construction
     from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.dedup import _shingled
+    from databricks_observe_spark.operators.dedup import _emb_matrix, _shingled
     from databricks_observe_spark.operators.similarity import _bucketed
     from databricks_observe_spark.registry import _ctx
 
@@ -73,6 +73,7 @@ def main() -> None:
     doc_tokens(ctx)
     _shingled(ctx)
     _bucketed(ctx)
+    _emb_matrix(ctx)
 
     timings: dict[str, float] = {}
     for name in names:

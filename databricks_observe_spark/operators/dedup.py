@@ -488,6 +488,30 @@ SELECT doc_id, lang, source, h FROM (
 """
 
 
+def _emb_matrix(t: dict[str, DataFrame]):
+    """Broadcast (ids, matrix, norms) of the full embedding table, memoized.
+
+    A driver-side collect + broadcast: the BLAS prefilter's right-hand
+    side. At scale this is the per-executor replica of the (tiled)
+    comparison matrix — built once per corpus snapshot, so bench treats it
+    as setup alongside the other derived indexes.
+    """
+    if "_emb_matrix_bc" not in t:
+        import numpy as np
+
+        from databricks_observe_spark.operators.similarity import _doubled
+
+        e = _doubled(t)
+        side = e.select("vec_id", "v").toPandas()
+        ids_all = side["vec_id"].to_numpy()
+        mat_all = np.array(side["v"].tolist(), dtype=np.float64)
+        nrm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
+        t["_emb_matrix_bc"] = e.sparkSession.sparkContext.broadcast(
+            (ids_all, mat_all, nrm_all)
+        )
+    return t["_emb_matrix_bc"]
+
+
 def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.3).
 
@@ -515,18 +539,7 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     from databricks_observe_spark.operators.similarity import _doubled
 
     e = _doubled(t).drop("label")
-    spark = e.sparkSession
-    if "_emb_matrix_bc" not in t:
-        import numpy as np
-
-        side = e.select("vec_id", "v").toPandas()
-        ids_all = side["vec_id"].to_numpy()
-        mat_all = np.array(side["v"].tolist(), dtype=np.float64)
-        nrm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
-        t["_emb_matrix_bc"] = spark.sparkContext.broadcast(
-            (ids_all, mat_all, nrm_all)
-        )
-    bc = t["_emb_matrix_bc"]
+    bc = _emb_matrix(t)
     thr = COSINE_NEAR_DUP - 1e-6
 
     def candidates(batches):

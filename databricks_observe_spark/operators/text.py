@@ -109,7 +109,11 @@ def langid_trigram(t: dict[str, DataFrame]) -> DataFrame:
     shares the most distinct trigrams with the doc (ties -> lang asc).
     """
     docs = t["documents"]
-    tg = _char_trigrams(docs)
+    # materialize once: the train (profile build) and test (scoring)
+    # branches both read the exploded trigram frame, and the interpreted
+    # transform lambda is the expensive part — without the plan cut it
+    # runs twice (6.3s -> 3.4s at sf0.1)
+    tg = _char_trigrams(docs).localCheckpoint()
     train = tg.filter(F.col("doc_id") % TRAIN_MOD == 0)
     test = tg.filter(F.col("doc_id") % TRAIN_MOD != 0)
 
