@@ -351,3 +351,111 @@ def approx_user_counts(t: dict[str, DataFrame]) -> DataFrame:
             ),
         )
     )
+
+
+def returned_item_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q10-shaped: returned-item revenue ranking (top-20 customers).
+
+    Reference parity: composite of P1 equality filters (reference:
+    assets/customer_assets.py:12), the J1 left-enrichment join chain
+    (assets/dlt_assets.py:92-110) and A6 top-k — at analytical complexity.
+
+    Scale notes: lineitem |x| orders is the one fact-fact shuffle join
+    (both sides pre-filtered, so AQE sizes the shuffle from the filtered
+    stats); customer -> nation enrichment broadcasts the dim. The final
+    top-20 is a TakeOrderedAndProject (no global sort materialization).
+    """
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REVENUE_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def nation_market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of supplier revenue per year.
+
+    Conditional aggregation (SUM of CASE) over the lineitem->supplier->
+    nation enrichment chain, grouped by order year. The share divides two
+    exact decimal sums only after casting to DOUBLE, so the quotient is
+    bit-identical across engines and aggregation orders (SURVEY.md §7
+    hard part 4 discipline).
+
+    Scale notes: supplier/nation broadcast; the only shuffle is
+    lineitem |x| orders plus the final tiny per-year aggregate, whose
+    partials combine map-side.
+    """
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "BRAZIL", rev).otherwise(zero))
+            .cast("double")
+            .alias("brazil_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn("mkt_share", F.col("brazil_revenue") / F.col("total_revenue"))
+    )
+
+
+NATION_MARKET_SHARE_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CASE WHEN n_name = 'BRAZIL'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(38,4))
+            ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS brazil_revenue,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(38,4))) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CASE WHEN n_name = 'BRAZIL'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(38,4))
+            ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+    / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(38,4))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""

@@ -62,6 +62,14 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         relational.TOP_BALANCE_PER_NATION_SQL,
     ),
     "dormant_customers": (relational.dormant_customers, relational.DORMANT_CUSTOMERS_SQL),
+    "returned_item_revenue": (
+        relational.returned_item_revenue,
+        relational.RETURNED_ITEM_REVENUE_SQL,
+    ),
+    "nation_market_share": (
+        relational.nation_market_share,
+        relational.NATION_MARKET_SHARE_SQL,
+    ),
     # --- catalog introspection & profiling (§2.1-2.4) ---
     "discovered_objects": (catalog_ops.discovered_objects, catalog_ops.DISCOVERED_OBJECTS_SQL),
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),

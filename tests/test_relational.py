@@ -40,3 +40,21 @@ def test_rollup_has_grand_total(tables):
     grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
     assert len(grand) == 1
     assert grand[0].n_orders == tables["orders"].count()
+
+
+def test_returned_item_revenue_topk(tables):
+    rows = R.returned_item_revenue(tables).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_nation_market_share_bounds(tables):
+    rows = R.nation_market_share(tables).collect()
+    assert len(rows) >= 3  # orders span multiple years
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert abs(r.mkt_share * r.total_revenue - r.brazil_revenue) < 1e-6 * max(
+            1.0, r.total_revenue
+        )
