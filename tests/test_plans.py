@@ -69,3 +69,27 @@ def test_not_exists_becomes_anti_join(tables):
     plan = _plan(R.dormant_customers(tables))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_returned_item_revenue_plan(tables):
+    from databricks_observe_spark.operators import relational as R
+
+    plan = _plan(R.returned_item_revenue(tables))
+    # returnflag + date predicates reach the parquet scans
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "IsNotNull(o_orderdate)" in plan
+    # nation enrichment is broadcast; top-20 never materializes a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nation_market_share_plan(tables):
+    from databricks_observe_spark.operators import relational as R
+
+    plan = _plan(R.nation_market_share(tables))
+    # supplier and nation dims broadcast; per-year agg combines map-side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
