@@ -459,3 +459,31 @@ JOIN supplier ON l_suppkey  = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 GROUP BY 1
 """
+
+
+def urgent_order_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """EXISTS-style semi join: customers holding at least one urgent order.
+
+    Complements the anti-join forms (P2/P3 denylists, dormant_customers
+    NOT EXISTS): a LeftSemi hash join that probes without duplicating or
+    widening rows — at scale, the semi join ships only the 8-byte key set
+    of the filtered orders side, never the customer payload.
+    """
+    urgent = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+URGENT_ORDER_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""

@@ -70,6 +70,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         relational.nation_market_share,
         relational.NATION_MARKET_SHARE_SQL,
     ),
+    "urgent_order_customers": (
+        relational.urgent_order_customers,
+        relational.URGENT_ORDER_CUSTOMERS_SQL,
+    ),
     # --- catalog introspection & profiling (§2.1-2.4) ---
     "discovered_objects": (catalog_ops.discovered_objects, catalog_ops.DISCOVERED_OBJECTS_SQL),
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),

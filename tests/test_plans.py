@@ -93,3 +93,11 @@ def test_nation_market_share_plan(tables):
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_urgent_order_customers_semi_join(tables):
+    from databricks_observe_spark.operators import relational as R
+
+    plan = _plan(R.urgent_order_customers(tables))
+    assert "LeftSemi" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushed to orders scan

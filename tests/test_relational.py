@@ -58,3 +58,19 @@ def test_nation_market_share_bounds(tables):
         assert abs(r.mkt_share * r.total_revenue - r.brazil_revenue) < 1e-6 * max(
             1.0, r.total_revenue
         )
+
+
+def test_urgent_order_customers_no_duplication(tables):
+    df = R.urgent_order_customers(tables)
+    rows = df.collect()
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys))  # semi join never duplicates
+    urgent_custs = {
+        r.o_custkey
+        for r in tables["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert set(keys) == urgent_custs & set(keys) and len(keys) == len(urgent_custs)
