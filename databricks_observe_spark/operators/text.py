@@ -77,9 +77,9 @@ def lang_profile(t: dict[str, DataFrame]) -> DataFrame:
 
 
 LANG_PROFILE_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
 """

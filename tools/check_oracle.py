@@ -13,10 +13,57 @@ from __future__ import annotations
 
 import argparse
 import math
+import re
 import sys
 import time
 
 import duckdb
+import pyarrow as pa
+
+
+def _norm_spark_dtype(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to a representation class."""
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("array"):
+        return "list"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return {"string": "str", "boolean": "bool", "binary": "bin", "date": "date"}.get(
+        dt, dt
+    )
+
+
+def _norm_arrow_type(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the same representation classes.
+
+    DuckDB's HUGEINT (the result type of SUM over integers) surfaces as
+    decimal128(38,0) in Arrow, which is what the driver's value-hash
+    distinguishes from Spark's int64 — fetchall() would hide it.
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)
 
 
 def canon_cell(v):
@@ -91,17 +138,28 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = res.arrow()
+            ocols = tbl.column_names
+            orows = [
+                tuple(row) for row in zip(*[c.to_pylist() for c in tbl.columns])
+            ] if tbl.num_columns else []
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures.append(name)
             continue
         sc, sr = canon_rows(scols, srows)
         oc, orr = canon_rows(ocols, orows)
+        styp = {c: _norm_spark_dtype(re.sub(r"\s", "", d)) for c, d in sdf.dtypes}
+        otyp = {
+            c: _norm_arrow_type(tbl.schema.field(i).type) for i, c in enumerate(ocols)
+        }
         status = []
         if sc != oc:
             status.append(f"schema spark={sc} duck={oc}")
+        else:
+            mism = {c: (styp[c], otyp[c]) for c in sc if styp.get(c) != otyp.get(c)}
+            if mism:
+                status.append(f"typerep spark-vs-duck {mism}")
         if len(sr) != len(orr):
             status.append(f"rowcount spark={len(sr)} duck={len(orr)}")
         if not status and sr != orr:
