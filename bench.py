@@ -61,11 +61,14 @@ def main() -> None:
     # warmup: JVM + parquet footer reads
     qs[names[0]](spark, SF_DIR).count()
     # build the shared derived indexes up front (tokenized corpus,
-    # vector norms/buckets, broadcast matrix): at scale these are written
-    # tables, so per-query timings measure query execution, not index
-    # construction
+    # vector norms/buckets): at scale these are written tables, so
+    # per-query timings measure query execution, not index construction.
+    # NOTE: later per-query numbers also benefit from intermediates
+    # memoized by earlier queries in the same ctx (e.g. near_dup_clusters
+    # reuses the pair table ngram_jaccard_pairs materialized); the total
+    # wall value is the honest cross-query figure.
     from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.dedup import _emb_matrix, _shingled
+    from databricks_observe_spark.operators.dedup import _shingled
     from databricks_observe_spark.operators.similarity import _bucketed
     from databricks_observe_spark.registry import _ctx
 
@@ -73,7 +76,6 @@ def main() -> None:
     doc_tokens(ctx)
     _shingled(ctx)
     _bucketed(ctx)
-    _emb_matrix(ctx)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -37,9 +37,7 @@ from databricks_observe_spark.functions.textfns import (
 )
 from databricks_observe_spark.functions.vectors import (
     dot_sql_unrolled,
-    dot_unrolled,
     norm_sql_unrolled,
-    norm_unrolled,
 )
 
 N_MINHASH = 16
@@ -488,87 +486,124 @@ SELECT doc_id, lang, source, h FROM (
 """
 
 
-def _emb_matrix(t: dict[str, DataFrame]):
-    """Broadcast (ids, matrix, norms) of the full embedding table, memoized.
-
-    A driver-side collect + broadcast: the BLAS prefilter's right-hand
-    side. At scale this is the per-executor replica of the (tiled)
-    comparison matrix — built once per corpus snapshot, so bench treats it
-    as setup alongside the other derived indexes.
-    """
-    if "_emb_matrix_bc" not in t:
-        import numpy as np
-
-        from databricks_observe_spark.operators.similarity import _doubled
-
-        e = _doubled(t)
-        side = e.select("vec_id", "v").toPandas()
-        ids_all = side["vec_id"].to_numpy()
-        mat_all = np.array(side["v"].tolist(), dtype=np.float64)
-        nrm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
-        t["_emb_matrix_bc"] = e.sparkSession.sparkContext.broadcast(
-            (ids_all, mat_all, nrm_all)
-        )
-    return t["_emb_matrix_bc"]
+N_EMB_BLOCKS = 8  # block-tiled self-join granularity: B(B+1)/2 tasks
 
 
 def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.3).
 
-    Brute-force block self-join — correct at any SF but O(n^2): the LSH
-    variant in operators/similarity.py is the 100 TB path; this is the
-    oracle-checkable exact baseline.
+    Exact all-pairs threshold join via a **distributed block-tiled
+    self-join**: each vector is hashed into one of B blocks, the B(B+1)/2
+    unordered block pairs become cogroup keys, and each task scores one
+    block pair. Nothing is collected to the driver and nothing
+    corpus-sized is broadcast — communication is the O(n*B) triangle-join
+    replication (pick B ~ sqrt(cluster parallelism); per-task memory is
+    2*(n/B)*dim doubles, so B also caps the working set). The LSH variant
+    in operators/similarity.py is the sub-quadratic path when approximate
+    recall is acceptable; this is the oracle-checkable exact baseline.
 
-    Two-phase hot path:
+    Two-phase scoring inside each task (Arrow-batched cogroup
+    ``applyInPandas``; dense-vector math is the one place JVM codegen
+    loses — a 64-term dot is a >8 KB method HotSpot never JITs):
 
-    1. **Arrow/numpy prefilter** (``mapInPandas`` + BLAS matmul against a
-       broadcast matrix): finds candidate pairs with similarity above
-       (threshold - 1e-6). Dense-vector math is the one place JVM
-       expression codegen loses: a 64-term dot generates a >8 KB method
-       that HotSpot refuses to JIT (runs interpreted, ~20us/pair), while a
-       numpy matmul does the same work at memory bandwidth.
-    2. **Exact verification**: the few surviving pairs are re-scored with
-       the deterministic unrolled expression (fixed summation order) that
-       the DuckDB oracle mirrors term for term — so results are
-       bit-identical despite the BLAS prefilter's engine-specific rounding.
-
-    Scale note: the broadcast matrix caps at ~1M x 64 (500 MB); beyond
-    that, tile the right-hand side (block-nested join over matrix chunks)
-    or switch to the LSH path in operators/similarity.py.
+    1. **BLAS prefilter**: one matmul per block pair finds candidates
+       above (threshold - 1e-6).
+    2. **Exact rescore**: survivors are re-scored with a fixed
+       left-to-right accumulation over dimensions — the same IEEE-754
+       operation order as the DuckDB oracle's unrolled SQL dot, so the
+       emitted cosines are bit-identical despite the prefilter's
+       engine-specific rounding. Norms come precomputed from the JVM
+       ``norm_unrolled`` column (same summation order).
     """
     from databricks_observe_spark.operators.similarity import _doubled
 
     e = _doubled(t).drop("label")
-    bc = _emb_matrix(t)
-    thr = COSINE_NEAR_DUP - 1e-6
+    nb = N_EMB_BLOCKS
+    spark = e.sparkSession
+    e_blk = e.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nb)).cast("int")
+    )
+    # all unordered block pairs (bi <= bj), generated JVM-side
+    pairs = (
+        spark.range(nb * nb)
+        .select(
+            (F.col("id") / nb).cast("int").alias("bi"),
+            F.pmod(F.col("id"), F.lit(nb)).cast("int").alias("bj"),
+        )
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    left = e_blk.join(F.broadcast(pairs), on=F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "vec_id", "v", "nrm"
+    )
+    # fresh attribute ids on the right side (self-join disambiguation)
+    e_blk_r = e_blk.select(
+        F.col("vec_id").alias("vid_r"),
+        F.col("v").alias("v_r"),
+        F.col("nrm").alias("nrm_r"),
+        F.col("blk").alias("blk_r"),
+    )
+    pairs_r = pairs.select(F.col("bi").alias("bi_r"), F.col("bj").alias("bj_r"))
+    right = (
+        e_blk_r.join(F.broadcast(pairs_r), on=F.col("blk_r") == F.col("bj_r"))
+        .select(
+            F.col("bi_r").alias("bi"),
+            F.col("bj_r").alias("bj"),
+            F.col("vid_r").alias("vec_id"),
+            F.col("v_r").alias("v"),
+            F.col("nrm_r").alias("nrm"),
+        )
+    )
+    thr_pre = COSINE_NEAR_DUP - 1e-6
 
-    def candidates(batches):
+    def score(key, lpdf, rpdf):
         import numpy as _np
         import pandas as _pd
 
-        b_ids, b_mat, b_nrm = bc.value
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy()
-            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
-            nrm = _np.sqrt((mat * mat).sum(axis=1))
-            sims = (mat @ b_mat.T) / _np.outer(nrm, b_nrm)
-            ai, bj = _np.nonzero(sims >= thr)
-            a, b = ids[ai], b_ids[bj]
-            keep = a < b
-            yield _pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+        empty = _pd.DataFrame({"vec_a": _np.array([], dtype=_np.int64),
+                               "vec_b": _np.array([], dtype=_np.int64),
+                               "cosine": _np.array([], dtype=_np.float64)})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        lids = lpdf["vec_id"].to_numpy()
+        rids = rpdf["vec_id"].to_numpy()
+        lmat = _np.array(lpdf["v"].tolist(), dtype=_np.float64)
+        rmat = _np.array(rpdf["v"].tolist(), dtype=_np.float64)
+        lnrm = lpdf["nrm"].to_numpy()
+        rnrm = rpdf["nrm"].to_numpy()
+        sims = (lmat @ rmat.T) / _np.outer(lnrm, rnrm)
+        ai, bj = _np.nonzero(sims >= thr_pre)
+        if key[0] == key[1]:
+            # same block on both sides: each unordered pair appears twice,
+            # keep the id-ordered half
+            keep = lids[ai] < rids[bj]
+            ai, bj = ai[keep], bj[keep]
+        if len(ai) == 0:
+            return empty
+        # exact rescore: left-to-right accumulation, the oracle's op order
+        # (the per-dim products are order-symmetric, so emitting the pair
+        # id-ordered below does not change the value)
+        av, bv = lmat[ai], rmat[bj]
+        acc = av[:, 0] * bv[:, 0]
+        for d in range(1, av.shape[1]):
+            acc = acc + av[:, d] * bv[:, d]
+        cos = acc / (lnrm[ai] * rnrm[bj])
+        ok = cos >= COSINE_NEAR_DUP
+        la, rb = lids[ai][ok], rids[bj][ok]
+        return _pd.DataFrame(
+            {
+                "vec_a": _np.minimum(la, rb),
+                "vec_b": _np.maximum(la, rb),
+                "cosine": cos[ok],
+            }
+        )
 
-    cands = e.select("vec_id", "v").mapInPandas(
-        candidates, "vec_a bigint, vec_b bigint"
+    scored = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, "vec_a bigint, vec_b bigint, cosine double")
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = dot_unrolled("va", "vb", EMB_DIM) / (F.col("na") * F.col("nb"))
-    return (
-        cands.join(F.broadcast(ea), on="vec_a")
-        .join(F.broadcast(eb), on="vec_b")
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= COSINE_NEAR_DUP)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+    return scored.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r")
     )
 
 

@@ -55,7 +55,7 @@ def _doubled(t: dict[str, DataFrame]) -> DataFrame:
             t["embeddings"]
             .select(
                 "vec_id",
-                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+                F.col("embedding").cast("array<double>").alias("v"),
                 "label",
             )
             .select("vec_id", "v", norm_unrolled("v", DIM).alias("nrm"), "label")
