@@ -70,12 +70,21 @@ def main() -> None:
     from databricks_observe_spark.functions.textfns import doc_tokens
     from databricks_observe_spark.operators.dedup import _shingled
     from databricks_observe_spark.operators.similarity import _bucketed
+    from databricks_observe_spark.operators.text import _char_trigrams
     from databricks_observe_spark.registry import _ctx
 
     ctx = _ctx(spark, SF_DIR)
     doc_tokens(ctx)
     _shingled(ctx)
     _bucketed(ctx)
+    _char_trigrams(ctx)
+    # warm the Arrow python workers (long-lived on a real cluster) so
+    # mapInPandas/cogroup timings measure execution, not process spawn
+    import pandas as _pd
+
+    ctx["documents"].select("doc_id").limit(32).mapInPandas(
+        lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
