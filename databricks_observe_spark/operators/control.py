@@ -21,6 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 PIPELINE_TERMINAL = {"COMPLETED", "FAILED", "CANCELED"}  # pipeline_discovery.py:74
+# The reference's job life-cycle vocabulary (job_discovery.py:44) —
+# documentation of the source semantics only. The derived ``updates``
+# stream in this repo normalizes BOTH entity types onto the pipeline
+# vocabulary (sources/catalog_model.py maps event_type -> state), so
+# ``wait_for_job`` defaults to PIPELINE_TERMINAL below; a deployment
+# ingesting raw job states would pass ``terminal=JOB_TERMINAL``.
 JOB_TERMINAL = {"TERMINATED", "SKIPPED", "INTERNAL_ERROR"}  # job_discovery.py:44
 # reference cadence constant (pipeline_discovery.py:61 / job_discovery.py:55);
 # the batch replay below consumes recorded update rows directly, so no 5 s
@@ -77,10 +83,13 @@ def wait_for_job(
     updates: DataFrame,
     job_id: str,
     timeout_seconds: int = DEFAULT_TIMEOUT_S,
-    terminal: frozenset[str] | set[str] = frozenset({"COMPLETED", "FAILED", "CANCELED"}),
+    terminal: frozenset[str] | set[str] = frozenset(PIPELINE_TERMINAL),
 ) -> str:
     """Job variant: same walk, but a timeout **returns "TIMEOUT"** instead
-    of raising (job_discovery.py:50-53)."""
+    of raising (job_discovery.py:50-53). Defaults to PIPELINE_TERMINAL
+    because the derived updates stream uses the pipeline state vocabulary
+    for both entity types; pass JOB_TERMINAL when ingesting raw job
+    states."""
     try:
         return wait_for_pipeline(updates, job_id, timeout_seconds, terminal)
     except TimeoutError:

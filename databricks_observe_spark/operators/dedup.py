@@ -120,11 +120,13 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # no broadcast hint on the sizes side: it is one row per document —
+    # corpus-cardinality at scale. AQE broadcasts it when it actually fits.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     t["_jaccard_pairs"] = (
-        inter.join(F.broadcast(sa), on="doc_a")
-        .join(F.broadcast(sb), on="doc_b")
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
@@ -142,6 +144,81 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+MAX_SHINGLE_DF = 50  # stop-shingle document-frequency cap (capped variant)
+
+
+def ngram_jaccard_pairs_capped(
+    t: dict[str, DataFrame], max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Skew-bounded Jaccard pairs: the exact operator plus a stop-shingle
+    document-frequency upper cap.
+
+    Shingles occurring in more than ``max_df`` documents are dropped
+    before the inverted-index self-join, so one hot shingle ("the quick
+    brown") contributes at most max_df*(max_df-1)/2 candidate pairs —
+    the quadratic blow-up of the uncapped join on a natural corpus is
+    bounded by construction. The trade, stated precisely:
+
+    - emitted pairs are a SUBSET of the exact operator's (a pair is
+      missed only when every shared shingle is a stop-shingle);
+    - ``n_common``/``jaccard`` count non-stop shingles only, so scores
+      are lower bounds of the exact Jaccard (sizes stay full-set).
+
+    At 100 TB this is the variant you run; the exact form remains the
+    oracle for corpora where the df histogram is known to be tame.
+    """
+    sh = _shingled(t)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    )
+    sh2 = sh.join(kept.select("shingle"), on="shingle")
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+NGRAM_JACCARD_PAIRS_CAPPED_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+kept AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common,
@@ -324,14 +401,18 @@ def _cluster_labels(t: dict[str, DataFrame]) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(50):
+    max_iters = 50
+    for _ in range(max_iters):
         prop = (
             edges.join(labels, on=edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # no broadcast hint on prop: it is one row per node whose label
+        # changed this round — corpus-sized in early rounds at scale. AQE
+        # picks a broadcast join at runtime when it actually fits.
         new_labels = (
-            labels.join(F.broadcast(prop), on=labels.doc_id == prop.doc_a, how="left")
+            labels.join(prop, on=labels.doc_id == prop.doc_a, how="left")
             .select(
                 "doc_id",
                 F.least(
@@ -340,15 +421,20 @@ def _cluster_labels(t: dict[str, DataFrame]) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if converged:
             break
+    else:
+        raise RuntimeError(
+            f"near-dup label propagation did not converge in {max_iters}"
+            " iterations — component diameter exceeds the cap"
+        )
     t["_ndc_labels"] = labels
     return labels
 
@@ -464,9 +550,11 @@ WHERE d.doc_id IN (SELECT doc_id FROM exact_canon)
 
 
 def deterministic_sample(t: dict[str, DataFrame]) -> DataFrame:
-    """Hash-based stratified sampling: ~20% of documents per language,
-    selected by a content-stable digest (not RNG) — reproducible across
-    runs, engines and partitionings, the property `df.sample()` lacks.
+    """Hash-based sampling: ~20% of the corpus, uniform over documents,
+    selected by a content-stable digest of doc_id (not RNG) — reproducible
+    across runs, engines and partitionings, the property ``df.sample()``
+    lacks. (Per-language stratification would fold ``lang`` into the
+    hashed key; this operator is the uniform content-stable form.)
     """
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
     return (

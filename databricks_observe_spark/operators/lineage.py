@@ -73,6 +73,11 @@ def transitive_closure(edges: DataFrame, max_iters: int = 100) -> DataFrame:
             break
         closure = closure.union(new).localCheckpoint()
         frontier = new
+    else:
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_iters} iterations"
+            " — graph depth exceeds the cap; raise max_iters"
+        )
     return closure
 
 
@@ -188,6 +193,11 @@ def topo_levels(t: dict[str, DataFrame], max_iters: int = 100) -> DataFrame:
             break
         chains = chains.union(new).localCheckpoint()
         frontier = new
+    else:
+        raise RuntimeError(
+            f"topo_levels did not converge in {max_iters} iterations"
+            " — chain length exceeds the cap; raise max_iters"
+        )
     levels = chains.groupBy("catalog", "schema", "table").agg(
         F.max("len").alias("level")
     )

@@ -353,6 +353,27 @@ def approx_user_counts(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def user_count_accuracy(t: dict[str, DataFrame]) -> DataFrame:
+    """Oracle-checked view of the HLL sketch: the sketch VALUE is
+    engine-specific (rows-only check in ``approx_user_counts``), but its
+    error BOUND is deterministic — so emit the exact cardinality plus a
+    flag asserting the sketch landed within 5x its configured rsd (0.02).
+    The oracle claims the flag is always 1; a sketch regression (bad rsd,
+    broken agg) flips it and fails the hash."""
+    base = approx_user_counts(t)
+    return base.select(
+        "event_type",
+        "exact_users",
+        (F.col("rel_error") <= 0.10).cast("int").alias("within_bound"),
+    )
+
+
+USER_COUNT_ACCURACY_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, 1 AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 def returned_item_revenue(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q10-shaped: returned-item revenue ranking (top-20 customers).
 

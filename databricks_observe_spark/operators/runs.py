@@ -223,3 +223,84 @@ LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') 
   ON s.user_id = p.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
 GROUP BY s.event_id, s.user_id, s.ts
 """
+
+
+def sensor_cursor_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
+    """F7: the sensor cursor as data — JSON map serialize/parse round-trip.
+
+    The reference sensor persists its progress as a JSON map
+    ``"pid:uid" -> state`` (``sensors/dlt_sensor.py:12`` ``json.loads``,
+    ``:46`` ``json.dumps``). This operator rebuilds that exact cycle in
+    the engine: aggregate the pre-midpoint half of the updates stream
+    into one cursor row with ``to_json(map_from_entries(sort_array(...)))``,
+    parse it back with ``from_json(..., map<string,string>)`` + explode,
+    and diff the parsed map against the full-stream state to emit the
+    keys that completed after the cursor was cut.
+
+    Cursor value = MIN(state) per key: 'COMPLETED' sorts first in the
+    state vocabulary, so MIN is 'COMPLETED' iff a completed poll was seen
+    — a deterministic, engine-agnostic "has completed" marker. The oracle
+    computes the same diff relationally (no JSON), so the hashes match
+    exactly when — and only when — the round-trip is lossless.
+
+    Scale: the cursor is O(active updates) (the reference's own bound);
+    the one-row collect_list mirrors the sensor's single cursor document.
+    The two groupBys shuffle 16-byte keys, never the event payload.
+    """
+    u = t["updates"].select(
+        F.concat_ws(":", "entity_id", "update_id").alias("k"),
+        "state",
+        F.unix_micros("ts").alias("us"),
+    )
+    mid = u.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid")
+    )
+    pre = (
+        u.join(F.broadcast(mid))
+        .filter(F.col("us") <= F.col("mid"))
+        .groupBy("k")
+        .agg(F.min("state").alias("v"))
+    )
+    cursor_json = pre.agg(
+        F.to_json(
+            F.map_from_entries(F.sort_array(F.collect_list(F.struct("k", "v"))))
+        ).alias("cursor")
+    )
+    parsed = cursor_json.select(
+        F.explode(F.from_json(F.col("cursor"), "map<string,string>")).alias("pk", "pv")
+    )
+    all_kv = u.groupBy("k").agg(
+        F.min("state").alias("state_now"),
+        F.min(F.when(F.col("state") == "COMPLETED", F.col("us"))).alias(
+            "completed_us"
+        ),
+    )
+    return (
+        all_kv.filter(F.col("state_now") == "COMPLETED")
+        .join(parsed, on=F.col("k") == F.col("pk"), how="left")
+        .filter(F.col("pv").isNull() | (F.col("pv") != "COMPLETED"))
+        .select(
+            F.col("k").alias("entity_key"),
+            F.col("pv").alias("prior_state"),
+            "completed_us",
+        )
+    )
+
+
+SENSOR_CURSOR_ROUNDTRIP_SQL = oracle_with_clause("updates") + """
+, u AS (
+  SELECT entity_id || ':' || update_id AS k, state, epoch_us(ts) AS us FROM updates
+),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM u),
+pre AS (
+  SELECT k, MIN(state) AS v FROM u, m WHERE us <= mid GROUP BY k
+),
+allkv AS (
+  SELECT k, MIN(state) AS state_now,
+         MIN(CASE WHEN state = 'COMPLETED' THEN us END) AS completed_us
+  FROM u GROUP BY k
+)
+SELECT a.k AS entity_key, p.v AS prior_state, a.completed_us
+FROM allkv a LEFT JOIN pre p ON a.k = p.k
+WHERE a.state_now = 'COMPLETED' AND (p.v IS NULL OR p.v <> 'COMPLETED')
+"""

@@ -182,14 +182,35 @@ FROM e GROUP BY 1
 """
 
 
+def _probe_exprs(bkt_col: str) -> list[F.Column]:
+    """Multiprobe set for one table: the exact bucket plus every 1-bit
+    flip (hamming-1 neighbors). Pure string surgery — constant-folded
+    codegen, no extra hash evaluation."""
+    probes = [F.col(bkt_col)]
+    for i in range(1, N_PLANES + 1):
+        probes.append(
+            F.expr(
+                f"concat(substring({bkt_col}, 1, {i - 1}),"
+                f" CASE WHEN substring({bkt_col}, {i}, 1) = '1' THEN '0' ELSE '1' END,"
+                f" substring({bkt_col}, {i + 1}, {N_PLANES - i}))"
+            )
+        )
+    return probes
+
+
 def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     """Approximate top-5: rank only candidates sharing an LSH bucket with
-    the query in ANY of the hash tables (multi-table union).
+    the query in ANY hash table, with **1-bit multiprobe** on the query
+    side — each query also probes the hamming-1 neighbor buckets of its
+    own bucket (the standard recall amplification that multiplies probe
+    count, not table count: stored vectors stay single-bucketed, so the
+    index is unchanged and only the tiny query side fans out).
 
     The join keys are bucket ids — at scale each table is a
     partition-local lookup instead of a full scan; the union of small
     candidate sets replaces the O(n*q) cross product. Compare with
-    ann_bruteforce_topk for recall (the quality/efficiency trade)."""
+    ann_bruteforce_topk for recall (the quality/efficiency trade;
+    tests/test_dedup_similarity.py gates the recall floor)."""
     e = _bucketed(t)
     # explode each vector's (table_idx, bucket) memberships so the
     # multi-table OR becomes ONE equi-join on (table_idx, bucket) — a
@@ -205,13 +226,23 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     e_exp = e.select("vec_id", "v", "nrm", member).select(
         "vec_id", "v", "nrm", F.col("m.tbl").alias("tbl"), F.col("m.bkt").alias("bkt")
     )
+    # query side: (table, probe-bucket) for the home bucket + 1-bit flips
+    q_member = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("tbl"), p.alias("bkt"))
+                for i in range(N_TABLES)
+                for p in _probe_exprs(f"bucket{i}")
+            ]
+        )
+    ).alias("m")
     q_exp = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
-            member,
+            q_member,
         )
         .select(
             "query_id", "qv", "qnrm",
@@ -252,6 +283,16 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _hamming_sql(a: str, b: str) -> str:
+    """Char-wise hamming distance over the N_PLANES-bit bucket strings."""
+    return "(" + " + ".join(
+        f"CASE WHEN substr({a}, {i}, 1) <> substr({b}, {i}, 1) THEN 1 ELSE 0 END"
+        for i in range(1, N_PLANES + 1)
+    ) + ")"
+
+
+# 1-bit multiprobe == candidate buckets within hamming distance 1 of the
+# query's bucket in either table (the relational form of the probe set)
 ANN_LSH_TOPK_SQL = f"""
 WITH {_E_SQL},
 eb AS (
@@ -264,7 +305,9 @@ q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket0 AS qb0, bucket1 A
       FROM eb WHERE vec_id < {N_QUERIES}),
 cand AS (
   SELECT DISTINCT q.query_id, q.qv, q.qnrm, eb.vec_id, eb.v, eb.nrm
-  FROM q JOIN eb ON (eb.bucket0 = q.qb0 OR eb.bucket1 = q.qb1) AND eb.vec_id <> q.query_id
+  FROM q JOIN eb ON ({_hamming_sql('eb.bucket0', 'q.qb0')} <= 1
+                  OR {_hamming_sql('eb.bucket1', 'q.qb1')} <= 1)
+                 AND eb.vec_id <> q.query_id
 ),
 scored AS (
   SELECT query_id, vec_id, {dot_sql_unrolled('qv', 'v', 64)} / (qnrm * nrm) AS cosine

@@ -57,6 +57,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     # HLL sketch values are engine-specific -> rows-only check
     "approx_user_counts": (relational.approx_user_counts, None),
+    # ... but the sketch's error bound is deterministic -> hash-checked
+    "user_count_accuracy": (
+        relational.user_count_accuracy,
+        relational.USER_COUNT_ACCURACY_SQL,
+    ),
     "top_balance_per_nation": (
         relational.top_balance_per_nation,
         relational.TOP_BALANCE_PER_NATION_SQL,
@@ -105,6 +110,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         runs.signup_purchase_window,
         runs.SIGNUP_PURCHASE_WINDOW_SQL,
     ),
+    # F7: JSON cursor map serialize/parse round-trip (sensors/dlt_sensor.py:12,46)
+    "sensor_cursor_roundtrip": (
+        runs.sensor_cursor_roundtrip,
+        runs.SENSOR_CURSOR_ROUNDTRIP_SQL,
+    ),
     # --- event stream: JSON + time windows (§2.7, §2.8) ---
     "event_type_stats": (events.event_type_stats, events.EVENT_TYPE_STATS_SQL),
     "tumbling_hourly": (events.tumbling_hourly, events.TUMBLING_HOURLY_SQL),
@@ -116,6 +126,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
+    "ngram_jaccard_pairs_capped": (
+        dedup.ngram_jaccard_pairs_capped,
+        dedup.NGRAM_JACCARD_PAIRS_CAPPED_SQL,
+    ),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     "curated_corpus": (dedup.curated_corpus, dedup.CURATED_CORPUS_SQL),
     "deterministic_sample": (dedup.deterministic_sample, dedup.DETERMINISTIC_SAMPLE_SQL),
@@ -182,10 +196,46 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
     return runner
 
 
+# Driver-facing iteration order. The r01 driver run recorded CORRECTNESS
+# rows for exactly the first 50 registry entries (a budget cutoff), so
+# order = verification priority: the smoke anchor first, then queries that
+# are new or changed this round (never yet driver-verified), then the
+# previously-green set roughly cheapest-first, with redundant extension
+# shapes (operators also covered by earlier queries) last.
+_PRIORITY = [
+    "flagship_us_customers",
+    # previously cut (registry tail in r01) — must get rows
+    "doc_fingerprints",
+    "token_count_regex",
+    "heavy_hitter_tokens",
+    "tfidf_keywords",
+    "multimodal_meta",
+    "media_features",
+    "streaming_first_completed",
+    # changed or added this round — re-verify
+    "event_type_stats",
+    "lang_profile",
+    "langid_trigram",
+    "embedding_near_dup",
+    "user_count_accuracy",
+    "sensor_cursor_roundtrip",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
+    "near_dup_clusters",
+    "curated_corpus",
+]
+
+
+def _ordered_names() -> list[str]:
+    all_names = list(_REGISTRY) + list(_STREAMING_QUERIES)
+    rest = [n for n in all_names if n not in _PRIORITY]
+    return _PRIORITY + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _wrap(fn) for name, (fn, _) in _REGISTRY.items()}
     out.update({name: fn for name, (fn, _) in _STREAMING_QUERIES.items()})
-    return out
+    return {name: out[name] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -193,4 +243,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {name: sql for name, (_, sql) in _STREAMING_QUERIES.items() if sql is not None}
     )
-    return out
+    return {name: out[name] for name in _ordered_names() if name in out}

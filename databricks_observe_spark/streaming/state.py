@@ -148,7 +148,12 @@ def streaming_first_completed_query(spark: SparkSession, sf_dir: str) -> DataFra
     name = f"fc_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_fcq_")
     q = first_completed_stream(spark, sf_dir, ckpt, name)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_first_completed did not finish its availableNow run "
+            "within 300s — partial emitted-key set discarded"
+        )
     return (
         spark.table(name)
         .select("entity_type", "entity_id", "update_id")

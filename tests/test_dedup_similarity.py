@@ -66,8 +66,10 @@ def test_lsh_buckets_partition_everything(tables):
 
 
 def test_ann_lsh_recall_vs_bruteforce(tables):
-    """The approximate search must find a meaningful share of the true
-    top-5 (same-bucket neighbors rank first under random projections)."""
+    """Explicit recall gate: 2 tables x 4 planes with 1-bit multiprobe
+    measures 0.70-0.72 against brute force at sf0.001/0.01/0.1 on the
+    near-random fixture vectors; the 0.6 floor fails on any parameter or
+    probe-generation regression while leaving margin for geometry noise."""
     exact = {
         (r.query_id, r.neighbor_id) for r in S.ann_bruteforce_topk(tables).collect()
     }
@@ -75,10 +77,7 @@ def test_ann_lsh_recall_vs_bruteforce(tables):
         (r.query_id, r.neighbor_id) for r in S.ann_lsh_topk(tables).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # fixture vectors are near-random (max pairwise cosine ~0.5), so LSH
-    # recall is modest by construction; the floor guards against a broken
-    # bucketing, not against the geometry
-    assert recall >= 0.15, f"LSH recall collapsed: {recall}"
+    assert recall >= 0.6, f"LSH recall collapsed: {recall}"
 
 
 def test_near_dup_clusters_partition_pairs(tables):
@@ -114,3 +113,39 @@ def test_deterministic_sample_is_stable(tables):
     assert a == b
     n = tables["documents"].count()
     assert 0.1 * n < len(a) < 0.35 * n  # ~20% with hash variance
+
+
+def test_capped_jaccard_is_subset_with_lower_bound_scores(tables):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(tables).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs_capped(tables).collect()
+    }
+    assert set(capped) <= set(exact)
+    for p, j in capped.items():
+        assert j <= exact[p] + 1e-12
+
+
+def test_capped_jaccard_bounds_hot_shingle_blowup(spark, tables):
+    """A stop-shingle shared by every document must not reach the
+    self-join under the df cap: candidate pair count stays bounded by
+    genuine (rare-shingle) overlap instead of going quadratic."""
+    n = 40
+    hot = "the quick brown fox jumps over the lazy dog"  # >3 tokens: many shared shingles
+    rows = ",".join(
+        f"({i}, 'en', 'syn', CAST('{hot} unique{i}a unique{i}b unique{i}c' AS STRING))"
+        for i in range(n)
+    )
+    docs = spark.sql(
+        f"SELECT col1 AS doc_id, col2 AS lang, col3 AS source, col4 AS text,"
+        f" length(col4) AS n_chars FROM VALUES {rows}"
+    )
+    t = {"documents": docs}
+    # uncapped: every pair shares the hot shingles -> O(n^2) candidates
+    exact_pairs = D.ngram_jaccard_pairs(t).count()
+    assert exact_pairs == n * (n - 1) / 2  # the blow-up this test pins
+    t2 = {"documents": docs}
+    capped_pairs = D.ngram_jaccard_pairs_capped(t2, max_df=10).count()
+    assert capped_pairs == 0  # hot shingles capped away; no rare overlap
