@@ -19,14 +19,14 @@ exactly; cosine order ties are broken by vec_id for determinism.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from databricks_observe_spark.functions.vectors import (
     dot_sql_unrolled,
-    dot_unrolled,
     hyperplanes,
     norm_sql_unrolled,
-    norm_unrolled,
 )
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -45,12 +45,27 @@ PLANES = TABLES_PLANES[0]  # table 0 doubles as the bucket-stats histogram
 def _doubled(t: dict[str, DataFrame]) -> DataFrame:
     """Raw double vector ``v`` + precomputed scalar L2 norm ``nrm``.
 
-    Materialized (localCheckpoint) so joins see plain columns — otherwise
-    projection-collapse re-evaluates the norm tree per candidate pair. Per-
-    pair cosine is then one codegen dot product and a scalar divide.
-    Memoized in the context dict: every similarity/dedup operator in a
-    session shares one materialization (at scale: one written table)."""
+    The norm comes from an Arrow-batched pandas_udf using fixed
+    left-to-right accumulation over dimensions — the identical IEEE op
+    order as the oracle's ``norm_sql_unrolled`` (sqrt(v1*v1 + v2*v2 +
+    ...)), so values are bit-identical. The JVM unrolled-expression
+    alternative generates a method so large that janino compilation alone
+    costs ~20 s before falling back to interpretation. Materialized
+    (localCheckpoint) and memoized per context: every similarity/dedup
+    operator shares one build (at scale: one written table)."""
     if "_emb_norms" not in t:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _norm_udf(v: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            mat = _np.array(v.tolist(), dtype=_np.float64)
+            acc = mat[:, 0] * mat[:, 0]
+            for d in range(1, mat.shape[1]):
+                acc = acc + mat[:, d] * mat[:, d]
+            return pd.Series(_np.sqrt(acc))
+
         t["_emb_norms"] = (
             t["embeddings"]
             .select(
@@ -58,7 +73,7 @@ def _doubled(t: dict[str, DataFrame]) -> DataFrame:
                 F.col("embedding").cast("array<double>").alias("v"),
                 "label",
             )
-            .select("vec_id", "v", norm_unrolled("v", DIM).alias("nrm"), "label")
+            .select("vec_id", "v", _norm_udf("v").alias("nrm"), "label")
             .localCheckpoint()
         )
     return t["_emb_norms"]
@@ -71,19 +86,71 @@ _E_SQL = (
 )
 
 
-def ann_bruteforce_topk(t: dict[str, DataFrame]) -> DataFrame:
-    """Exact cosine top-5 neighbors for each query vector (vec_id < 10)."""
-    e = _doubled(t)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    scored = (
-        e.join(F.broadcast(q), on=F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine", dot_unrolled("qv", "v", DIM) / (F.col("qnrm") * F.col("nrm"))
+def _query_set_bc(t: dict[str, DataFrame]):
+    """Broadcast (ids, matrix, norms) of the N_QUERIES query vectors.
+
+    The query SET is a constant-sized parameter (10 rows) — collecting and
+    broadcasting it is the legitimate "ship the query to the data" move at
+    any scale, unlike collecting the corpus side. Memoized per context."""
+    if "_ann_queries_bc" not in t:
+        import numpy as np
+
+        e = _doubled(t)
+        rows = (
+            e.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "v", "nrm")
+            .collect()
         )
+        q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        q_mat = np.array([r.v for r in rows], dtype=np.float64)
+        q_nrm = np.array([r.nrm for r in rows], dtype=np.float64)
+        t["_ann_queries_bc"] = e.sparkSession.sparkContext.broadcast(
+            (q_ids, q_mat, q_nrm)
+        )
+    return t["_ann_queries_bc"]
+
+
+def ann_bruteforce_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact cosine top-5 neighbors for each query vector (vec_id < 10).
+
+    One Arrow-batched scan of the corpus scores every (query, vector)
+    pair against the broadcast query matrix — dense-vector math stays out
+    of JVM expression codegen (a 64-term dot is a >8 KB method HotSpot
+    never JITs). Cosines use fixed left-to-right accumulation over
+    dimensions, the same IEEE op order as the oracle's unrolled SQL dot,
+    so values are bit-identical. Ranking is a per-query window over the
+    scored pairs."""
+    e = _doubled(t)
+    bc = _query_set_bc(t)
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        q_ids, q_mat, q_nrm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            # left-to-right accumulation over dims: oracle op order
+            acc = _np.outer(q_mat[:, 0], mat[:, 0])
+            for d in range(1, q_mat.shape[1]):
+                acc = acc + _np.outer(q_mat[:, d], mat[:, d])
+            cos = acc / _np.outer(q_nrm, nrm)
+            qi, vi = _np.nonzero(q_ids[:, None] != ids[None, :])
+            yield _pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "vec_id": ids[vi],
+                    "cosine": cos[qi, vi],
+                    "label": pdf["label"].to_numpy()[vi],
+                }
+            )
+
+    scored = e.select("vec_id", "v", "nrm", "label").mapInPandas(
+        score, "query_id bigint, vec_id bigint, cosine double, label int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -115,28 +182,10 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-def _plane_dot(vec_col: str, plane: list[float]) -> F.Column:
-    """Unrolled constant-hyperplane dot: v[1]*c1 + ... — pure codegen."""
-    out = F.element_at(F.col(vec_col), 1) * F.lit(plane[0])
-    for i in range(1, len(plane)):
-        out = out + F.element_at(F.col(vec_col), i + 1) * F.lit(plane[i])
-    return out
-
-
 def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
     return "(" + " + ".join(
         f"{vec_col}[{i + 1}] * {plane[i]!r}" for i in range(len(plane))
     ) + ")"
-
-
-def _bucket_expr(vec_col: str, planes=None) -> F.Column:
-    """Sign-LSH bucket id: concatenated sign bits of hyperplane dots."""
-    bits = []
-    for plane in planes if planes is not None else PLANES:
-        bits.append(
-            F.when(_plane_dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        )
-    return F.concat(*bits)
 
 
 def _bucket_sql(vec_col: str, planes=None) -> str:
@@ -151,14 +200,46 @@ def _bucket_sql(vec_col: str, planes=None) -> str:
 def _bucketed(t: dict[str, DataFrame]) -> DataFrame:
     """_doubled + materialized bucket ids for every hash table.
 
-    The bucket expressions are 4 unrolled 64-term dots per table; computing
-    them once into plain columns (at scale: partition columns of the
-    written index table) keeps them out of every downstream plan."""
+    Bucket bits come from an Arrow-batched pandas_udf that evaluates each
+    hyperplane dot with fixed left-to-right accumulation — the identical
+    IEEE op order as the oracle's unrolled SQL (``_plane_dot_sql``), so
+    the sign decisions (hence buckets) match bit-for-bit. The JVM
+    alternative (8 unrolled 64-term dot expressions) costs seconds of
+    janino compilation for methods HotSpot never JITs. Materialized once
+    (at scale: partition columns of the written index table)."""
     if "_emb_buckets" not in t:
-        e = _doubled(t)
-        for i, planes in enumerate(TABLES_PLANES):
-            e = e.withColumn(f"bucket{i}", _bucket_expr("v", planes))
-        t["_emb_buckets"] = e.localCheckpoint()
+        from pyspark.sql.functions import pandas_udf
+
+        planes_np = [
+            [list(map(float, p)) for p in planes] for planes in TABLES_PLANES
+        ]
+
+        @pandas_udf("b0 string, b1 string")
+        def _buckets_udf(v: pd.Series) -> pd.DataFrame:
+            import numpy as _np
+
+            mat = _np.array(v.tolist(), dtype=_np.float64)
+            out = {}
+            for ti, planes in enumerate(planes_np):
+                bits = None
+                for plane in planes:
+                    acc = mat[:, 0] * plane[0]
+                    for d in range(1, len(plane)):
+                        acc = acc + mat[:, d] * plane[d]
+                    b = _np.where(acc >= 0, "1", "0")
+                    bits = b if bits is None else _np.char.add(bits, b)
+                out[f"b{ti}"] = bits
+            return pd.DataFrame(out)
+
+        e = _doubled(t).withColumn("_b", _buckets_udf("v"))
+        t["_emb_buckets"] = e.select(
+            "vec_id",
+            "v",
+            "nrm",
+            "label",
+            F.col("_b.b0").alias("bucket0"),
+            F.col("_b.b1").alias("bucket1"),
+        ).localCheckpoint()
     return t["_emb_buckets"]
 
 
@@ -258,17 +339,40 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    qvecs = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    scored = (
-        cand_ids.join(F.broadcast(qvecs), on="query_id")
-        .join(F.broadcast(e.select("vec_id", "v", "nrm")), on="vec_id")
-        .withColumn(
-            "cosine", dot_unrolled("qv", "v", DIM) / (F.col("qnrm") * F.col("nrm"))
-        )
+    # rescore: candidate vectors re-attach JVM-side (AQE picks the join
+    # strategy), then one Arrow pass computes exact cosines against the
+    # broadcast query matrix with oracle-order accumulation — no >8 KB
+    # interpreted dot expression in the plan
+    qbc = _query_set_bc(t)
+    cand_vec = cand_ids.join(e.select("vec_id", "v", "nrm"), on="vec_id")
+
+    def rescore(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        q_ids, q_mat, q_nrm = qbc.value
+        pos = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(pos).to_numpy()
+            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            qm = q_mat[qi]
+            acc = qm[:, 0] * mat[:, 0]
+            for d in range(1, qm.shape[1]):
+                acc = acc + qm[:, d] * mat[:, d]
+            cos = acc / (q_nrm[qi] * nrm)
+            yield _pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    scored = cand_vec.mapInPandas(
+        rescore, "query_id bigint, vec_id bigint, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -41,6 +41,12 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # AQE coalesces batch shuffles regardless, but STATEFUL STREAMING
+        # pins its state-store partition count to this at first checkpoint
+        # and AQE never touches it — the vanilla default of 200 means 200
+        # state commits per micro-batch on a 32-core box
+        ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
         # events.parquet carries TIMESTAMP(NANOS) which Spark refuses natively;
         # read as long and convert (lossless here: fixtures are micro-aligned).
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),

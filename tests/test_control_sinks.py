@@ -66,3 +66,23 @@ def test_append_materializations_accumulates(tables, spark):
     df = spark.read.parquet(out)
     assert df.count() == 2 * profiles.count()
     assert {r.run_id for r in df.select("run_id").distinct().collect()} == {"r1", "r2"}
+
+
+def test_overwrite_table_format_negotiation(tables, spark, tmp_path):
+    """K1 format negotiation is pinned in BOTH environments: the default
+    resolves to delta exactly when the Delta classes load, and an
+    EXPLICIT fmt='delta' request never silently degrades to parquet —
+    it either writes real Delta or raises."""
+    import pytest
+
+    out = str(tmp_path / "neg")
+    fmt = K.overwrite_table(tables["region"], out)
+    assert fmt == ("delta" if K.delta_available(spark) else "parquet")
+    assert spark.read.format(fmt).load(out).count() == tables["region"].count()
+    out2 = str(tmp_path / "explicit_delta")
+    if K.delta_available(spark):
+        assert K.overwrite_table(tables["region"], out2, "delta") == "delta"
+        assert spark.read.format("delta").load(out2).count() > 0
+    else:
+        with pytest.raises(Exception):
+            K.overwrite_table(tables["region"], out2, "delta")
