@@ -37,15 +37,18 @@ BENCH_QUERIES = [
     "tumbling_hourly",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "embedding_near_dup",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "lsh_bucket_stats",
     "langid_trigram",
     "text_stats",
     "tfidf_keywords",
     "near_dup_clusters",
+    "sensor_cursor_roundtrip",
     "media_features",
 ]
 

@@ -6,15 +6,21 @@
   in a per-query window.
 - ``lsh_bucket_stats`` / ``ann_lsh_topk`` — sign-random-projection LSH,
   multi-table: two independent 4-hyperplane tables (16 buckets each);
-  candidates are the union of the query's buckets across tables (the
-  standard recall amplification: P(hit) = 1-(1-p)^T). This is the 100 TB
-  path: bucketing turns an O(n*q) scan into a partition-pruned lookup
-  (bucket id is a first-class partition key at scale). Recall is measured
-  against the brute-force baseline in tests/test_dedup_similarity.py.
+  candidates are the union of the query's buckets across tables plus the
+  1-bit-multiprobe neighbor buckets (recall amplification on the query
+  side only — stored vectors stay single-bucketed, so the index is
+  unchanged). This is the 100 TB path: bucketing turns an O(n*q) scan
+  into a partition-pruned lookup (bucket id is a first-class partition
+  key at scale). Recall vs brute force is gated at >= 0.6 in
+  tests/test_dedup_similarity.py (measures ~0.72).
 
-Hyperplanes are literal constants (functions/vectors.py:hyperplanes) embedded
-in both the Spark plan and the DuckDB oracle, so bucket assignments agree
-exactly; cosine order ties are broken by vec_id for determinism.
+Hyperplanes are literal constants (functions/vectors.py:hyperplanes)
+embedded in both plans; all dense-vector math (norms, bucket signs,
+cosine scoring) runs in Arrow-batched pandas with fixed left-to-right
+accumulation over dimensions — the identical IEEE op order as the DuckDB
+oracle's unrolled SQL, so buckets and cosines agree bit-for-bit while
+nothing ever enters the JVM's >8 KB-method interpreted-codegen regime.
+Cosine order ties are broken by vec_id for determinism.
 """
 
 from __future__ import annotations
