@@ -703,3 +703,180 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm) >= {COSINE_NEAR_DUP}
 """
+
+
+SIMHASH_HAM_MAX = 2
+# 16-bit fingerprint split 6/5/5: any pair within hamming distance 2 leaves
+# at least one band untouched (pigeonhole), so band-equality candidate
+# generation is RESULT-EXACT for the <= 2 threshold — no recall loss.
+_SIMHASH_BANDS = [(1024, 64), (32, 32), (1, 32)]  # (divisor, modulus)
+
+
+def _simhash_fps(t: dict[str, DataFrame]) -> DataFrame:
+    """Memoized + materialized simhash fingerprint table."""
+    if "_simhash_fps" not in t:
+        t["_simhash_fps"] = simhash_fingerprints(t).localCheckpoint()
+    return t["_simhash_fps"]
+
+
+def simhash_near_dup_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= 2.
+
+    Banded self-join on fingerprint segments (6/5/5 bits): candidates are
+    pairs agreeing on at least one band — by pigeonhole every pair within
+    hamming 2 qualifies, so the banded join is exact, and work stays
+    proportional to band collisions, never n^2. Verification is one
+    integer xor + bit_count per candidate. The end-to-end shape a 100 TB
+    simhash dedup runs: fingerprint table (one shuffle), banded candidate
+    join (one shuffle on 8-byte band keys), constant-time verify.
+    """
+    fps = _simhash_fps(t)
+    bands = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        ((F.col("simhash") / F.lit(div)).cast("bigint") % F.lit(mod)).alias(
+                            "val"
+                        ),
+                    )
+                    for i, (div, mod) in enumerate(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("band").alias("band_b"),
+                F.col("val").alias("val_b"),
+            ),
+            on=(F.col("band") == F.col("band_b"))
+            & (F.col("val") == F.col("val_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    return (
+        cand.join(fa, on="doc_a")
+        .join(fb, on="doc_b")
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(fp_a ^ fp_b) AS INT)")
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SIMHASH_NEAR_DUP_PAIRS_SQL = (
+    "WITH fp AS (" + SIMHASH_FINGERPRINTS_SQL + ")\n"
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
+    "FROM fp a JOIN fp b ON a.doc_id < b.doc_id\n"
+    f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}"
+)
+
+
+def embedding_near_dup_lsh(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.3) with LSH-bucketed
+    candidate generation — the sub-quadratic companion to the exact
+    ``embedding_near_dup``.
+
+    Candidates are pairs sharing a sign-LSH bucket in ANY hash table
+    (operators/similarity.py index; at scale: a partition-local self-join
+    per bucket instead of the block-tiled all-pairs). Survivors are
+    re-scored with the oracle-order exact dot, so emitted cosines are
+    bit-identical to the SQL mirror — which applies the same bucket
+    constraint, making the query exactly checkable while honestly
+    reporting LSH recall semantics (pairs in no common bucket are out of
+    scope for BOTH engines).
+    """
+    from databricks_observe_spark.operators.similarity import N_TABLES, _bucketed
+
+    e = _bucketed(t)
+    member = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("tbl"), F.col(f"bucket{i}").alias("bkt"))
+                for i in range(N_TABLES)
+            ]
+        )
+    ).alias("m")
+    mem = e.select("vec_id", member).select(
+        "vec_id", F.col("m.tbl").alias("tbl"), F.col("m.bkt").alias("bkt")
+    )
+    cand = (
+        mem.join(
+            mem.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("tbl").alias("tbl_b"),
+                F.col("bkt").alias("bkt_b"),
+            ),
+            on=(F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bkt") == F.col("bkt_b"))
+            & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    paired = cand.join(ea, on="vec_a").join(eb, on="vec_b")
+
+    def rescore(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            av = _np.array(pdf["va"].tolist(), dtype=_np.float64)
+            bv = _np.array(pdf["vb"].tolist(), dtype=_np.float64)
+            acc = av[:, 0] * bv[:, 0]
+            for d in range(1, av.shape[1]):
+                acc = acc + av[:, d] * bv[:, d]
+            cos = acc / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            keep = cos >= COSINE_NEAR_DUP
+            yield _pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    scored = paired.mapInPandas(rescore, "vec_a bigint, vec_b bigint, cosine double")
+    return scored.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+def _emb_lsh_sql() -> str:
+    from databricks_observe_spark.operators.similarity import (
+        TABLES_PLANES,
+        _bucket_sql,
+    )
+
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, {norm_sql_unrolled('v', EMB_DIM)} AS nrm FROM e0),
+eb AS (
+  SELECT vec_id, v, nrm,
+         {_bucket_sql('v', TABLES_PLANES[0])} AS bucket0,
+         {_bucket_sql('v', TABLES_PLANES[1])} AS bucket1
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm), 6) AS cosine_r
+FROM eb a JOIN eb b
+  ON a.vec_id < b.vec_id AND (a.bucket0 = b.bucket0 OR a.bucket1 = b.bucket1)
+WHERE {dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm) >= {COSINE_NEAR_DUP}
+"""
+
+
+EMBEDDING_NEAR_DUP_LSH_SQL = _emb_lsh_sql()

@@ -310,3 +310,108 @@ SELECT doc_id,
        length(text) AS n_chars
 FROM documents
 """
+
+
+# quality_filter thresholds (measured on the fixture corpus: token counts
+# 10-99 with quartiles 32/76, mean TTR 0.50 — these cuts split it meaningfully)
+MIN_TOKENS = 25
+MIN_TTR = 0.35
+MAX_STOPWORD_RATIO = 0.6
+
+
+def quality_filter(t: dict[str, DataFrame]) -> DataFrame:
+    """Curation-pipeline keep/drop decision over the text_stats signals.
+
+    First-match reject reason (too_short -> low_diversity ->
+    stopword_heavy) mirrors how a real filter chain reports; the CASE
+    order is part of the contract and the oracle replays it exactly.
+    One corpus scan — the stats projection fuses into the filter.
+    """
+    s = text_stats(t)
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("ttr") < MIN_TTR, F.lit("low_diversity"))
+        .when(F.col("stopword_ratio") > MAX_STOPWORD_RATIO, F.lit("stopword_heavy"))
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("ttr", 6).alias("ttr_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+        reason.isNull().cast("int").alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+         len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) * 1.0 / len(toks)
+           AS stopword_ratio
+  FROM d
+),
+r AS (
+  SELECT *, CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                 WHEN ttr < {MIN_TTR} THEN 'low_diversity'
+                 WHEN stopword_ratio > {MAX_STOPWORD_RATIO} THEN 'stopword_heavy'
+            END AS reject_reason
+  FROM s
+)
+SELECT doc_id, lang, n_tokens, round(ttr, 6) AS ttr_r,
+       round(stopword_ratio, 6) AS stopword_ratio_r,
+       CAST(reject_reason IS NULL AS INT) AS keep, reject_reason
+FROM r
+"""
+
+
+VOCAB_TOP = 100
+
+
+def vocab_coverage(t: dict[str, DataFrame]) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative corpus coverage —
+    the "how big a vocab covers 90% of tokens" skim a tokenizer build
+    runs. Token counting is a map-side-combined groupBy; the ordered
+    cumulative sum runs on the AGGREGATED vocab table (vocab-sized, not
+    corpus-sized), which is the one place a global window is the right
+    call — its input is already small enough to ship to one reducer, and
+    only the top-{VOCAB_TOP} rows survive."""
+    toks = t["documents"].select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_freq", F.sum("freq").over(wsum))
+        .filter(F.col("rank") <= VOCAB_TOP)
+        .join(F.broadcast(total))
+        .select(
+            "tok",
+            "freq",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("cum_freq").cast("double") / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM freq),
+ranked AS (
+  SELECT tok, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS INT) AS rank,
+         SUM(freq) OVER (ORDER BY freq DESC, tok ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum_freq
+  FROM freq
+)
+SELECT tok, freq, rank, round(CAST(cum_freq AS DOUBLE) / total, 6) AS cum_share
+FROM ranked, total
+WHERE rank <= {VOCAB_TOP}
+"""

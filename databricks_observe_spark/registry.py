@@ -138,7 +138,15 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         dedup.simhash_fingerprints,
         dedup.SIMHASH_FINGERPRINTS_SQL,
     ),
+    "simhash_near_dup_pairs": (
+        dedup.simhash_near_dup_pairs,
+        dedup.SIMHASH_NEAR_DUP_PAIRS_SQL,
+    ),
     "embedding_near_dup": (dedup.embedding_near_dup, dedup.EMBEDDING_NEAR_DUP_SQL),
+    "embedding_near_dup_lsh": (
+        dedup.embedding_near_dup_lsh,
+        dedup.EMBEDDING_NEAR_DUP_LSH_SQL,
+    ),
     # --- similarity search ---
     "ann_bruteforce_topk": (
         similarity.ann_bruteforce_topk,
@@ -154,6 +162,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "token_count_regex": (text.token_count_regex, text.TOKEN_COUNT_REGEX_SQL),
     "heavy_hitter_tokens": (text.heavy_hitter_tokens, text.HEAVY_HITTER_TOKENS_SQL),
     "tfidf_keywords": (text.tfidf_keywords, text.TFIDF_KEYWORDS_SQL),
+    "quality_filter": (text.quality_filter, text.QUALITY_FILTER_SQL),
+    "vocab_coverage": (text.vocab_coverage, text.VOCAB_COVERAGE_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
@@ -223,6 +233,10 @@ _PRIORITY = [
     "ngram_jaccard_pairs_capped",
     "near_dup_clusters",
     "curated_corpus",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "quality_filter",
+    "vocab_coverage",
 ]
 
 

@@ -149,3 +149,35 @@ def test_capped_jaccard_bounds_hot_shingle_blowup(spark, tables):
     t2 = {"documents": docs}
     capped_pairs = D.ngram_jaccard_pairs_capped(t2, max_df=10).count()
     assert capped_pairs == 0  # hot shingles capped away; no rare overlap
+
+
+def test_simhash_banded_join_is_exact_for_ham2(tables):
+    """The 6/5/5 banded candidate join must equal the brute-force
+    hamming<=2 pair set (pigeonhole guarantee) — no recall loss."""
+    fps = {r.doc_id: r.simhash for r in D.simhash_fingerprints(tables).collect()}
+    brute = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= D.SIMHASH_HAM_MAX
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_near_dup_pairs(tables).collect()
+    }
+    assert set(banded) == brute
+    for (a, b), h in banded.items():
+        assert h == bin(fps[a] ^ fps[b]).count("1")
+
+
+def test_embedding_lsh_pairs_subset_of_exact(tables):
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine_r for r in D.embedding_near_dup(tables).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine_r
+        for r in D.embedding_near_dup_lsh(tables).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for p, c in lsh.items():
+        assert c == exact[p]  # identical scoring on the shared candidates

@@ -103,3 +103,30 @@ def test_heavy_hitters_are_frequent(tables):
     assert len(rows) == 20
     freqs = [r.doc_freq for r in sorted(rows, key=lambda x: x.rnk)]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_quality_filter_reasons_match_thresholds(tables):
+    from databricks_observe_spark.operators import text as T
+
+    rows = T.quality_filter(tables).collect()
+    assert rows and any(r.keep == 1 for r in rows)
+    for r in rows:
+        if r.n_tokens < T.MIN_TOKENS:
+            assert r.reject_reason == "too_short" and r.keep == 0
+        elif r.ttr_r < T.MIN_TTR:
+            assert r.reject_reason == "low_diversity" and r.keep == 0
+        elif r.stopword_ratio_r > T.MAX_STOPWORD_RATIO:
+            assert r.reject_reason == "stopword_heavy" and r.keep == 0
+        else:
+            assert r.reject_reason is None and r.keep == 1
+
+
+def test_vocab_coverage_monotone(tables):
+    from databricks_observe_spark.operators import text as T
+
+    rows = sorted(T.vocab_coverage(tables).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares) and shares[-1] <= 1.0 + 1e-9
