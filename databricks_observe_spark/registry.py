@@ -179,11 +179,20 @@ def _streaming_first_completed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_state.streaming_first_completed_query(spark, sf_dir)
 
 
+def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)  # ensure confs (nanosAsLong) on the session
+    return streaming_state.streaming_tumbling_query(spark, sf_dir)
+
+
 _STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_first_completed": (
         _streaming_first_completed,
         oracle_with_clause("updates")
         + streaming_state.STREAMING_FIRST_COMPLETED_SQL_SUFFIX,
+    ),
+    "streaming_tumbling_hourly": (
+        _streaming_tumbling,
+        streaming_state.STREAMING_TUMBLING_SQL,
     ),
 }
 
@@ -237,6 +246,7 @@ _PRIORITY = [
     "embedding_near_dup_lsh",
     "quality_filter",
     "vocab_coverage",
+    "streaming_tumbling_hourly",
 ]
 
 

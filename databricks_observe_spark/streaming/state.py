@@ -167,6 +167,49 @@ FROM updates WHERE state = 'COMPLETED'
 """
 
 
+def streaming_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of the watermarked tumbling-window stream:
+    run to exhaustion (availableNow) and return the emitted windows.
+
+    Append mode emits a window only once the event-time watermark
+    (max event time - 1h) passes the window END — the final windows stay
+    in state, deliberately unflushed. The oracle mirrors that semantics
+    relationally: GROUP BY hour bucket HAVING bucket_end <= max(ts) - 1h.
+    This is the contract a late-data-tolerant 100 TB ingest pipeline
+    actually runs; comparing it against batch SQL pins the
+    watermark-eviction boundary exactly.
+    """
+    import tempfile
+    import uuid
+
+    name = f"tw_q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_twq_")
+    q = tumbling_counts_stream(spark, sf_dir, ckpt, name)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_tumbling did not finish its availableNow run within 300s"
+        )
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
+STREAMING_TUMBLING_SQL = """
+WITH m AS (SELECT MAX(ts) AS maxts FROM events)
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, m
+GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type, maxts
+HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= maxts - INTERVAL 1 HOUR
+"""
+
+
 SESSION_GAP_S = 2 * 3600  # matches operators/events.py:user_sessions
 
 

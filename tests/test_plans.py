@@ -101,3 +101,43 @@ def test_urgent_order_customers_semi_join(tables):
     plan = _plan(R.urgent_order_customers(tables))
     assert "LeftSemi" in plan
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushed to orders scan
+
+
+def test_embedding_near_dup_is_cogrouped_not_nested_loop(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.embedding_near_dup(tables))
+    # block-tiled cogroup: Arrow cogroup operator present, and the plan
+    # never degenerates into a cartesian/nested-loop pair join
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bruteforce_is_single_scan_no_join(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    plan = _plan(S.ann_bruteforce_topk(tables))
+    # one Arrow-batched scan against the broadcast query matrix: the only
+    # exchange is the per-query ranking window, and there is no join
+    assert "MapInPandas" in plan
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+
+def test_quality_filter_is_shuffle_free(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.quality_filter(tables))
+    assert "Exchange" not in plan  # pure per-row projection over one scan
+
+
+def test_simhash_banded_join_dedups_candidates(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.simhash_near_dup_pairs(tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate distinct runs before fingerprints re-attach
+    assert "HashAggregate" in plan
