@@ -880,3 +880,122 @@ WHERE {dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm) >= {COSINE_NEA
 
 
 EMBEDDING_NEAR_DUP_LSH_SQL = _emb_lsh_sql()
+
+
+CHUNK_TOKENS = 16  # fixed chunk width for paragraph-level dedup
+
+
+def chunk_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Chunk-level (paragraph-style) exact dedup report: split each doc
+    into fixed 16-token chunks, hash each chunk, and report per document
+    how many of its chunks also appear verbatim in at least one OTHER
+    document.
+
+    This is the ccnet/C4 "drop duplicated paragraphs" primitive adapted to
+    a corpus without line structure. Only 16-byte chunk digests ever
+    shuffle (never text); the shared-chunk set comes from one groupBy on
+    the digest. At 100 TB the digest->n_docs table is the reusable
+    intermediate you'd write per corpus snapshot.
+    """
+    toks = doc_tokens(t)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(w) / {float(CHUNK_TOKENS)})"
+                f" AS int)), j -> md5(concat_ws(' ',"
+                f" slice(w, (j - 1) * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}))))"
+            )
+        ).alias("h"),
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    flagged = chunks.join(shared, on="h", how="left_semi")
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    dup = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_chunks"))
+    return (
+        per_doc.join(dup, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(
+                F.coalesce("n_dup_chunks", F.lit(0)) / F.col("n_chunks"), 6
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id, md5(array_to_string(w[(j.j - 1) * {CHUNK_TOKENS} + 1 : j.j * {CHUNK_TOKENS}], ' ')) AS h
+  FROM tok CROSS JOIN LATERAL
+    (SELECT unnest(range(1, CAST(ceil(len(w) / {float(CHUNK_TOKENS)}) AS BIGINT) + 1)) AS j) j
+),
+shared AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS n FROM ch GROUP BY h) WHERE n >= 2),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+dup AS (SELECT doc_id, COUNT(*) AS n_dup_chunks FROM ch SEMI JOIN shared USING (h) GROUP BY doc_id)
+SELECT doc_id, n_chunks, COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+       round(COALESCE(n_dup_chunks, 0) * 1.0 / n_chunks, 6) AS dup_chunk_frac
+FROM per_doc LEFT JOIN dup USING (doc_id)
+"""
+
+
+CONTAM_K = 4  # n-gram width for eval-overlap checking
+EVAL_MOD = 13  # doc_id % EVAL_MOD == 0 -> held-out eval set
+
+
+def contamination_check(t: dict[str, DataFrame]) -> DataFrame:
+    """Train/eval decontamination report: word-4-gram overlap between each
+    training document and a held-out eval set (doc_id % 13 == 0), the
+    benchmark-leakage check run before a pretraining corpus ships
+    (GPT-3 appendix C / PaLM use the same n-gram-collision form).
+
+    The eval shingle set is small by construction, so it broadcasts —
+    candidate generation is a broadcast semi-probe, never a corpus-sized
+    shuffle. Only training docs with at least one colliding 4-gram are
+    reported (the actionable rows).
+    """
+    toks = doc_tokens(t)
+    sh = toks.select(
+        "doc_id", F.explode(shingle_expr(CONTAM_K)).alias("s")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("s")
+        .dropDuplicates(["s"])
+    )
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(ev), on="s", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(sizes, on="doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("overlap_frac"),
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH sh AS ({shingled_sql(CONTAM_K)}),
+ev AS (SELECT DISTINCT s.shingle FROM sh s WHERE s.doc_id % {EVAL_MOD} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM train SEMI JOIN ev ON train.shingle = ev.shingle
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac
+FROM hits JOIN sizes USING (doc_id)
+"""

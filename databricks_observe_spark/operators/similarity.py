@@ -429,3 +429,211 @@ SELECT query_id, vec_id AS neighbor_id,
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
+
+
+NPROBE = 3  # inverted lists probed per query
+
+
+def _centroids_bc(t: dict[str, DataFrame]):
+    """Broadcast (ids, matrix, norms) of the coarse centroids.
+
+    IVF assumes an offline-trained coarse quantizer; here the codebook is
+    one deterministic representative per latent cluster (the lowest vec_id
+    of each ``label`` — a stand-in for the kmeans centroids an offline
+    training job would produce, chosen so both engines can reproduce it
+    exactly: a float mean would depend on summation order). The centroid
+    set is the small constant side: collecting and broadcasting it is the
+    legitimate "ship the codebook to the data" move at any scale. Memoized
+    per context."""
+    if "_ivf_centroids_bc" not in t:
+        import numpy as np
+
+        e = _doubled(t)
+        w = Window.partitionBy("label").orderBy("vec_id")
+        rows = (
+            e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "v", "nrm")
+            .collect()
+        )
+        rows.sort(key=lambda r: r.vec_id)
+        c_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        c_mat = np.array([r.v for r in rows], dtype=np.float64)
+        c_nrm = np.array([r.nrm for r in rows], dtype=np.float64)
+        t["_ivf_centroids_bc"] = e.sparkSession.sparkContext.broadcast(
+            (c_ids, c_mat, c_nrm)
+        )
+    return t["_ivf_centroids_bc"]
+
+
+def _ivf_assigned(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus vectors + their IVF list id (nearest centroid by cosine,
+    ties -> centroid id asc), materialized once per context.
+
+    One Arrow-batched pass against the broadcast codebook; at scale this
+    is the written index table PARTITIONED BY list_id, so a probe reads
+    nprobe partitions instead of the corpus. Cosines use fixed
+    left-to-right accumulation — the oracle's exact IEEE op order — so
+    assignments match bit-for-bit."""
+    if "_ivf_assign" not in t:
+        bc = _centroids_bc(t)
+
+        def assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            c_ids, c_mat, c_nrm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+                nrm = pdf["nrm"].to_numpy()
+                acc = _np.outer(c_mat[:, 0], mat[:, 0])
+                for d in range(1, c_mat.shape[1]):
+                    acc = acc + _np.outer(c_mat[:, d], mat[:, d])
+                cos = acc / _np.outer(c_nrm, nrm)
+                # argmax with tie -> lowest centroid id: centroids are in
+                # id order, and argmax returns the first maximal index
+                best = _np.argmax(cos, axis=0)
+                out = pdf[["vec_id", "v", "nrm", "label"]].copy()
+                out["list_id"] = c_ids[best]
+                yield out
+
+        t["_ivf_assign"] = (
+            _doubled(t)
+            .select("vec_id", "v", "nrm", "label")
+            .mapInPandas(
+                assign,
+                "vec_id bigint, v array<double>, nrm double, label int,"
+                " list_id bigint",
+            )
+            .localCheckpoint()
+        )
+    return t["_ivf_assign"]
+
+
+def ivf_ann_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """IVF-flat approximate top-5: each query probes its NPROBE nearest
+    inverted lists and ranks only the vectors assigned there.
+
+    The scale shape: list_id is a partition key, so a query touches
+    nprobe/n_lists of the corpus instead of scanning it (compare
+    ann_bruteforce_topk). Probe selection happens on the broadcast
+    codebook (driver-side, constant work); candidate pruning is a
+    broadcast semi-probe on (query_id, list_id); exact cosine rescoring
+    reuses the oracle-order Arrow kernel, so surviving scores are
+    bit-identical to brute force. Recall is gated in
+    tests/test_dedup_similarity.py."""
+    import numpy as np
+
+    e = _ivf_assigned(t)
+    qbc = _query_set_bc(t)
+    cbc = _centroids_bc(t)
+    q_ids, q_mat, q_nrm = qbc.value
+    c_ids, c_mat, c_nrm = cbc.value
+    # probe sets: top-NPROBE centroids per query, oracle op order
+    acc = np.outer(q_mat[:, 0], c_mat[:, 0])
+    for d in range(1, q_mat.shape[1]):
+        acc = acc + np.outer(q_mat[:, d], c_mat[:, d])
+    qcos = acc / np.outer(q_nrm, c_nrm)
+    # rank by cosine desc, centroid id asc (stable sort on -cos over
+    # id-ordered centroids)
+    order = np.argsort(-qcos, axis=1, kind="stable")[:, :NPROBE]
+    probes = [
+        (int(q_ids[qi]), int(c_ids[ci]))
+        for qi in range(len(q_ids))
+        for ci in order[qi]
+    ]
+    spark = e.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id bigint, list_id bigint")
+    cand = (
+        e.join(F.broadcast(probe_df), on="list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", "nrm")
+    )
+
+    def rescore(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids, mat_q, nrm_q = qbc.value
+        pos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(pos).to_numpy()
+            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            qm = mat_q[qi]
+            a = qm[:, 0] * mat[:, 0]
+            for d in range(1, qm.shape[1]):
+                a = a + qm[:, d] * mat[:, d]
+            cos = a / (nrm_q[qi] * nrm)
+            yield _pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        rescore, "query_id bigint, vec_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+
+
+IVF_ANN_TOPK_SQL = f"""
+WITH {_E_SQL},
+c AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM (
+    SELECT vec_id, v, nrm,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+assign AS (
+  SELECT vec_id, v, nrm, cid AS list_id FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot_sql_unrolled('e.v', 'c.cv', 64)} / (e.nrm * c.cnrm) DESC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cid AS list_id FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {dot_sql_unrolled('q.qv', 'c.cv', 64)} / (q.qnrm * c.cnrm) DESC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.v, a.nrm
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         {dot_sql_unrolled('q.qv', 'cand.v', 64)} / (q.qnrm * cand.nrm) AS cosine
+  FROM cand JOIN q ON q.query_id = cand.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+       round(cosine, 6) AS cosine_r
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""

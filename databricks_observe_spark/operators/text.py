@@ -368,6 +368,112 @@ FROM r
 """
 
 
+def repetition_signals(t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher-style repetition quality signals, adapted to token bigrams
+    (the fixture corpus has no line structure): per document, the distinct
+    bigram ratio, the share of the single most frequent bigram, and the
+    fraction of adjacent-repeat bigrams (tok[i] == tok[i+1]).
+
+    These are the "repetitious document" filters a pretraining curation
+    pass thresholds on (Rae et al. 2021 §A1.3 uses line/ngram duplicate
+    fractions the same way). One explode + one per-doc aggregate; all
+    ratios are exact-integer divisions so oracles match bit-for-bit.
+    """
+    toks = doc_tokens(t)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 1, 1)),"
+                " i -> struct(w[i - 1] AS a, w[i] AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    cnt = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_share"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))), F.lit(0))
+            / F.sum("c"),
+            6,
+        ).alias("adjacent_repeat_frac"),
+    )
+
+
+REPETITION_SIGNALS_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i.i - 1] AS a, w[i.i] AS b
+  FROM tok CROSS JOIN LATERAL (SELECT unnest(range(2, len(w) + 1)) AS i) i
+),
+cnt AS (SELECT doc_id, a, b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       COUNT(*) AS n_distinct_bigrams,
+       round(COUNT(*) * 1.0 / SUM(c), 6) AS distinct_ratio,
+       round(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_share,
+       round(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) * 1.0 / SUM(c), 6)
+         AS adjacent_repeat_frac
+FROM cnt GROUP BY doc_id
+"""
+
+
+PACK_TARGET = 2048  # tokens per packed training sequence
+
+
+def sequence_packing(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic sequence-packing plan: concatenate documents per
+    language in doc_id order and cut every PACK_TARGET tokens; a document
+    lands in the bin where its first token falls.
+
+    This is the contiguous-fill packing a pretraining tokenizer pipeline
+    runs before writing fixed-length sample files. The cumulative sum is a
+    per-language window (partition-parallel, exact integer arithmetic);
+    the per-bin rollup shows fill efficiency. At 100 TB the window runs
+    per language shard — no global ordering is ever required.
+    """
+    d = t["documents"].select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_TARGET),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.round(F.sum("n_tokens") / F.lit(float(PACK_TARGET)), 6).alias("fill_ratio"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+binned AS (
+  SELECT *, CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                 / {PACK_TARGET}) AS BIGINT) AS bin_id
+  FROM d
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       round(SUM(n_tokens) / {float(PACK_TARGET)}, 6) AS fill_ratio
+FROM binned GROUP BY lang, bin_id
+"""
+
+
 VOCAB_TOP = 100
 
 

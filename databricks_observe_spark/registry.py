@@ -147,6 +147,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         dedup.embedding_near_dup_lsh,
         dedup.EMBEDDING_NEAR_DUP_LSH_SQL,
     ),
+    "chunk_dedup": (dedup.chunk_dedup, dedup.CHUNK_DEDUP_SQL),
+    "contamination_check": (
+        dedup.contamination_check,
+        dedup.CONTAMINATION_CHECK_SQL,
+    ),
     # --- similarity search ---
     "ann_bruteforce_topk": (
         similarity.ann_bruteforce_topk,
@@ -154,6 +159,7 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_TOPK_SQL),
+    "ivf_ann_topk": (similarity.ivf_ann_topk, similarity.IVF_ANN_TOPK_SQL),
     # --- text analysis ---
     "text_stats": (text.text_stats, text.TEXT_STATS_SQL),
     "lang_profile": (text.lang_profile, text.LANG_PROFILE_SQL),
@@ -164,6 +170,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "tfidf_keywords": (text.tfidf_keywords, text.TFIDF_KEYWORDS_SQL),
     "quality_filter": (text.quality_filter, text.QUALITY_FILTER_SQL),
     "vocab_coverage": (text.vocab_coverage, text.VOCAB_COVERAGE_SQL),
+    "repetition_signals": (text.repetition_signals, text.REPETITION_SIGNALS_SQL),
+    "sequence_packing": (text.sequence_packing, text.SEQUENCE_PACKING_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
@@ -247,6 +255,11 @@ _PRIORITY = [
     "quality_filter",
     "vocab_coverage",
     "streaming_tumbling_hourly",
+    "chunk_dedup",
+    "contamination_check",
+    "repetition_signals",
+    "sequence_packing",
+    "ivf_ann_topk",
 ]
 
 

@@ -141,3 +141,43 @@ def test_simhash_banded_join_dedups_candidates(tables):
     assert "BroadcastNestedLoopJoin" not in plan
     # candidate distinct runs before fingerprints re-attach
     assert "HashAggregate" in plan
+
+
+def test_ivf_topk_probes_lists_no_cartesian(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    plan = _plan(S.ivf_ann_topk(tables))
+    # candidates come from an equi-join on list_id against the broadcast
+    # probe table; rescoring is one Arrow pass — never an all-pairs join
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_semi_join_on_digest(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.chunk_dedup(tables))
+    # shared-chunk membership is a semi join on the 16-byte digest
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_eval_set(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.contamination_check(tables))
+    # the eval shingle set is the broadcast side of a semi probe
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_single_partition_window_per_lang(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.sequence_packing(tables))
+    # one hash-partitioned window by lang feeds the bin rollup; the plan
+    # must not fall back to a global (single-partition) sort
+    assert "Window" in plan
+    assert "SinglePartition" not in plan

@@ -130,3 +130,40 @@ def test_vocab_coverage_monotone(tables):
     assert freqs == sorted(freqs, reverse=True)
     shares = [r.cum_share for r in rows]
     assert shares == sorted(shares) and shares[-1] <= 1.0 + 1e-9
+
+
+def test_repetition_signals_bounds(tables):
+    from databricks_observe_spark.operators import text as T
+
+    rows = T.repetition_signals(tables).collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows:
+        assert 0 < r.n_distinct_bigrams <= r.n_bigrams
+        assert 0 < r.distinct_ratio <= 1.0
+        assert 0 < r.top_bigram_share <= 1.0
+        assert 0 <= r.adjacent_repeat_frac < 1.0
+
+
+def test_sequence_packing_conserves_tokens(tables):
+    from pyspark.sql import functions as F
+
+    from databricks_observe_spark.operators import text as T
+
+    bins = T.sequence_packing(tables).collect()
+    total = sum(r.total_tokens for r in bins)
+    true_total = (
+        tables["documents"]
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total == true_total
+    # bins within a language are contiguous doc_id ranges
+    by_lang: dict = {}
+    for r in bins:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rs in by_lang.values():
+        rs.sort(key=lambda r: r.bin_id)
+        assert [r.bin_id for r in rs] == list(range(len(rs)))
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_doc <= b.first_doc
