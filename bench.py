@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "sensor_cursor_roundtrip",
     "media_features",
+    "repetition_signals",
+    "chunk_dedup",
+    "contamination_check",
+    "sequence_packing",
+    "ivf_ann_topk",
 ]
 
 

@@ -77,3 +77,20 @@ def salted_join(
         salted_big.join(replicated_small, on=[key, "_salt"])
         .drop("_salt")
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str, mode: str = "overwrite"
+) -> None:
+    """Persist parquet partitioned by ``partition_col`` (hive-style
+    directories). At 100 TB this is how fact tables land: a predicate on
+    the partition column prunes directories at planning time, so a
+    one-day query over a year of data reads 1/365th of the files."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def read_pruned(spark, path: str, partition_col: str, value) -> DataFrame:
+    """Read back with a partition predicate — Catalyst resolves the
+    filter against the directory layout (PartitionFilters in the scan,
+    zero data files opened outside the matching partition)."""
+    return spark.read.parquet(path).filter(F.col(partition_col) == value)

@@ -192,6 +192,11 @@ def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_state.streaming_tumbling_query(spark, sf_dir)
 
 
+def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)  # ensure confs (nanosAsLong) on the session
+    return streaming_state.streaming_click_attribution_query(spark, sf_dir)
+
+
 _STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_first_completed": (
         _streaming_first_completed,
@@ -201,6 +206,10 @@ _STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_tumbling_hourly": (
         _streaming_tumbling,
         streaming_state.STREAMING_TUMBLING_SQL,
+    ),
+    "streaming_click_attribution": (
+        _streaming_click_attribution,
+        streaming_state.STREAMING_CLICK_ATTRIBUTION_SQL,
     ),
 }
 
@@ -260,6 +269,7 @@ _PRIORITY = [
     "repetition_signals",
     "sequence_packing",
     "ivf_ann_topk",
+    "streaming_click_attribution",
 ]
 
 

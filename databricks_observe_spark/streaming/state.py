@@ -210,6 +210,94 @@ HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= maxts - INTERVAL 1 
 """
 
 
+ATTRIB_WINDOW = "2 hours"  # click lookback per purchase
+
+
+def click_attribution_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str
+) -> StreamingQuery:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding 2 hours — last-touch attribution as a
+    continuous pipeline.
+
+    Both sides carry event-time watermarks and the join condition bounds
+    both time columns, so the state store holds only the 2-hour join
+    frontier per side (bounded state at any stream length). Inner
+    stream-stream joins emit each match as soon as both rows arrive —
+    nothing is held for watermark flush — so an availableNow run equals
+    the batch interval join row-for-row, which is what the oracle checks.
+    """
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {ATTRIB_WINDOW}"
+            " AND c_ts < p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_click_attribution_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable form: run the interval-join stream to exhaustion
+    and return every attributed (purchase, click) pair."""
+    import tempfile
+    import uuid
+
+    name = f"ca_q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_caq_")
+    q = click_attribution_stream(spark, sf_dir, ckpt, name)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_click_attribution did not finish its availableNow "
+            "run within 300s"
+        )
+    return spark.table(name)
+
+
+STREAMING_CLICK_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
+"""
+
+
 SESSION_GAP_S = 2 * 3600  # matches operators/events.py:user_sessions
 
 

@@ -43,3 +43,23 @@ def test_salted_join_matches_plain_join(tables):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in salted.select(*plain.columns).collect()}
     assert a == b
+
+
+def test_partitioned_write_prunes_at_plan_time(tables, spark, tmp_path):
+    import os
+
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    L.write_partitioned(ev, path, "day")
+    # hive-style directory per day on disk
+    days = [d for d in os.listdir(path) if d.startswith("day=")]
+    assert len(days) > 1
+    one = L.read_pruned(spark, path, "day", "2024-01-02")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must land in PartitionFilters (planning-time
+    # directory pruning), not in the row-level data filters
+    assert "PartitionFilters" in plan
+    assert "isnotnull(day" in plan
+    expected = ev.filter(F.col("day") == "2024-01-02").count()
+    got = one.count()
+    assert got == expected and got > 0

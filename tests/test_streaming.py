@@ -197,3 +197,42 @@ def test_within_watermark_dedup_bounds_state(spark, tmp_path):
     q3 = ST.transition_log_stream(spark, str(src), str(tmp_path / "ck"), out, glob="*.parquet")
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_click_attribution_stream_matches_batch(spark, tables):
+    """Inner stream-stream interval joins emit on match (no watermark
+    hold), so the availableNow run must equal the batch interval join
+    row-for-row."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ca_")
+    q = ST.click_attribution_stream(spark, SF_DIR, ckpt, "ca_stream")
+    assert q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM ca_stream").collect()
+    }
+    ev = tables["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 2 HOURS AND c_ts < p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    expected = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_us) for r in batch.collect()
+    }
+    assert got == expected and got
