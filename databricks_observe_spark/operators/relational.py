@@ -374,6 +374,44 @@ FROM events GROUP BY event_type
 """
 
 
+def percentile_sketch_accuracy(t: dict[str, DataFrame]) -> DataFrame:
+    """t-digest-style quantile sketch vs exact percentile (§2.4 extension,
+    the constant-memory quantile path at 100 TB).
+
+    Like ``user_count_accuracy``: the sketch VALUE is engine-specific, but
+    its error bound is checkable — emit the exact p50/p90 plus a flag
+    asserting the approx_percentile(accuracy=1000) estimate landed within
+    5% relative error (measured <1% on the fixtures). The oracle claims
+    the flag is always 1, so a sketch regression fails the hash."""
+    agg = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.5, 0.9), 1000)").alias("ap"),
+            F.expr("percentile(value, array(0.5, 0.9))").alias("ex"),
+        )
+    )
+    ok = (
+        (F.abs(F.col("ap")[0] - F.col("ex")[0]) / F.col("ex")[0] <= 0.05)
+        & (F.abs(F.col("ap")[1] - F.col("ex")[1]) / F.col("ex")[1] <= 0.05)
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("ex")[0], 4).alias("exact_p50"),
+        F.round(F.col("ex")[1], 4).alias("exact_p90"),
+        ok.cast("int").alias("within_bound"),
+    )
+
+
+PERCENTILE_SKETCH_ACCURACY_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       round(quantile_cont(value, 0.9), 4) AS exact_p90,
+       1 AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 def returned_item_revenue(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q10-shaped: returned-item revenue ranking (top-20 customers).
 

@@ -62,6 +62,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         relational.user_count_accuracy,
         relational.USER_COUNT_ACCURACY_SQL,
     ),
+    "percentile_sketch_accuracy": (
+        relational.percentile_sketch_accuracy,
+        relational.PERCENTILE_SKETCH_ACCURACY_SQL,
+    ),
     "top_balance_per_nation": (
         relational.top_balance_per_nation,
         relational.TOP_BALANCE_PER_NATION_SQL,
@@ -270,6 +274,7 @@ _PRIORITY = [
     "sequence_packing",
     "ivf_ann_topk",
     "streaming_click_attribution",
+    "percentile_sketch_accuracy",
 ]
 
 

@@ -20,6 +20,7 @@ survives a 100 TB event stream.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -133,6 +134,28 @@ def tumbling_counts_stream(
     )
 
 
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession):
+    """Pin stateful-stream shuffle partitions to a fixture-sized count.
+
+    Each shuffle partition of a stateful operator owns a state store
+    (checkpoint dir + maintenance thread); at fixture scale 32 stores are
+    pure overhead (~2x wall on the harness queries, measured). A stream
+    captures the conf at .start(), so setting it around query start pins
+    the stream while leaving batch queries on the session default. At
+    production scale this knob is sized UP with key cardinality — state
+    parallelism, not a fixed constant."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def streaming_first_completed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable form of the ST2 stream: run the watermarked
     exactly-once completion pipeline to exhaustion (availableNow) and
@@ -147,7 +170,8 @@ def streaming_first_completed_query(spark: SparkSession, sf_dir: str) -> DataFra
 
     name = f"fc_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_fcq_")
-    q = first_completed_stream(spark, sf_dir, ckpt, name)
+    with _stream_partitions(spark):
+        q = first_completed_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(
@@ -184,7 +208,8 @@ def streaming_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"tw_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_twq_")
-    q = tumbling_counts_stream(spark, sf_dir, ckpt, name)
+    with _stream_partitions(spark):
+        q = tumbling_counts_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(
@@ -278,7 +303,8 @@ def streaming_click_attribution_query(
 
     name = f"ca_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_caq_")
-    q = click_attribution_stream(spark, sf_dir, ckpt, name)
+    with _stream_partitions(spark):
+        q = click_attribution_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(
