@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from databricks_observe_spark.sources.tables import fan_out
+
 
 def doc_tokens(t: dict[str, DataFrame]) -> DataFrame:
     """Materialized (doc_id, w: array<string>) token frame, memoized in the
@@ -21,11 +23,14 @@ def doc_tokens(t: dict[str, DataFrame]) -> DataFrame:
     Materialization matters: inside a higher-order ``transform`` the lambda
     is interpreted and would re-split the text once per element
     (O(tokens^2) per doc); over a plain array column each slice is O(k).
-    At scale this is "tokenize once, write, then derive".
+    At scale this is "tokenize once, write, then derive". ``fan_out``
+    spreads the single-row-group fixture scan across cores so everything
+    derived from this index runs partition-parallel (no-op on a
+    well-split production scan).
     """
     if "_doc_tokens" not in t:
         t["_doc_tokens"] = (
-            t["documents"].select("doc_id", F.split("text", " ").alias("w"))
+            fan_out(t["documents"]).select("doc_id", F.split("text", " ").alias("w"))
         ).localCheckpoint()
     return t["_doc_tokens"]
 

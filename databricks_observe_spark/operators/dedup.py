@@ -345,9 +345,7 @@ def simhash_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
     Bit b of md5's first 4 hex chars votes +1/-1 weighted by token
     occurrences; fingerprint packs the sign bits. Integer arithmetic only.
     """
-    toks = t["documents"].select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
+    toks = doc_tokens(t).select("doc_id", F.explode("w").alias("tok"))
     nib = [
         F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), j + 1, 1)) - 1
         for j in range(4)

@@ -121,4 +121,8 @@ def extract_features(blobs: DataFrame) -> DataFrame:
 
 
 def media_features(t: dict[str, DataFrame]) -> DataFrame:
-    return extract_features(media_blobs(t))
+    # fan_out: the Python decode stage is the CPU-bound path — spread the
+    # under-split fixture scan across cores (no-op on a well-split scan)
+    from databricks_observe_spark.sources.tables import fan_out
+
+    return extract_features(fan_out(media_blobs(t)))

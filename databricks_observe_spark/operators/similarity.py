@@ -34,6 +34,7 @@ from databricks_observe_spark.functions.vectors import (
     hyperplanes,
     norm_sql_unrolled,
 )
+from databricks_observe_spark.sources.tables import fan_out
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -73,7 +74,7 @@ def _doubled(t: dict[str, DataFrame]) -> DataFrame:
             return pd.Series(_np.sqrt(acc))
 
         t["_emb_norms"] = (
-            t["embeddings"]
+            fan_out(t["embeddings"])
             .select(
                 "vec_id",
                 F.col("embedding").cast("array<double>").alias("v"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from databricks_observe_spark.functions.textfns import doc_tokens
+from databricks_observe_spark.sources.tables import fan_out
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -99,7 +100,7 @@ def _char_trigrams(t: dict[str, DataFrame]) -> DataFrame:
     """
     if "_doc_trigrams" not in t:
         t["_doc_trigrams"] = (
-            t["documents"]
+            fan_out(t["documents"])
             .select(
                 "doc_id",
                 "lang",
@@ -221,8 +222,8 @@ def heavy_hitter_tokens(t: dict[str, DataFrame]) -> DataFrame:
     (ties -> token asc). The exact form of the frequency skim a curation
     pipeline uses to build stopword/blocklist tables."""
     df = (
-        t["documents"]
-        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        doc_tokens(t)
+        .select("doc_id", F.explode(F.array_distinct("w")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
@@ -485,7 +486,7 @@ def vocab_coverage(t: dict[str, DataFrame]) -> DataFrame:
     corpus-sized), which is the one place a global window is the right
     call — its input is already small enough to ship to one reducer, and
     only the top-{VOCAB_TOP} rows survive."""
-    toks = t["documents"].select(F.explode(F.split("text", " ")).alias("tok"))
+    toks = doc_tokens(t).select(F.explode("w").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     total = freq.agg(F.sum("freq").cast("double").alias("total"))
     w = Window.orderBy(F.desc("freq"), F.asc("tok"))

@@ -36,6 +36,27 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise a frame's partition count to the session's core count when the
+    physical scan under-splits — and ONLY then.
+
+    The fixtures are single-row-group parquet files, which a row-group-
+    aligned reader cannot split: every downstream map stage (tokenize,
+    shingle, trigram, Arrow rescore) runs as ONE task no matter how many
+    cores the session has. CPU-heavy index builders route their input
+    through this helper so that work fans out across the machine.
+
+    At production scale a 100 TB table scans as thousands of splits, the
+    guard sees partitions >= cores, and this is a no-op — it never adds a
+    shuffle to a well-split scan. ``rdd.getNumPartitions()`` inspects the
+    physical plan without running a job, so the check itself is free.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table and register it as a temp view.
 
