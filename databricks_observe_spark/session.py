@@ -47,8 +47,11 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
         # state commits per micro-batch on a 32-core box
         ("spark.sql.shuffle.partitions", "32"),
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
-        # events.parquet carries TIMESTAMP(NANOS) which Spark refuses natively;
-        # read as long and convert (lossless here: fixtures are micro-aligned).
+        # Compatibility fallback only: IF a fixture is re-materialized with
+        # TIMESTAMP(NANOS) (round-1 layout), this makes it readable as BIGINT
+        # instead of a hard reader error; sources/tables.normalize_events_ts
+        # dtype-detects and converts either layout. No-op for the current
+        # micros fixtures.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:

@@ -7,9 +7,11 @@ Stands in for the reference's remote scans — ``spark.read.table`` at
 Design notes for scale (SURVEY.md §4): these are plain ``spark.read.parquet``
 scans, so Catalyst pushes predicates and prunes columns into the parquet
 reader for every downstream operator; nothing here collects or caches by
-default. ``events`` carries a nanosecond parquet timestamp — we normalize to
-Spark's microsecond TIMESTAMP once at load so window/session operators and
-the DuckDB oracle agree (SURVEY.md §7 hard part 4).
+default. ``events.ts``'s physical parquet type has varied across fixture
+re-materializations (TIMESTAMP(NANOS) read as long, TIMESTAMP(MICROS) read
+as TIMESTAMP_NTZ) — we DETECT the layout and normalize to Spark's
+microsecond TIMESTAMP once at load so window/session operators and the
+DuckDB oracle agree (SURVEY.md §7 hard part 4; VERDICT r02 item 1).
 """
 
 from __future__ import annotations
@@ -34,6 +36,61 @@ TABLE_NAMES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Physical types we accept per contract-critical column. The fixtures are
+# driver-generated and have been re-materialized with different physical
+# types across rounds (ts: timestamp[ns]-read-as-long, then timestamp[us]);
+# the loader DETECTS the layout instead of assuming one, and anything
+# outside this set fails with a named error instead of a Catalyst
+# DATATYPE_MISMATCH deep inside a query plan.
+_EVENTS_TS_TYPES = ("bigint", "timestamp", "timestamp_ntz")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to Spark's microsecond TIMESTAMP regardless of
+    the fixture's physical layout.
+
+    - ``bigint``: parquet TIMESTAMP(NANOS) read via the nanosAsLong fallback
+      -> integer-divide to micros (float division would drift by 1us on
+      int64-sized epochs) and convert.
+    - ``timestamp`` / ``timestamp_ntz``: native micros parquet timestamp ->
+      cast (session timezone is UTC, so NTZ values read as UTC instants).
+    - anything else: raise with the column and type NAMED, so fixture drift
+      fails loudly at load, not inside query execution.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"fixture contract violation: events.ts has physical type {dtype!r}; "
+        f"expected one of {_EVENTS_TS_TYPES}. The fixture layout drifted — "
+        "teach normalize_events_ts the new type rather than patching queries."
+    )
+
+
+def check_fixture_contract(tables: dict[str, DataFrame]) -> None:
+    """Fail fast, with named messages, if a re-materialized fixture carries a
+    physical type the engine's operators don't expect (VERDICT r02 item 2)."""
+    problems: list[str] = []
+    ts_type = dict(tables["events"].dtypes).get("ts")
+    if ts_type != "timestamp":
+        problems.append(f"events.ts normalized to {ts_type!r}, want 'timestamp'")
+    od_type = dict(tables["orders"].dtypes).get("o_orderdate")
+    if od_type not in ("date", "timestamp", "timestamp_ntz"):
+        problems.append(
+            f"orders.o_orderdate is {od_type!r}, want date/timestamp[_ntz]"
+        )
+    emb_type = dict(tables["embeddings"].dtypes).get("embedding")
+    if emb_type not in ("array<float>", "array<double>"):
+        problems.append(
+            f"embeddings.embedding is {emb_type!r}, want array<float|double>"
+        )
+    if problems:
+        raise TypeError(
+            "fixture contract violation(s): " + "; ".join(problems)
+        )
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -69,13 +126,8 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)
         if name == "events":
-            # parquet ts is TIMESTAMP(NANOS): read as long (nanosAsLong conf in
-            # ensure_conf) and convert to Spark's microsecond TIMESTAMP. The
-            # fixtures are micro-aligned so this is lossless and agrees with
-            # the DuckDB oracle's nanosecond view of the same file.
-            # integer division — float division would lose ns precision on
-            # int64-sized epochs and shift timestamps by 1 microsecond
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_events_ts(df)
         df.createOrReplaceTempView(name)
         out[name] = df
+    check_fixture_contract(out)
     return out

@@ -27,11 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from databricks_observe_spark.session import ensure_conf
-
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
+from databricks_observe_spark.sources.tables import normalize_events_ts
 
 TERMINAL_STATE = "COMPLETED"  # dlt_sensor.py:6
 WATERMARK = "1 hour"
@@ -41,16 +37,25 @@ def stream_events(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """File-source stream over the events fixture (stands in for the REST
-    polling feed). ts arrives as raw nanos (nanosAsLong) and is normalized
-    exactly like the batch loader."""
+    polling feed).
+
+    The reader schema is DETECTED from a batch read of the same file rather
+    than hardcoded: a streaming file source silently coerces data to a wrong
+    declared schema (VERDICT r02 item 2 — a hardcoded ``ts bigint`` over
+    micros-timestamp parquet produced garbage epochs and silently-wrong
+    windows, not an error). ts is then normalized by the exact same
+    dtype-conditional rule as the batch loader, so batch ts == stream ts by
+    construction (pinned by tests/test_streaming.py's parity test).
+    """
     ensure_conf(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, glob)).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", glob)  # file sources want a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def stream_updates(events: DataFrame) -> DataFrame:
