@@ -1,0 +1,92 @@
+"""Fixture-drift smoke tests (VERDICT r02 item 2).
+
+Round 2 was zeroed because the driver re-materialized the fixtures with a
+different physical parquet type for ``events.ts`` (timestamp[us] instead of
+nanos-read-as-long) and the loader assumed the old layout. These tests pin
+the contract: the loader must DETECT any layout in the accepted set, batch
+and streaming reads must agree exactly, and an unknown layout must fail with
+a named error instead of a Catalyst type mismatch deep in a plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_observe_spark.sources.tables import (
+    TABLE_NAMES,
+    check_fixture_contract,
+    load_tables,
+    normalize_events_ts,
+)
+from databricks_observe_spark.streaming.state import stream_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_fixture_contract(spark):
+    """Every fixture loads; contract-critical columns land on the expected
+    Spark types regardless of the physical parquet layout."""
+    tables = load_tables(spark, SF_DIR)
+    assert set(tables) == set(TABLE_NAMES)
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+    assert dict(tables["orders"].dtypes)["o_orderdate"] in (
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    )
+    assert dict(tables["embeddings"].dtypes)["embedding"] in (
+        "array<float>",
+        "array<double>",
+    )
+    # check_fixture_contract is what load_tables runs; re-run standalone so a
+    # failure names this test
+    check_fixture_contract(tables)
+
+
+def test_normalize_events_ts_accepts_both_layouts(spark):
+    """bigint-nanos (round-1 layout) and native timestamp (round-2 layout)
+    normalize to the same instants."""
+    ns = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in nanos
+    as_long = spark.createDataFrame([(ns,), (ns + 3_600_000_000_000,)], "ts bigint")
+    as_ts = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"])})
+    )
+    a = normalize_events_ts(as_long)
+    b = normalize_events_ts(as_ts)
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    assert dict(b.dtypes)["ts"] == "timestamp"
+    assert sorted(r.ts for r in a.collect()) == sorted(r.ts for r in b.collect())
+
+
+def test_normalize_events_ts_rejects_unknown_layout(spark):
+    bad = spark.createDataFrame([("2024-01-01",)], "ts string")
+    with pytest.raises(TypeError, match="events.ts"):
+        normalize_events_ts(bad)
+
+
+def test_batch_ts_equals_streaming_ts(spark, tables):
+    """The streaming reader must see byte-identical timestamps to the batch
+    loader on the same fixture — the r02 silent-garbage failure mode."""
+    import tempfile
+
+    batch = tables["events"].agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_parity_")
+    q = (
+        stream_events(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("ts_parity_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("ts_parity_stream").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (got.lo, got.hi, got.n) == (batch.lo, batch.hi, batch.n)
