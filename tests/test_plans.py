@@ -181,3 +181,26 @@ def test_sequence_packing_single_partition_window_per_lang(tables):
     # must not fall back to a global (single-partition) sort
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_heavy_hitter_top20_is_distributed_take_ordered(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.heavy_hitter_tokens(tables))
+    # the corpus-wide top-20 must plan as TakeOrderedAndProject (per-task
+    # heaps merged on the driver), not a row_number() window funnelling the
+    # full vocab through one reducer; the only Window left runs over the 20
+    # surviving rows
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_vocab_coverage_prunes_before_global_window(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.vocab_coverage(tables))
+    # the kth-frequency prefilter (broadcast scalar + >= filter) must sit
+    # between the vocab aggregate and the cumulative-sum window, so the
+    # single-partition window sees ~VOCAB_TOP rows, not the whole vocab
+    assert "TakeOrderedAndProject" in plan
+    assert "(freq" in plan and ">= kth_freq" in plan
