@@ -29,6 +29,7 @@ from databricks_observe_spark.sources.catalog_model import (
     SKIP_ASSETS,
     oracle_with_clause,
 )
+from databricks_observe_spark.sources.tables import TABLE_NAMES
 
 SANITIZE_RE = "[^a-zA-Z0-9_]+"  # semantics of dlt_assets.py:33-34 / F1
 
@@ -322,3 +323,47 @@ OBJECT_COUNT_ROLLUP_SQL = oracle_with_clause("catalog_objects") + """
 SELECT catalog, schema, COUNT(*) AS n_objects
 FROM catalog_objects GROUP BY ROLLUP (catalog, schema)
 """
+
+
+def discovered_objects_live(spark, sf_dir: str) -> DataFrame:
+    """S1-S3 against a LIVE session catalog (reference
+    ``table_discovery.py:17-43``): enumerate actual catalog objects with
+    ``SHOW`` statements instead of the fixture-derived ``catalog_objects``
+    frame, then run the identical exclusion + dedup chain.
+
+    The engine registers every loaded table in the session's
+    ``global_temp`` namespace (sources/tables.py), which only it writes
+    to; the walk reads ``current_catalog()`` and ``SHOW VIEWS`` — real
+    catalog introspection, not fixture data. Unnamed session-local temp
+    views (streaming memory sinks, scratch views) surface with an empty
+    namespace and are mapped to the empty catalog, which the P2 denylist
+    (``EXCLUDED_CATALOGS = {""}``) drops — the same rule that excludes the
+    reference's catalog-less objects. Against a metastore-backed session
+    the identical chain walks ``spark.catalog.listCatalogs()`` /
+    ``SHOW SCHEMAS`` / ``SHOW TABLES`` — SHOW output is metastore-sized,
+    so the frame stays broadcast-small at any corpus scale.
+    """
+    from databricks_observe_spark.engine import prepare
+
+    prepare(spark, sf_dir)  # registers the global_temp views
+    views = spark.sql("SHOW VIEWS IN global_temp").select(
+        F.when(F.col("namespace") == "", F.lit(""))
+        .otherwise(F.expr("current_catalog()"))
+        .alias("catalog"),
+        F.col("namespace").alias("schema"),
+        F.col("viewName").alias("table"),
+    )
+    return views.filter(_not_excluded()).dropDuplicates(
+        ["catalog", "schema", "table"]
+    )
+
+
+# The live walk's expectation is the fixture manifest itself (TABLE_NAMES
+# rendered to VALUES): if view registration or the exclusion chain breaks,
+# the live enumeration diverges from this pinned list.
+DISCOVERED_OBJECTS_LIVE_SQL = (
+    "SELECT 'spark_catalog' AS catalog, 'global_temp' AS schema, \"table\"\n"
+    "FROM (VALUES "
+    + ", ".join(f"('{n}')" for n in TABLE_NAMES)
+    + ') AS v("table")'
+)

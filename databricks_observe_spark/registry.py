@@ -201,6 +201,22 @@ def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_state.streaming_click_attribution_query(spark, sf_dir)
 
 
+# --- live-session queries (take (spark, sf_dir) directly: they introspect
+# the SparkSession itself, not the fixture frames) ---
+
+
+def _discovered_objects_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog_ops.discovered_objects_live(spark, sf_dir)
+
+
+_LIVE_QUERIES: dict[str, tuple] = {
+    "discovered_objects_live": (
+        _discovered_objects_live,
+        catalog_ops.DISCOVERED_OBJECTS_LIVE_SQL,
+    ),
+}
+
+
 _STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_first_completed": (
         _streaming_first_completed,
@@ -279,6 +295,7 @@ _PRIORITY = [
     "ivf_ann_topk",
     "streaming_click_attribution",
     "percentile_sketch_accuracy",
+    "discovered_objects_live",  # new this round
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",
@@ -307,19 +324,23 @@ _PRIORITY = [
 
 
 def _ordered_names() -> list[str]:
-    all_names = list(_REGISTRY) + list(_STREAMING_QUERIES)
+    all_names = list(_REGISTRY) + list(_LIVE_QUERIES) + list(_STREAMING_QUERIES)
     rest = [n for n in all_names if n not in _PRIORITY]
     return _PRIORITY + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _wrap(fn) for name, (fn, _) in _REGISTRY.items()}
+    out.update({name: fn for name, (fn, _) in _LIVE_QUERIES.items()})
     out.update({name: fn for name, (fn, _) in _STREAMING_QUERIES.items()})
     return {name: out[name] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    out.update(
+        {name: sql for name, (_, sql) in _LIVE_QUERIES.items() if sql is not None}
+    )
     out.update(
         {name: sql for name, (_, sql) in _STREAMING_QUERIES.items() if sql is not None}
     )

@@ -128,6 +128,12 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         if name == "events":
             df = normalize_events_ts(df)
         df.createOrReplaceTempView(name)
+        # Also register under the session's global_temp namespace: a real,
+        # catalog-visible schema that ONLY the engine writes to, so the
+        # live-catalog discovery walk (operators/catalog_ops.py:
+        # discovered_objects_live, S1-S3 over an actual session catalog)
+        # has a deterministic namespace to enumerate.
+        df.createOrReplaceGlobalTempView(name)
         out[name] = df
     check_fixture_contract(out)
     return out

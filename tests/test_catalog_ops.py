@@ -46,3 +46,19 @@ def test_named_assets_sanitize_dedup(tables):
     assert ("job", "Weekly_Report_1") in rows
     # A5 dedup: two 'Daily ETL Load' pipelines collapse to first id
     assert rows[("pipeline", "Daily_ETL_Load")].entity_id == "pl-001"
+
+
+def test_discovered_objects_live_walks_session_catalog(spark, tables):
+    from databricks_observe_spark.operators.catalog_ops import (
+        discovered_objects_live,
+    )
+    from databricks_observe_spark.sources.tables import TABLE_NAMES
+
+    # pollute the session with an unnamed temp view (streaming memory sinks
+    # look like this): the P2 empty-catalog denylist must drop it
+    spark.range(3).createOrReplaceTempView("scratch_live_view")
+    rows = discovered_objects_live(spark, "/root/testdata/sf0.001").collect()
+    got = {(r.catalog, r.schema, r.table) for r in rows}
+    assert got == {
+        ("spark_catalog", "global_temp", n) for n in TABLE_NAMES
+    }
