@@ -367,3 +367,68 @@ DISCOVERED_OBJECTS_LIVE_SQL = (
     + ", ".join(f"('{n}')" for n in TABLE_NAMES)
     + ') AS v("table")'
 )
+
+
+def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
+    """S6 full-field parity: the complete DESCRIBE DETAIL row the reference
+    reads per table (``dlt_assets.py:154-156``) — qualified name, format,
+    location, created/modified timestamps, file count, total bytes,
+    description — assembled as ONE job instead of a per-table loop.
+
+    ``created_at`` is NULL in this storage model (parquet exposes only
+    mtimes), so ``created_or_modified = coalesce(created_at, last_modified)``
+    exercises F4's original site exactly as the reference does: a missing
+    createdAt falls through to lastModified. Storage wall-clock fields are
+    environment-dependent -> rows-only check; the deterministic fields
+    (name/format/description) are cross-checked by ``tables_enriched``'s
+    oracle-paired query.
+    """
+    profiled = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    frames = []
+    for name in profiled:
+        per_file = (
+            t[name]
+            .select(
+                F.col("_metadata.file_path").alias("path"),
+                F.col("_metadata.file_size").alias("file_size"),
+                F.col("_metadata.file_modification_time").alias("mtime"),
+            )
+            .distinct()
+        )
+        frames.append(
+            per_file.agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("num_files"),
+                F.sum("file_size").alias("size_in_bytes"),
+                F.min("mtime").alias("_min_mtime"),
+                F.max("mtime").alias("_max_mtime"),
+                F.regexp_replace(
+                    F.first("path"), "/[^/]+$", ""
+                ).alias("location"),
+            )
+        )
+    files = reduce(DataFrame.union, frames)
+    enriched = tables_enriched(t).filter(
+        (F.col("catalog") == "testdata") & (F.col("schema") == "main")
+    )
+    created_at = F.lit(None).cast("timestamp")  # not in parquet storage
+    return (
+        files.join(F.broadcast(enriched), on="table", how="inner")
+        .select(
+            F.concat_ws(".", "catalog", "schema", "table").alias("name"),
+            "format",
+            "location",
+            created_at.alias("created_at"),
+            F.col("_max_mtime").alias("last_modified"),
+            # F4's original site: createdAt or lastModified
+            F.coalesce(created_at, F.col("_max_mtime")).alias(
+                "created_or_modified"
+            ),
+            "num_files",
+            "size_in_bytes",
+            "description",
+        )
+    )

@@ -90,6 +90,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "table_profiles": (catalog_ops.table_profiles, catalog_ops.TABLE_PROFILES_SQL),
     # storage mtimes are environment-dependent -> rows-only
     "table_files_meta": (catalog_ops.table_files_meta, None),
+    # S6 full DESCRIBE DETAIL field set (created/modified coalesce) -> rows-only
+    "describe_detail": (catalog_ops.describe_detail, None),
     "named_assets": (catalog_ops.named_assets, catalog_ops.NAMED_ASSETS_SQL),
     "object_count_rollup": (
         catalog_ops.object_count_rollup,
@@ -201,6 +203,11 @@ def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_state.streaming_click_attribution_query(spark, sf_dir)
 
 
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)  # ensure confs on the session
+    return streaming_state.streaming_sessionize_query(spark, sf_dir)
+
+
 # --- live-session queries (take (spark, sf_dir) directly: they introspect
 # the SparkSession itself, not the fixture frames) ---
 
@@ -230,6 +237,12 @@ _STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_click_attribution": (
         _streaming_click_attribution,
         streaming_state.STREAMING_CLICK_ATTRIBUTION_SQL,
+    ),
+    # the applyInPandasWithState custom sessionizer, pinned against the
+    # relational gaps-and-islands oracle (closed sessions only)
+    "streaming_sessionize": (
+        _streaming_sessionize,
+        streaming_state.STREAMING_SESSIONIZE_SQL,
     ),
 }
 
@@ -296,6 +309,8 @@ _PRIORITY = [
     "streaming_click_attribution",
     "percentile_sketch_accuracy",
     "discovered_objects_live",  # new this round
+    "streaming_sessionize",  # new this round
+    "describe_detail",  # new this round (rows-only)
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",

@@ -442,3 +442,63 @@ def transition_log_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of the applyInPandasWithState sessionizer: run
+    to exhaustion (availableNow) and return every CLOSED session.
+
+    The custom state fold emits a session the moment a >= 2 h gap closes
+    it; each user's final session stays open in the state store, so the
+    emitted set == the batch gaps-and-islands sessions minus each user's
+    last one — which is exactly what the SQL oracle computes (QUALIFY
+    session_id < MAX(session_id) per user). This pins the arbitrary-state
+    operator against relational semantics, not just a row count.
+    """
+    import tempfile
+    import uuid
+
+    name = f"sess_q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sessq_")
+    with _stream_partitions(spark):
+        q = sessionize_stream(spark, sf_dir, ckpt, name)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_sessionize did not finish its availableNow run within 300s"
+        )
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session DESC
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+agg AS (
+  SELECT user_id, session_id,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         COUNT(*) AS n_events,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, n_events, sum_value
+FROM agg
+QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+"""

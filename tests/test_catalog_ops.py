@@ -62,3 +62,19 @@ def test_discovered_objects_live_walks_session_catalog(spark, tables):
     assert got == {
         ("spark_catalog", "global_temp", n) for n in TABLE_NAMES
     }
+
+
+def test_describe_detail_field_set(tables):
+    from databricks_observe_spark.operators.catalog_ops import describe_detail
+    from databricks_observe_spark.sources.tables import TABLE_NAMES
+
+    rows = {r.name: r for r in describe_detail(tables).collect()}
+    assert set(rows) == {f"testdata.main.{n}" for n in TABLE_NAMES}
+    ev = rows["testdata.main.events"]
+    assert ev.num_files >= 1 and ev.size_in_bytes > 0
+    assert ev.location.endswith("sf0.001")
+    # F4's original site: createdAt missing in this storage model, so the
+    # coalesce must fall through to lastModified
+    assert ev.created_at is None
+    assert ev.created_or_modified == ev.last_modified is not None
+    assert rows["testdata.main.orders"].format == "deltalake"
