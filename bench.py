@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "contamination_check",
     "sequence_packing",
     "ivf_ann_topk",
+    "pii_redaction",
+    "unigram_kl",
+    "stratified_sample",
+    "kmeans_clusters",
 ]
 
 

@@ -638,3 +638,158 @@ SELECT query_id, vec_id AS neighbor_id,
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
+
+
+# --- k-means document clustering (Lloyd's algorithm) ------------------------
+# The SemDeDup/cluster-balancing primitive of a curation pipeline: cluster
+# the embedding space, then sample/filter per cluster. K and the iteration
+# count are pipeline constants; init is the K lowest vec_ids so every
+# engine/run reproduces the exact same trajectory.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _sq_dist_assign(bc):
+    """Arrow kernel: nearest centroid by squared L2, fixed left-to-right
+    accumulation over dimensions (the oracle's unrolled op order), ties ->
+    lowest cluster index."""
+
+    def assign(batches):
+        import numpy as _np
+
+        c_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
+            acc = d0 * d0
+            for d in range(1, c_mat.shape[1]):
+                dd = c_mat[:, d][:, None] - mat[:, d][None, :]
+                acc = acc + dd * dd
+            best = _np.argmin(acc, axis=0)  # first minimal index == lowest cluster
+            out = pdf[["vec_id", "v", "label"]].copy()
+            out["cluster"] = best.astype("int32")
+            out["sq_dist"] = acc[best, _np.arange(acc.shape[1])]
+            yield out
+
+    return assign
+
+
+def _init_centroids(t: dict[str, DataFrame]):
+    """K lowest vec_ids as the deterministic init (a float mean would
+    depend on summation order; data rows are engine-independent)."""
+    import numpy as np
+
+    rows = (
+        _doubled(t)
+        .filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "v")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    return np.array([r.v for r in rows], dtype=np.float64)
+
+
+def kmeans_assign(t: dict[str, DataFrame]) -> DataFrame:
+    """One E-step against the deterministic init codebook, oracle-paired:
+    proves the distance kernel and tie-breaking match the relational
+    semantics bit-for-bit before the iterative form builds on them."""
+    e = _doubled(t)
+    bc = e.sparkSession.sparkContext.broadcast(_init_centroids(t))
+    out = e.select("vec_id", "v", F.col("label")).mapInPandas(
+        _sq_dist_assign(bc),
+        "vec_id bigint, v array<double>, label int, cluster int, sq_dist double",
+    )
+    return out.select(
+        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist_r"), "label"
+    )
+
+
+def _dist_sql_unrolled(a: str, b: str, dim: int) -> str:
+    terms = [f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, dim + 1)]
+    return "(" + " + ".join(terms) + ")"
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
+      FROM e0 WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT e0.vec_id, c.cluster, e0.label,
+         {_dist_sql_unrolled('e0.v', 'c.cv', 64)} AS sq_dist
+  FROM e0 CROSS JOIN c
+)
+SELECT vec_id, cluster, round(sq_dist, 6) AS sq_dist_r, label
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq_dist ASC, cluster ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
+    """Full Lloyd k-means ({KMEANS_ITERS} iterations, K={KMEANS_K}) over the
+    embedding corpus, returning the per-cluster curation summary
+    (size, inertia, majority label, purity).
+
+    Iteration shape at scale: the E-step is one Arrow pass against the
+    BROADCAST centroid matrix (K x 64 doubles — constant size, the "ship
+    the codebook to the data" move); the M-step is posexplode ->
+    map-side-combined groupBy (cluster, dim) -> a K*64-row collect. Nothing
+    corpus-sized ever reaches the driver, and each iteration is two jobs
+    regardless of corpus size. Centroid means use float sums (order-
+    dependent), so the full iterative form is checked rows-only + pytest
+    determinism/quality gates; the oracle-paired E-step is kmeans_assign.
+    """
+    e = _doubled(t).select("vec_id", "v", "label").localCheckpoint()
+    sc = e.sparkSession.sparkContext
+    cents = _init_centroids(t)
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        bc = sc.broadcast(cents)
+        assigned = e.mapInPandas(
+            _sq_dist_assign(bc),
+            "vec_id bigint, v array<double>, label int, cluster int, sq_dist double",
+        )
+        # M-step: elementwise mean per cluster, distributed two-level agg
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        import numpy as np
+
+        new_c = cents.copy()  # empty cluster keeps its old centroid
+        by_cluster: dict[int, list] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster, []).append(r)
+        for cl, rows in by_cluster.items():
+            for r in rows:
+                new_c[cl][r.dim] = r.s / r.n
+        cents = new_c
+    maj = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    label_counts = (
+        assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    )
+    majority = (
+        label_counts.withColumn("rn", F.row_number().over(maj))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("n_major"))
+    )
+    summary = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum(F.round("sq_dist", 9).cast("decimal(28,9)")).cast("double"), 3).alias("inertia_r"),
+    )
+    return (
+        summary.join(F.broadcast(majority), on="cluster")
+        .select(
+            "cluster",
+            "n_vectors",
+            "inertia_r",
+            "majority_label",
+            F.round(F.col("n_major") / F.col("n_vectors"), 6).alias("purity_r"),
+        )
+    )

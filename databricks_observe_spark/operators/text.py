@@ -551,3 +551,183 @@ SELECT tok, freq, rank, round(CAST(cum_freq AS DOUBLE) / total, 6) AS cum_share
 FROM ranked, total
 WHERE rank <= {VOCAB_TOP}
 """
+
+
+# --- PII scrubbing ----------------------------------------------------------
+# (name, pattern, replacement): RE2-and-Java-compatible (no lookaround), in
+# a FIXED application order (SSN before phone so the narrower pattern wins).
+# One shared literal list renders into both engines so the redaction
+# semantics cannot drift. The fixture corpus is synthetic and PII-free —
+# the oracle proves cross-engine regex agreement on it (md5 of the scrubbed
+# text), while tests/test_text_multimodal.py drives synthetic PII through
+# the same expressions to prove the patterns actually redact.
+PII_PATTERNS = [
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_redact_expr(col: F.Column) -> F.Column:
+    """Sequential redaction of every PII pattern over a text column."""
+    out = col
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_redaction(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-doc PII scrub: hit counts per pattern (on the original text) and
+    the md5 of the sequentially-redacted text. One corpus scan, all JVM
+    regex — the shape a compliance pass runs before training-data export.
+    """
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    total = sum(F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS)
+    return fan_out(t["documents"]).select(
+        "doc_id",
+        *counts,
+        total.cast("int").alias("n_redactions"),
+        F.md5(pii_redact_expr(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def _pii_redact_sql(col: str) -> str:
+    out = col
+    for _, pat, rep in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+PII_REDACTION_SQL = f"""
+SELECT doc_id,
+       {", ".join(f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{n}" for n, p, _ in PII_PATTERNS)},
+       CAST({" + ".join(f"len(regexp_extract_all(text, '{p}'))" for _, p, _ in PII_PATTERNS)} AS INT) AS n_redactions,
+       md5({_pii_redact_sql('text')}) AS redacted_md5
+FROM documents
+"""
+
+
+# --- corpus mixture rebalancing ---------------------------------------------
+
+
+def mixture_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-language sampling weights toward a UNIFORM language mixture —
+    the up/down-weighting table a pretraining data-mixing stage consumes.
+
+    weight = target_share / actual_share = (total / n_langs) / n_lang,
+    computed from exact integer counts with one final double division, so
+    both engines agree bit-for-bit. Output is language-cardinality-sized
+    (broadcast-small at any corpus scale)."""
+    d = t["documents"]
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return counts.join(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "actual_share_r"
+        ),
+        F.round(
+            (F.col("total").cast("double") / F.col("n_langs")) / F.col("n_docs"), 6
+        ).alias("weight_r"),
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c)
+SELECT lang, n_docs,
+       round(CAST(n_docs AS DOUBLE) / total, 6) AS actual_share_r,
+       round((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight_r
+FROM c CROSS JOIN t
+"""
+
+
+def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Language-balanced downsample: every language is cut to ~the smallest
+    language's size by a content-stable md5 bucket — reproducible across
+    runs, engines and partitionings (df.sample() is none of those).
+
+    The keep decision is the exact integer comparison
+    ``bucket * n_lang < min_count * 10^6`` (bucket uniform in [0, 10^6)),
+    so no float rate ever enters the plan. The per-lang counts side is
+    language-cardinality-sized -> broadcast."""
+    d = t["documents"]
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    mn = counts.agg(F.min("n_lang").alias("min_count"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") % 1000000
+    return (
+        d.join(F.broadcast(counts), on="lang")
+        .join(F.broadcast(mn))
+        .withColumn("bucket", bucket)
+        .filter(
+            F.col("bucket") * F.col("n_lang") < F.col("min_count") * F.lit(1000000)
+        )
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_lang) AS min_count FROM c)
+SELECT doc_id, d.lang, source,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000 AS bucket
+FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000 * c.n_lang
+      < m.min_count * 1000000
+"""
+
+
+def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document KL divergence of the doc unigram distribution from the
+    corpus distribution — the distribution-shift score a curation pass uses
+    to flag outlier/templated documents (high KL = atypical vocabulary).
+
+    p = tf/len(doc), q = cf/total; KL = sum p*ln(p/q). Per-term doubles are
+    deterministic (fixed expression per row); the per-doc SUM is made
+    order-independent by rounding each term to 12 decimals and summing as
+    DECIMAL — bit-identical across engines and partitionings. Two corpus
+    shuffles (doc-term, corpus-term), both map-side combined; the corpus
+    frequency side is vocab-sized -> broadcast."""
+    toks = doc_tokens(t).select(
+        "doc_id", F.size("w").alias("n"), F.explode("w").alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "n", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    p = F.col("tf").cast("double") / F.col("n")
+    q = F.col("cf").cast("double") / F.col("total")
+    term = F.round(p * F.log(p / q), 12).cast("decimal(28,12)")
+    return (
+        tf.join(F.broadcast(cf), on="tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "n")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("kl_r"))
+        .select("doc_id", F.col("n").alias("n_tokens"), "kl_r")
+    )
+
+
+UNIGRAM_KL_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, n, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+cf AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM toks)
+SELECT doc_id, n AS n_tokens,
+       round(CAST(SUM(CAST(round((CAST(tf AS DOUBLE) / n) *
+                     ln((CAST(tf AS DOUBLE) / n) / (CAST(cf AS DOUBLE) / total)), 12)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_r
+FROM tf JOIN cf USING (tok) CROSS JOIN tot
+GROUP BY doc_id, n
+"""

@@ -166,6 +166,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_TOPK_SQL),
     "ivf_ann_topk": (similarity.ivf_ann_topk, similarity.IVF_ANN_TOPK_SQL),
+    # k-means E-step, oracle-paired; the full Lloyd loop is rows-only
+    # (float centroid means are summation-order-dependent)
+    "kmeans_assign": (similarity.kmeans_assign, similarity.KMEANS_ASSIGN_SQL),
+    "kmeans_clusters": (similarity.kmeans_clusters, None),
     # --- text analysis ---
     "text_stats": (text.text_stats, text.TEXT_STATS_SQL),
     "lang_profile": (text.lang_profile, text.LANG_PROFILE_SQL),
@@ -178,6 +182,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "vocab_coverage": (text.vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "repetition_signals": (text.repetition_signals, text.REPETITION_SIGNALS_SQL),
     "sequence_packing": (text.sequence_packing, text.SEQUENCE_PACKING_SQL),
+    "pii_redaction": (text.pii_redaction, text.PII_REDACTION_SQL),
+    "mixture_weights": (text.mixture_weights, text.MIXTURE_WEIGHTS_SQL),
+    "stratified_sample": (text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
+    "unigram_kl": (text.unigram_kl, text.UNIGRAM_KL_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
@@ -311,6 +319,12 @@ _PRIORITY = [
     "discovered_objects_live",  # new this round
     "streaming_sessionize",  # new this round
     "describe_detail",  # new this round (rows-only)
+    "kmeans_assign",  # new this round
+    "kmeans_clusters",  # new this round (rows-only)
+    "pii_redaction",  # new this round
+    "mixture_weights",  # new this round
+    "stratified_sample",  # new this round
+    "unigram_kl",  # new this round
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",

@@ -267,3 +267,34 @@ def test_contamination_only_reports_real_overlap(tables):
         assert r.doc_id % D.EVAL_MOD != 0
         assert 1 <= r.n_overlap <= r.n_shingles
         assert len(grams(texts[r.doc_id]) & ev_grams) == r.n_overlap
+
+
+def test_kmeans_assign_matches_init_codebook(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    rows = S.kmeans_assign(tables).collect()
+    n_vecs = tables["embeddings"].count()
+    assert len(rows) == n_vecs
+    # each init vector is its own nearest centroid at distance 0
+    own = {r.vec_id: r for r in rows if r.vec_id < S.KMEANS_K}
+    for vid, r in own.items():
+        assert r.sq_dist_r == 0.0 and r.cluster == vid
+
+
+def test_kmeans_clusters_deterministic_and_improving(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    a = sorted(S.kmeans_clusters(tables).collect())
+    b = sorted(S.kmeans_clusters(tables).collect())
+    assert a == b  # bit-stable across runs (broadcast init, fixed op order)
+    assert sum(r.n_vectors for r in a) == tables["embeddings"].count()
+    assert all(r.n_vectors > 0 for r in a)
+    # Lloyd iterations must not be worse than the init assignment
+    init_inertia = (
+        S.kmeans_assign(tables).agg({"sq_dist_r": "sum"}).collect()[0][0]
+    )
+    assert sum(r.inertia_r for r in a) <= init_inertia
+    # clusters capture latent structure: majority label better than chance
+    n_labels = tables["embeddings"].select("label").distinct().count()
+    avg_purity = sum(r.purity_r for r in a) / len(a)
+    assert avg_purity > 1.5 / n_labels

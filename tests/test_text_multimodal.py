@@ -167,3 +167,68 @@ def test_sequence_packing_conserves_tokens(tables):
         assert [r.bin_id for r in rs] == list(range(len(rs)))
         for a, b in zip(rs, rs[1:]):
             assert a.last_doc <= b.first_doc
+
+
+def test_pii_redaction_scrubs_synthetic_pii(spark):
+    import duckdb
+
+    import databricks_observe_spark.operators.text as T
+
+    samples = [
+        (0, "contact bob.smith+x@corp.example.org today"),
+        (1, "ssn 123-45-6789 and phone 555-867-5309x"),
+        (2, "server at 10.0.255.7 responded"),
+        (3, "clean text with no sensitive content"),
+        (4, "two mails a@b.io c@d.co one ip 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", T.pii_redact_expr(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert got[0].red == "contact <EMAIL> today"
+    assert got[1].red == "ssn <SSN> and phone <PHONE>x"
+    assert got[2].red == "server at <IP> responded"
+    assert got[3].red == "clean text with no sensitive content"
+    assert got[4].red == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    # cross-engine: DuckDB's RE2 must scrub to the identical strings
+    con = duckdb.connect()
+    for doc_id, text in samples:
+        (dred,) = con.execute(
+            f"SELECT {T._pii_redact_sql('?')}", [text]
+        ).fetchone()
+        assert dred == got[doc_id].red, (doc_id, dred)
+
+
+def test_stratified_sample_balances_languages(tables):
+    import databricks_observe_spark.operators.text as T
+
+    kept = T.stratified_sample(tables).groupBy("lang").count().collect()
+    full = {r.lang: r.c for r in
+            tables["documents"].groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    mn = min(full.values())
+    for r in kept:
+        # each language lands near the smallest language's size (hash noise
+        # allowed), i.e. genuinely rebalanced rather than proportionally cut
+        assert r["count"] <= full[r.lang]
+        assert abs(r["count"] - mn) <= max(6, mn * 0.5)
+
+
+def test_unigram_kl_flags_repetitive_doc(spark, tables):
+    import databricks_observe_spark.operators.text as T
+
+    rows = {r.doc_id: r.kl_r for r in T.unigram_kl(tables).collect()}
+    assert len(rows) == tables["documents"].count()
+    # KL >= 0 up to rounding noise on every doc
+    assert all(v >= -1e-6 for v in rows.values())
+
+
+def test_mixture_weights_rebalance_to_uniform(tables):
+    import databricks_observe_spark.operators.text as T
+
+    rows = T.mixture_weights(tables).collect()
+    # weighted share == uniform share for every language
+    for r in rows:
+        assert abs(r.actual_share_r * r.weight_r - 1.0 / len(rows)) < 1e-4
