@@ -32,7 +32,7 @@ from databricks_observe_spark.functions.textfns import (
     doc_tokens,
     minhash_expr,
     minhash_sql,
-    shingle_expr,
+    shingle_regex_expr,
     shingled_sql,
 )
 from databricks_observe_spark.functions.vectors import (
@@ -79,9 +79,14 @@ def _shingled(t: dict[str, DataFrame]) -> DataFrame:
     write to storage once per corpus snapshot.
     """
     if "_doc_shingles" not in t:
+        from databricks_observe_spark.sources.tables import fan_out
+
+        # one codegen regex pass straight off the raw text (2.4x the
+        # interpreted transform+slice lambda, bit-identical; see
+        # textfns.shingle_regex_expr)
         t["_doc_shingles"] = (
-            doc_tokens(t)
-            .select("doc_id", F.explode(shingle_expr(3)).alias("shingle"))
+            fan_out(t["documents"])
+            .select("doc_id", F.explode(shingle_regex_expr(3)).alias("shingle"))
             .localCheckpoint()
         )
     return t["_doc_shingles"]
@@ -959,9 +964,10 @@ def contamination_check(t: dict[str, DataFrame]) -> DataFrame:
     shuffle. Only training docs with at least one colliding 4-gram are
     reported (the actionable rows).
     """
-    toks = doc_tokens(t)
-    sh = toks.select(
-        "doc_id", F.explode(shingle_expr(CONTAM_K)).alias("s")
+    from databricks_observe_spark.sources.tables import fan_out
+
+    sh = fan_out(t["documents"]).select(
+        "doc_id", F.explode(shingle_regex_expr(CONTAM_K)).alias("s")
     )
     ev = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
