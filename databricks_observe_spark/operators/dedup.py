@@ -1003,3 +1003,56 @@ SELECT doc_id, n_shingles, n_overlap,
        round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac
 FROM hits JOIN sizes USING (doc_id)
 """
+
+
+INCR_BATCH_MOD = 10  # doc_id % 10 == 9 -> the "newly ingested" batch
+
+
+def incremental_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC-shaped ingestion dedup: admit a newly-crawled batch against the
+    existing corpus — the daily-ingest primitive of a training-data
+    pipeline (dedup the delta, never re-shuffle the base).
+
+    The fixture split models the feed: docs with ``doc_id % 10 == 9`` are
+    the incoming batch, the rest the standing corpus. Decisions per new
+    doc, in order: ``dup_of_corpus`` (digest already in the base),
+    ``dup_in_batch`` (digest seen earlier in the same batch — first
+    arrival wins), else ``admit``.
+
+    Scale shape: everything joins on 16-byte digests; the standing corpus
+    contributes ONLY its distinct-digest set (at 100 TB: a bucketed digest
+    index you probe, not a corpus scan — here derived inline from the same
+    table), and the incoming batch is the small side of every exchange.
+    """
+    digests = t["documents"].select(
+        "doc_id", F.md5("text").alias("h"), (F.col("doc_id") % INCR_BATCH_MOD == 9).alias("is_new")
+    )
+    base = digests.filter(~F.col("is_new")).select("h").distinct()
+    batch = digests.filter(F.col("is_new"))
+    first_in_batch = batch.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        batch.join(base.withColumn("in_base", F.lit(1)), on="h", how="left")
+        .join(first_in_batch, on="h")
+        .select(
+            "doc_id",
+            F.col("h").alias("text_hash"),
+            F.when(F.col("in_base").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("first_doc"), "dup_in_batch")
+            .otherwise("admit")
+            .alias("decision"),
+        )
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH d AS (SELECT doc_id, md5(text) AS h, doc_id % {INCR_BATCH_MOD} = 9 AS is_new
+           FROM documents),
+base AS (SELECT DISTINCT h FROM d WHERE NOT is_new),
+batch AS (SELECT * FROM d WHERE is_new),
+firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM batch GROUP BY h)
+SELECT b.doc_id, b.h AS text_hash,
+       CASE WHEN base.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.doc_id <> f.first_doc THEN 'dup_in_batch'
+            ELSE 'admit' END AS decision
+FROM batch b LEFT JOIN base ON b.h = base.h JOIN firsts f ON b.h = f.h
+"""

@@ -154,6 +154,7 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         dedup.EMBEDDING_NEAR_DUP_LSH_SQL,
     ),
     "chunk_dedup": (dedup.chunk_dedup, dedup.CHUNK_DEDUP_SQL),
+    "incremental_dedup": (dedup.incremental_dedup, dedup.INCREMENTAL_DEDUP_SQL),
     "contamination_check": (
         dedup.contamination_check,
         dedup.CONTAMINATION_CHECK_SQL,
@@ -325,6 +326,7 @@ _PRIORITY = [
     "mixture_weights",  # new this round
     "stratified_sample",  # new this round
     "unigram_kl",  # new this round
+    "incremental_dedup",  # new this round
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",

@@ -298,3 +298,32 @@ def test_kmeans_clusters_deterministic_and_improving(tables):
     n_labels = tables["embeddings"].select("label").distinct().count()
     avg_purity = sum(r.purity_r for r in a) / len(a)
     assert avg_purity > 1.5 / n_labels
+
+
+def test_incremental_dedup_decisions(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    rows = D.incremental_dedup(tables).collect()
+    n_batch = tables["documents"].filter("doc_id % 10 = 9").count()
+    assert len(rows) == n_batch
+    base_hashes = {
+        r.h
+        for r in tables["documents"]
+        .filter("doc_id % 10 <> 9")
+        .selectExpr("md5(text) AS h")
+        .distinct()
+        .collect()
+    }
+    by_hash: dict[str, list] = {}
+    for r in rows:
+        by_hash.setdefault(r.text_hash, []).append(r)
+    for h, grp in by_hash.items():
+        if h in base_hashes:
+            assert all(g.decision == "dup_of_corpus" for g in grp)
+        else:
+            admits = [g for g in grp if g.decision == "admit"]
+            assert len(admits) == 1  # exactly the first arrival
+            assert admits[0].doc_id == min(g.doc_id for g in grp)
+            assert all(
+                g.decision == "dup_in_batch" for g in grp if g.doc_id != admits[0].doc_id
+            )

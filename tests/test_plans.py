@@ -204,3 +204,26 @@ def test_vocab_coverage_prunes_before_global_window(tables):
     # single-partition window sees ~VOCAB_TOP rows, not the whole vocab
     assert "TakeOrderedAndProject" in plan
     assert "(freq" in plan and ">= kth_freq" in plan
+
+
+def test_incremental_dedup_joins_on_digests_only(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.incremental_dedup(tables))
+    # all joins key on the md5 digest; no corpus text ever enters an exchange
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_stratified_sample_broadcasts_lang_counts(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.stratified_sample(tables))
+    # the per-language count table and the scalar min are broadcast sides;
+    # the corpus scan is never shuffled for the keep decision
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
