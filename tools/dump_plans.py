@@ -74,6 +74,35 @@ COMMENTARY = {
         "offset; the bin rollup is a partial+final aggregate. No global "
         "sort, no single-partition stage."
     ),
+    "heavy_hitter_tokens": (
+        "The corpus-wide top-20 plans as TakeOrderedAndProject (per-task "
+        "heaps merged on the driver) after a map-side-combined document-"
+        "frequency aggregate; the only Window runs over the 20 surviving "
+        "rows. The full vocabulary never funnels through one reducer."
+    ),
+    "kmeans_assign": (
+        "One Arrow-batched pass (MapInPandas) against the broadcast K x 64 "
+        "codebook assigns every vector: no join, no shuffle of the "
+        "embedding payload, constant driver traffic. The iterative "
+        "kmeans_clusters form repeats this E-step and adds a map-side-"
+        "combined posexplode aggregate whose output is K*64 rows."
+    ),
+    "incremental_dedup": (
+        "The admission decision joins the incoming batch against the "
+        "standing corpus's distinct digest set and the batch's own "
+        "first-arrival table — every exchange keys on a 16-byte md5, "
+        "never document text, so ingest cost scales with the delta."
+    ),
+    "stratified_sample": (
+        "The keep decision is an exact integer comparison against two "
+        "broadcast sides (per-language counts, scalar min): one corpus "
+        "scan, zero shuffles of document rows."
+    ),
+    "unigram_kl": (
+        "Two map-side-combined aggregates (doc-term, corpus-term) meet in "
+        "a broadcast join; per-term contributions are rounded and summed "
+        "as DECIMAL so the per-doc KL is partitioning-independent."
+    ),
 }
 
 
