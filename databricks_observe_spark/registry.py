@@ -198,17 +198,17 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
 
 
 def _streaming_first_completed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark, sf_dir)  # ensure confs (nanosAsLong) on the session
+    prepare(spark, sf_dir)  # ensure session confs (tz, shuffle partitions)
     return streaming_state.streaming_first_completed_query(spark, sf_dir)
 
 
 def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark, sf_dir)  # ensure confs (nanosAsLong) on the session
+    prepare(spark, sf_dir)  # ensure session confs (tz, shuffle partitions)
     return streaming_state.streaming_tumbling_query(spark, sf_dir)
 
 
 def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark, sf_dir)  # ensure confs (nanosAsLong) on the session
+    prepare(spark, sf_dir)  # ensure session confs (tz, shuffle partitions)
     return streaming_state.streaming_click_attribution_query(spark, sf_dir)
 
 
