@@ -126,3 +126,121 @@ def media_features(t: dict[str, DataFrame]) -> DataFrame:
     from databricks_observe_spark.sources.tables import fan_out
 
     return extract_features(fan_out(media_blobs(t)))
+
+
+FPS = 24  # synthesized video metadata: fixed frame rate
+MAX_SAMPLED = 16  # cap on sampled frames per video
+THUMB = 64  # resize target (longest edge)
+
+
+def frame_sample(t: dict[str, DataFrame]) -> DataFrame:
+    """Frame-sampling PLAN for video blobs: which frames to decode, chosen
+    from metadata alone — one row per (video, sampled frame).
+
+    This is the pass that makes 100 TB video tractable: the sampler reads
+    typed metadata (duration, fps — synthesized deterministically from the
+    blob length here, carried in columns in a real ingest), emits frame
+    indices/timestamps at 1 frame/second capped at {MAX_SAMPLED}, and ONLY
+    those frames ever reach a decoder. Pure JVM sequence/explode — no
+    Python, no bytes touched — and fully oracle-checked.
+    """
+    vids = media_blobs(t).filter(F.col("media_type") == "video/mp4")
+    meta = vids.select(
+        "doc_id",
+        F.length("blob").alias("n_bytes"),
+        (F.length("blob") % 30 + 1).alias("duration_s"),
+    )
+    n_sampled = F.least(F.col("duration_s"), F.lit(MAX_SAMPLED))
+    return (
+        meta.withColumn("n_frames", F.col("duration_s") * FPS)
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), (n_sampled - 1) * FPS, F.lit(FPS))),
+        )
+        .select(
+            "doc_id",
+            "duration_s",
+            "n_frames",
+            "frame_idx",
+            (F.col("frame_idx") * 1000 / FPS).cast("int").alias("ts_ms"),
+        )
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH vids AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         octet_length(encode(text)) % 30 + 1 AS duration_s
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, duration_s, duration_s * {FPS} AS n_frames,
+       i.i AS frame_idx, CAST(i.i * 1000 / {FPS} AS INT) AS ts_ms
+FROM vids CROSS JOIN LATERAL (
+  SELECT unnest(range(0, (least(duration_s, {MAX_SAMPLED}) - 1) * {FPS} + 1, {FPS})) AS i
+) i
+"""
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        n = pdf["blob"].str.len()
+        # synthesized source dims (a real table carries these as columns)
+        w = 100 + n % 900
+        h = 100 + (n * 7) % 900
+        longest = w.combine(h, max)
+        out_w = (w * THUMB // longest).astype("int32")
+        out_h = (h * THUMB // longest).astype("int32")
+        thumb_sha = pdf["blob"].map(
+            lambda b: hashlib.sha256(bytes(b) + b"|%dx%d" % (THUMB, THUMB)).hexdigest()
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": w.astype("int32"),
+                "src_h": h.astype("int32"),
+                "out_w": out_w,
+                "out_h": out_h,
+                "thumb_sha": thumb_sha,
+            }
+        )
+
+
+def image_resize(t: dict[str, DataFrame]) -> DataFrame:
+    """Resize plumbing for image blobs via Arrow-batched ``mapInPandas``:
+    integer-exact output geometry (longest edge -> {THUMB}, aspect
+    preserved via integer division) plus a content-addressed thumbnail
+    digest computed from the blob bytes inside the UDF.
+
+    The real pixel resample is the codec stub (see ``decode_media``); what
+    IS real — and differentially tested, because the oracle recomputes the
+    same definitions in SQL — is the whole Arrow path: binary columns into
+    Python batches, byte-exact digests out, typed schema back to the JVM.
+    """
+    from databricks_observe_spark.sources.tables import fan_out
+
+    imgs = fan_out(media_blobs(t).filter(F.col("media_type") == "image/png"))
+    return imgs.mapInPandas(
+        _resize_batches,
+        "doc_id bigint, src_w int, src_h int, out_w int, out_h int, thumb_sha string",
+    )
+
+
+IMAGE_RESIZE_SQL = f"""
+WITH imgs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT doc_id, text,
+         100 + n % 900 AS src_w,
+         100 + (n * 7) % 900 AS src_h
+  FROM imgs
+)
+SELECT doc_id, CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
+       CAST(src_w * {THUMB} // greatest(src_w, src_h) AS INT) AS out_w,
+       CAST(src_h * {THUMB} // greatest(src_w, src_h) AS INT) AS out_h,
+       sha256(text || '|{THUMB}x{THUMB}') AS thumb_sha
+FROM dims
+"""

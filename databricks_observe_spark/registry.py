@@ -191,6 +191,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
     "media_features": (multimodal.media_features, None),
+    # frame-sampling plan from metadata alone (JVM-only, oracle-paired)
+    "frame_sample": (multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
+    # Arrow resize plumbing; oracle recomputes the deterministic outputs
+    "image_resize": (multimodal.image_resize, multimodal.IMAGE_RESIZE_SQL),
 }
 
 # --- streaming (runs a real StreamingQuery to exhaustion, then returns the
@@ -327,6 +331,8 @@ _PRIORITY = [
     "stratified_sample",  # new this round
     "unigram_kl",  # new this round
     "incremental_dedup",  # new this round
+    "frame_sample",  # new this round
+    "image_resize",  # new this round
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",

@@ -232,3 +232,34 @@ def test_mixture_weights_rebalance_to_uniform(tables):
     # weighted share == uniform share for every language
     for r in rows:
         assert abs(r.actual_share_r * r.weight_r - 1.0 / len(rows)) < 1e-4
+
+
+def test_frame_sample_is_metadata_only_plan(tables):
+    rows = M.frame_sample(tables).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.frame_idx % 24 == 0  # 1 fps sampling at 24 fps
+        assert r.frame_idx < r.n_frames
+        assert r.ts_ms == r.frame_idx * 1000 // 24
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert max(per_doc.values()) <= 16  # MAX_SAMPLED cap holds
+
+
+def test_image_resize_geometry_and_digest(tables):
+    import hashlib
+
+    rows = M.image_resize(tables).collect()
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in tables["documents"].filter("doc_id % 3 = 0").collect()
+    }
+    for r in rows[:20]:
+        assert max(r.out_w, r.out_h) == 64  # longest edge hits the target
+        assert r.out_w <= 64 and r.out_h <= 64
+        expect = hashlib.sha256(
+            texts[r.doc_id].encode() + b"|64x64"
+        ).hexdigest()
+        assert r.thumb_sha == expect
