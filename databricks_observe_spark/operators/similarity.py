@@ -734,42 +734,86 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
     embedding corpus, returning the per-cluster curation summary
     (size, inertia, majority label, purity).
 
-    Iteration shape at scale: the E-step is one Arrow pass against the
-    BROADCAST centroid matrix (K x 64 doubles — constant size, the "ship
-    the codebook to the data" move); the M-step is posexplode ->
-    map-side-combined groupBy (cluster, dim) -> a K*64-row collect. Nothing
-    corpus-sized ever reaches the driver, and each iteration is two jobs
-    regardless of corpus size. Centroid means use float sums (order-
-    dependent), so the full iterative form is checked rows-only + pytest
-    determinism/quality gates; the oracle-paired E-step is kmeans_assign.
+    Iteration shape at scale: each Lloyd iteration is ONE Arrow pass
+    against the BROADCAST centroid matrix (K x 64 doubles — the "ship the
+    codebook to the data" move) that also accumulates the M-step partials
+    per partition — K rows of (cluster, count, sum-vector), i.e. K*64
+    doubles per partition regardless of corpus size; the driver combines
+    partials in content-sorted order (float addition order independent of
+    task completion order) and rebroadcasts. Nothing corpus-sized ever
+    reaches the driver or a shuffle. The final summary assigns once more
+    with the converged centroids. Centroid means remain float sums (not
+    SQL-order-reproducible), so the iterative form is checked rows-only +
+    pytest determinism/quality gates; the oracle-paired E-step is
+    kmeans_assign.
     """
+    import numpy as np
+
     e = _doubled(t).select("vec_id", "v", "label").localCheckpoint()
     sc = e.sparkSession.sparkContext
+
+    def partial_kernel(bc):
+        # M-step partials INSIDE the E-step pass: each partition emits K
+        # rows of (cluster, count, sum-vector) — K*64 doubles per
+        # partition regardless of corpus size, instead of exploding
+        # corpus x 64 (cluster, dim, val) rows through a shuffle.
+        def part(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            c_mat = bc.value
+            k, dim = c_mat.shape
+            counts = _np.zeros(k, dtype=_np.int64)
+            sums = _np.zeros((k, dim), dtype=_np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+                d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
+                acc = d0 * d0
+                for d in range(1, dim):
+                    dd = c_mat[:, d][:, None] - mat[:, d][None, :]
+                    acc = acc + dd * dd
+                best = _np.argmin(acc, axis=0)
+                counts += _np.bincount(best, minlength=k)
+                for cl in range(k):
+                    sel = mat[best == cl]
+                    if len(sel):
+                        sums[cl] += sel.sum(axis=0)
+            yield _pd.DataFrame(
+                {
+                    "cluster": _np.arange(k, dtype=_np.int32),
+                    "n": counts,
+                    "sums": list(sums),
+                }
+            )
+
+        return part
+
     cents = _init_centroids(t)
-    assigned = None
     for _ in range(KMEANS_ITERS):
         bc = sc.broadcast(cents)
-        assigned = e.mapInPandas(
-            _sq_dist_assign(bc),
-            "vec_id bigint, v array<double>, label int, cluster int, sq_dist double",
-        )
-        # M-step: elementwise mean per cluster, distributed two-level agg
-        sums = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        import numpy as np
-
+        partials = e.mapInPandas(
+            partial_kernel(bc), "cluster int, n bigint, sums array<double>"
+        ).collect()
+        # deterministic driver-side combine: sort partials by full content
+        # so float addition order never depends on task completion order
+        partials.sort(key=lambda r: (r.cluster, r.n, tuple(r.sums)))
         new_c = cents.copy()  # empty cluster keeps its old centroid
-        by_cluster: dict[int, list] = {}
-        for r in sums:
-            by_cluster.setdefault(r.cluster, []).append(r)
-        for cl, rows in by_cluster.items():
-            for r in rows:
-                new_c[cl][r.dim] = r.s / r.n
+        counts = [0] * KMEANS_K
+        sums = np.zeros_like(cents)
+        for r in partials:
+            counts[r.cluster] += r.n
+            sums[r.cluster] += np.array(r.sums)
+        for cl in range(KMEANS_K):
+            if counts[cl]:
+                new_c[cl] = sums[cl] / counts[cl]
         cents = new_c
+    bc = sc.broadcast(cents)
+    assigned = e.mapInPandas(
+        _sq_dist_assign(bc),
+        "vec_id bigint, v array<double>, label int, cluster int, sq_dist double",
+    )
     maj = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
     label_counts = (
         assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
