@@ -837,3 +837,129 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.col("n_major") / F.col("n_vectors"), 6).alias("purity_r"),
         )
     )
+
+
+# Within-cluster near-duplicate threshold. SemDeDup's paper value for web
+# embeddings is ~0.95+; the synthetic fixture vectors are near-orthogonal
+# (max pairwise cosine ~0.51 at sf0.01), so the threshold is set where the
+# fixture actually HAS semantic duplicates — the operator semantics are
+# threshold-independent.
+SEMDEDUP_COS = 0.4
+
+
+def semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate pruning
+    with the k-means assignment as the blocking key — cosine pairs are
+    computed ONLY within a cluster, never across the corpus.
+
+    Composition of two already-verified pieces: the oracle-paired E-step
+    (kmeans_assign's codebook/op order) provides cluster ids; an Arrow
+    cogroup per cluster rescores exact cosines with the oracle's
+    left-to-right accumulation. Output: every vector that is a semantic
+    duplicate (cosine >= {SEMDEDUP_COS} to a lower-id vector in its
+    cluster), with its keeper. Work scales with sum(cluster_size^2), not
+    corpus^2 — the whole point of clustering first; at 100 TB K grows with
+    the corpus so cluster sizes stay bounded.
+    """
+    e = _doubled(t)
+    bc = e.sparkSession.sparkContext.broadcast(_init_centroids(t))
+    assigned = e.select("vec_id", "v", "nrm", "label").mapInPandas(
+        _sq_dist_assign_with_payload(bc),
+        "vec_id bigint, v array<double>, nrm double, label int, cluster int",
+    )
+
+    def pairs_per_cluster(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        acc = _np.outer(mat[:, 0], mat[:, 0])
+        for d in range(1, mat.shape[1]):
+            acc = acc + _np.outer(mat[:, d], mat[:, d])
+        cos = acc / _np.outer(nrm, nrm)
+        ii, jj = _np.nonzero(_np.triu(cos >= SEMDEDUP_COS, k=1))
+        return _pd.DataFrame(
+            {
+                "cluster": key[0],
+                "keep_id": ids[ii],
+                "drop_id": ids[jj],
+                "cosine": cos[ii, jj],
+            }
+        )
+
+    pairs = assigned.groupBy("cluster").applyInPandas(
+        pairs_per_cluster,
+        "cluster int, keep_id bigint, drop_id bigint, cosine double",
+    )
+    # a vector may match several lower-id keepers: report its closest
+    # (highest cosine, ties -> lowest keeper)
+    w = Window.partitionBy("drop_id").orderBy(F.desc("cosine"), F.asc("keep_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "drop_id",
+            "keep_id",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+
+
+def _sq_dist_assign_with_payload(bc):
+    """E-step kernel that keeps the norm column (for downstream rescoring)."""
+
+    def assign(batches):
+        import numpy as _np
+
+        c_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
+            acc = d0 * d0
+            for d in range(1, c_mat.shape[1]):
+                dd = c_mat[:, d][:, None] - mat[:, d][None, :]
+                acc = acc + dd * dd
+            best = _np.argmin(acc, axis=0)
+            out = pdf[["vec_id", "v", "nrm", "label"]].copy()
+            out["cluster"] = best.astype("int32")
+            yield out
+
+    return assign
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {_E_SQL},
+c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
+      FROM e0 WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT e.vec_id, c.cluster, e.v, e.nrm,
+         {{dist}} AS sq_dist
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cluster, v, nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq_dist ASC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
+         {dot_sql_unrolled('a.v', 'b.v', 64)} / (a.nrm * b.nrm) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT cluster, drop_id, keep_id, round(cosine, 6) AS cosine_r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS rn
+  FROM pairs WHERE cosine >= {SEMDEDUP_COS}
+) WHERE rn = 1
+"""
+SEMANTIC_DEDUP_SQL = SEMANTIC_DEDUP_SQL.replace(
+    "{dist}", _dist_sql_unrolled("e.v", "c.cv", 64)
+)

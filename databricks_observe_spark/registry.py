@@ -171,6 +171,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # (float centroid means are summation-order-dependent)
     "kmeans_assign": (similarity.kmeans_assign, similarity.KMEANS_ASSIGN_SQL),
     "kmeans_clusters": (similarity.kmeans_clusters, None),
+    # SemDeDup: cluster-blocked embedding near-dup pruning
+    "semantic_dedup": (similarity.semantic_dedup, similarity.SEMANTIC_DEDUP_SQL),
     # --- text analysis ---
     "text_stats": (text.text_stats, text.TEXT_STATS_SQL),
     "lang_profile": (text.lang_profile, text.LANG_PROFILE_SQL),
@@ -333,6 +335,7 @@ _PRIORITY = [
     "incremental_dedup",  # new this round
     "frame_sample",  # new this round
     "image_resize",  # new this round
+    "semantic_dedup",  # new this round
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",

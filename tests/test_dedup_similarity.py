@@ -327,3 +327,18 @@ def test_incremental_dedup_decisions(tables):
             assert all(
                 g.decision == "dup_in_batch" for g in grp if g.doc_id != admits[0].doc_id
             )
+
+
+def test_semantic_dedup_pairs_are_within_cluster_and_high_cos(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    rows = S.semantic_dedup(tables).collect()
+    assert rows  # fixture has semantic duplicates at the chosen threshold
+    assign = {r.vec_id: r.cluster for r in S.kmeans_assign(tables).collect()}
+    for r in rows:
+        assert r.cosine_r >= S.SEMDEDUP_COS
+        assert r.keep_id < r.drop_id  # lowest id is the keeper
+        assert assign[r.keep_id] == assign[r.drop_id] == r.cluster
+    # one keeper decision per dropped vector
+    drops = [r.drop_id for r in rows]
+    assert len(drops) == len(set(drops))
