@@ -273,7 +273,10 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.localCheckpoint()  # one tokenize pass feeds both tf and df
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), on="tok").join(
+    # no broadcast HINT on df: it is vocab-sized (billions of tokens at
+    # 100 TB). AQE broadcasts it when it actually fits; otherwise this is
+    # a plain shuffle join on tok. n_docs is a 1-row scalar — always ship.
+    scored = tf.join(df, on="tok").join(
         F.broadcast(n_docs)
     ).withColumn(
         "tfidf",
@@ -696,7 +699,7 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     order-independent by rounding each term to 12 decimals and summing as
     DECIMAL — bit-identical across engines and partitionings. Two corpus
     shuffles (doc-term, corpus-term), both map-side combined; the corpus
-    frequency side is vocab-sized -> broadcast."""
+    frequency side is vocab-sized -> joined without a forced broadcast."""
     toks = doc_tokens(t).select(
         "doc_id", F.size("w").alias("n"), F.explode("w").alias("tok")
     )
@@ -706,8 +709,10 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     p = F.col("tf").cast("double") / F.col("n")
     q = F.col("cf").cast("double") / F.col("total")
     term = F.round(p * F.log(p / q), 12).cast("decimal(28,12)")
+    # cf carries one row per distinct token — vocab-sized at 100 TB, so no
+    # broadcast hint (AQE decides); tot is a scalar and always ships.
     return (
-        tf.join(F.broadcast(cf), on="tok")
+        tf.join(cf, on="tok")
         .join(F.broadcast(tot))
         .groupBy("doc_id", "n")
         .agg(F.round(F.sum(term).cast("double"), 6).alias("kl_r"))
