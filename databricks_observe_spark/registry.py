@@ -204,22 +204,22 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
 
 
 def _streaming_first_completed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark, sf_dir)  # ensure session confs (tz, shuffle partitions)
+    _ctx(spark, sf_dir)  # ensure session confs once (cached prepare)
     return streaming_state.streaming_first_completed_query(spark, sf_dir)
 
 
 def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark, sf_dir)  # ensure session confs (tz, shuffle partitions)
+    _ctx(spark, sf_dir)  # ensure session confs once (cached prepare)
     return streaming_state.streaming_tumbling_query(spark, sf_dir)
 
 
 def _streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark, sf_dir)  # ensure session confs (tz, shuffle partitions)
+    _ctx(spark, sf_dir)  # ensure session confs once (cached prepare)
     return streaming_state.streaming_click_attribution_query(spark, sf_dir)
 
 
 def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark, sf_dir)  # ensure confs on the session
+    _ctx(spark, sf_dir)  # ensure session confs once (cached prepare)
     return streaming_state.streaming_sessionize_query(spark, sf_dir)
 
 
@@ -228,7 +228,8 @@ def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _discovered_objects_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog_ops.discovered_objects_live(spark, sf_dir)
+    _ctx(spark, sf_dir)  # registers the global_temp views once (cached)
+    return catalog_ops.discovered_objects_live(spark, sf_dir, ensure=False)
 
 
 _LIVE_QUERIES: dict[str, tuple] = {
