@@ -433,3 +433,77 @@ def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
             "description",
         )
     )
+
+
+HIST_BUCKETS = 10
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
+    """ANALYZE-style numeric column statistics over ``lineitem`` — the
+    stats-collection pass behind the reference's per-table profiling loop
+    (E2/S6 extension): per column, row/null counts, min/max, distinct
+    count, and a {HIST_BUCKETS}-bucket equi-width histogram.
+
+    One unpivot (``stack``) turns the columns into (column, value) rows;
+    per-column extrema are a broadcast-joined first aggregate; the bucket
+    id is an exact expression on the row, so the histogram is one more
+    map-side-combined aggregate. Two scans total for any number of
+    profiled columns — never a per-column query loop.
+    """
+    n = len(_PROFILE_COLS)
+    pairs = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
+    long = t["lineitem"].select(
+        F.expr(f"stack({n}, {pairs}) AS (col, val)")
+    )
+    stats = long.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("bigint")).alias("n_nulls"),
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("val") - F.col("mn")) * HIST_BUCKETS / (F.col("mx") - F.col("mn"))
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        long.join(F.broadcast(stats), on="col")
+        .withColumn("bucket", bucket)
+        .groupBy(
+            "col", "n_rows", "n_nulls", "n_distinct",
+            F.round("mn", 6).alias("min_r"), F.round("mx", 6).alias("max_r"),
+            "bucket",
+        )
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+def _hist_sql() -> str:
+    n = len(_PROFILE_COLS)
+    pairs = ", ".join(f"('{c}', {c})" for c in _PROFILE_COLS)
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, {c} AS val FROM lineitem" for c in _PROFILE_COLS
+    )
+    return f"""
+WITH long AS ({unions}),
+stats AS (
+  SELECT col, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(val IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
+         MIN(val) AS mn, MAX(val) AS mx,
+         COUNT(DISTINCT val) AS n_distinct
+  FROM long GROUP BY col
+)
+SELECT l.col, s.n_rows, s.n_nulls, s.n_distinct,
+       round(s.mn, 6) AS min_r, round(s.mx, 6) AS max_r,
+       CAST(least(floor((l.val - s.mn) * {HIST_BUCKETS} / (s.mx - s.mn)),
+                  {HIST_BUCKETS - 1}) AS INT) AS bucket,
+       COUNT(*) AS bucket_count
+FROM long l JOIN stats s ON l.col = s.col
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
+COLUMN_HISTOGRAMS_SQL = _hist_sql()

@@ -92,6 +92,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "table_files_meta": (catalog_ops.table_files_meta, None),
     # S6 full DESCRIBE DETAIL field set (created/modified coalesce) -> rows-only
     "describe_detail": (catalog_ops.describe_detail, None),
+    # ANALYZE-style numeric stats + equi-width histograms (E2 extension)
+    "column_histograms": (
+        catalog_ops.column_histograms,
+        catalog_ops.COLUMN_HISTOGRAMS_SQL,
+    ),
     "named_assets": (catalog_ops.named_assets, catalog_ops.NAMED_ASSETS_SQL),
     "object_count_rollup": (
         catalog_ops.object_count_rollup,
@@ -337,6 +342,7 @@ _PRIORITY = [
     "frame_sample",  # new this round
     "image_resize",  # new this round
     "semantic_dedup",  # new this round
+    "column_histograms",  # new this round
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",

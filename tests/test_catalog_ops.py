@@ -78,3 +78,23 @@ def test_describe_detail_field_set(tables):
     assert ev.created_at is None
     assert ev.created_or_modified == ev.last_modified is not None
     assert rows["testdata.main.orders"].format == "deltalake"
+
+
+def test_column_histograms_cover_all_rows(tables):
+    from databricks_observe_spark.operators.catalog_ops import (
+        _PROFILE_COLS,
+        column_histograms,
+    )
+
+    rows = column_histograms(tables).collect()
+    n_lineitem = tables["lineitem"].count()
+    by_col: dict[str, list] = {}
+    for r in rows:
+        by_col.setdefault(r.col, []).append(r)
+    assert set(by_col) == set(_PROFILE_COLS)
+    for col, grp in by_col.items():
+        # buckets partition the non-null rows exactly
+        assert sum(r.bucket_count for r in grp) == n_lineitem - grp[0].n_nulls
+        assert grp[0].n_rows == n_lineitem
+        assert all(0 <= r.bucket < 10 for r in grp)
+        assert grp[0].min_r <= grp[0].max_r
