@@ -54,15 +54,20 @@ def shingle_regex_expr(k: int, text_col: str = "text") -> F.Column:
     text — the hot-path twin of :func:`shingle_expr`.
 
     The zero-width lookahead captures k space-separated tokens at every
-    token start while the consuming ``[^ ]+ `` advances the matcher one
+    token start while the consuming ``[^ ]* `` advances the matcher one
     token, so overlapping shingles never leave whole-stage codegen
     (``transform``'s lambda is interpreted per element). Measured 2.4x
-    faster on the sf0.1 shingle index with bit-identical output. Sub-k
-    docs keep the slice semantics (whole text as one truncated shingle).
+    faster on the sf0.1 shingle index with bit-identical output. The
+    ``*`` quantifier (not ``+``) is load-bearing: ``split`` produces
+    EMPTY tokens for leading/trailing/consecutive spaces, and the slice
+    semantics keep them — pinned by the randomized differential test in
+    tests/test_formats.py::test_shingle_regex_matches_slice_semantics.
+    Sub-k docs keep the slice semantics (whole text as one truncated
+    shingle).
     """
     tc = F.col(text_col)
     n_tokens = F.size(F.split(tc, " "))
-    rx = f"(?s)(?=((?:[^ ]+ ){{{k - 1}}}[^ ]+))[^ ]+ "
+    rx = f"(?s)(?=((?:[^ ]* ){{{k - 1}}}[^ ]*))[^ ]* "
     return F.array_distinct(
         F.when(n_tokens < k, F.array(tc)).otherwise(
             F.regexp_extract_all(tc, F.lit(rx), 1)

@@ -404,7 +404,6 @@ def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
                 F.lit(name).alias("table"),
                 F.count(F.lit(1)).alias("num_files"),
                 F.sum("file_size").alias("size_in_bytes"),
-                F.min("mtime").alias("_min_mtime"),
                 F.max("mtime").alias("_max_mtime"),
                 F.regexp_replace(
                     F.first("path"), "/[^/]+$", ""
@@ -463,12 +462,22 @@ def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
         F.max("val").alias("mx"),
         F.countDistinct("val").alias("n_distinct"),
     )
-    bucket = F.least(
-        F.floor(
-            (F.col("val") - F.col("mn")) * HIST_BUCKETS / (F.col("mx") - F.col("mn"))
-        ),
-        F.lit(HIST_BUCKETS - 1),
-    ).cast("int")
+    # constant-column guard: min == max would make the width 0/0 (NaN in
+    # Spark -> bucket 0, NULL in DuckDB) — pin every value to bucket 0
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("val") - F.col("mn"))
+                    * HIST_BUCKETS
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(HIST_BUCKETS - 1),
+            )
+        )
+        .cast("int")
+    )
     return (
         long.join(F.broadcast(stats), on="col")
         .withColumn("bucket", bucket)
@@ -498,8 +507,9 @@ stats AS (
 )
 SELECT l.col, s.n_rows, s.n_nulls, s.n_distinct,
        round(s.mn, 6) AS min_r, round(s.mx, 6) AS max_r,
-       CAST(least(floor((l.val - s.mn) * {HIST_BUCKETS} / (s.mx - s.mn)),
-                  {HIST_BUCKETS - 1}) AS INT) AS bucket,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+                 ELSE least(floor((l.val - s.mn) * {HIST_BUCKETS} / (s.mx - s.mn)),
+                            {HIST_BUCKETS - 1}) END AS INT) AS bucket,
        COUNT(*) AS bucket_count
 FROM long l JOIN stats s ON l.col = s.col
 GROUP BY 1, 2, 3, 4, 5, 6, 7

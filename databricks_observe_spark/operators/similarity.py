@@ -679,16 +679,26 @@ def _sq_dist_assign(bc):
 
 def _init_centroids(t: dict[str, DataFrame]):
     """K lowest vec_ids as the deterministic init (a float mean would
-    depend on summation order; data rows are engine-independent)."""
+    depend on summation order; data rows are engine-independent).
+
+    Selected by ORDER BY vec_id LIMIT K — not ``vec_id < K`` — so sparse
+    or offset id spaces still yield exactly K centroids; fewer than K
+    vectors in the corpus raises a named error instead of an executor
+    IndexError (code-review finding)."""
     import numpy as np
 
     rows = (
         _doubled(t)
-        .filter(F.col("vec_id") < KMEANS_K)
         .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
         .collect()
     )
-    rows.sort(key=lambda r: r.vec_id)
+    if len(rows) < KMEANS_K:
+        raise ValueError(
+            f"kmeans init needs at least K={KMEANS_K} vectors; corpus has "
+            f"{len(rows)}"
+        )
     return np.array([r.v for r in rows], dtype=np.float64)
 
 
@@ -715,7 +725,7 @@ def _dist_sql_unrolled(a: str, b: str, dim: int) -> str:
 KMEANS_ASSIGN_SQL = f"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
-      FROM e0 WHERE vec_id < {KMEANS_K}),
+      FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT {KMEANS_K}) q),
 scored AS (
   SELECT e0.vec_id, c.cluster, e0.label,
          {_dist_sql_unrolled('e0.v', 'c.cv', 64)} AS sq_dist
@@ -936,7 +946,7 @@ def _sq_dist_assign_with_payload(bc):
 SEMANTIC_DEDUP_SQL = f"""
 WITH {_E_SQL},
 c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
-      FROM e0 WHERE vec_id < {KMEANS_K}),
+      FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT {KMEANS_K}) q),
 scored AS (
   SELECT e.vec_id, c.cluster, e.v, e.nrm,
          {{dist}} AS sq_dist

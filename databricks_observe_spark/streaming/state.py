@@ -368,9 +368,17 @@ def sessionize_stream(
             start_us = last_us = -1
             n = cents = 0
         closed = []
+        import math as _math
+
         for ts, value in zip(rows["ts"], rows["value"]):
             us = int(ts.value // 1000)  # pandas ns -> micros
-            c = int(round(value * 100))  # exact cents, no float drift in state
+            # exact cents in state, rounded HALF-AWAY-FROM-ZERO to match
+            # Spark's double->DECIMAL(18,2) cast (HALF_UP) and the DuckDB
+            # oracle's cast; Python round() is half-EVEN and diverges on
+            # exact binary halves like 0.125 (code-review finding)
+            c = int(_math.floor(abs(value) * 100.0 + 0.5))
+            if value < 0:
+                c = -c
             if start_us < 0:
                 start_us, last_us, n, cents = us, us, 1, c
             elif us - last_us >= SESSION_GAP_S * 1_000_000:

@@ -44,3 +44,40 @@ def test_read_any_csv_infers_without_schema(spark, tables, tmp_path):
 def test_read_any_rejects_unknown_extension(spark):
     with pytest.raises(ValueError, match="unsupported source extension"):
         read_any(spark, "/tmp/data.avro")
+
+
+def test_shingle_regex_matches_slice_semantics(spark):
+    """Randomized differential: the codegen regex shingler must equal the
+    slice-semantics reference on adversarial spacing (empty tokens from
+    leading/trailing/consecutive spaces included)."""
+    import random
+
+    from databricks_observe_spark.functions.textfns import (
+        shingle_expr,
+        shingle_regex_expr,
+    )
+
+    rng = random.Random(11)
+    alphabet = ["a", "bb", "ccc", ""]
+    cases = [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        for _ in range(200)
+    ]
+    cases += ["", " ", "  ", "a ", " a", "a  b c ", "   "]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id bigint, text string"
+    )
+    for k in (2, 3, 4):
+        ref = {
+            r.doc_id: sorted(r.s)
+            for r in df.select(
+                "doc_id", F.split("text", " ").alias("w")
+            ).select("doc_id", shingle_expr(k).alias("s")).collect()
+        }
+        got = {
+            r.doc_id: sorted(r.s)
+            for r in df.select(
+                "doc_id", shingle_regex_expr(k).alias("s")
+            ).collect()
+        }
+        assert ref == got, f"k={k}"

@@ -263,3 +263,18 @@ def test_image_resize_geometry_and_digest(tables):
             texts[r.doc_id].encode() + b"|64x64"
         ).hexdigest()
         assert r.thumb_sha == expect
+
+
+def test_pii_counts_follow_sequential_redaction(spark, tables):
+    """A phone-shaped substring consumed by the earlier email redaction
+    must NOT be reported as a phone redaction (code-review finding)."""
+    import databricks_observe_spark.operators.text as T
+
+    probe = {"documents": spark.createDataFrame(
+        [(0, "reach me at 555-867-5309@x.co ok", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )}
+    (r,) = T.pii_redaction(probe).collect()
+    assert r.n_email == 1
+    assert r.n_phone == 0  # consumed by the email replace, not double-counted
+    assert r.n_redactions == 1
