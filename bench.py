@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "unigram_kl",
     "stratified_sample",
     "kmeans_clusters",
+    "semantic_dedup",
+    "incremental_dedup",
+    "column_histograms",
 ]
 
 

@@ -87,6 +87,25 @@ def check_fixture_contract(tables: dict[str, DataFrame]) -> None:
         problems.append(
             f"embeddings.embedding is {emb_type!r}, want array<float|double>"
         )
+    else:
+        # dimension drift would silently break every unrolled 64-term
+        # vector expression (similarity oracles are generated for DIM=64):
+        # one LIMIT-1 probe fails loudly instead
+        row = tables["embeddings"].select("embedding").limit(1).collect()
+        if row and len(row[0][0]) != 64:
+            problems.append(
+                f"embeddings.embedding has {len(row[0][0])} dims, engine "
+                "vector expressions are generated for 64"
+            )
+    required = {
+        "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    for name, cols in required.items():
+        missing = cols - set(tables[name].columns)
+        if missing:
+            problems.append(f"{name} lost column(s) {sorted(missing)}")
     if problems:
         raise TypeError(
             "fixture contract violation(s): " + "; ".join(problems)
