@@ -227,3 +227,42 @@ def test_stratified_sample_broadcasts_lang_counts(tables):
     # the corpus scan is never shuffled for the keep decision
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_is_cluster_blocked(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    plan = _plan(S.semantic_dedup(tables))
+    # pairwise work happens inside per-cluster pandas cogroups; no
+    # corpus-level pair join ever forms
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frame_sample_is_jvm_only(tables):
+    from databricks_observe_spark.operators import multimodal as M
+
+    plan = _plan(M.frame_sample(tables))
+    # the sampling plan is pure metadata math: no Python stage, no shuffle
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_is_single_scan(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.pii_redaction(tables))
+    # one projection over the corpus scan; the only exchange allowed is
+    # fan_out's under-split repartition (round-robin), never a hash shuffle
+    assert "hashpartitioning" not in plan
+    assert "InPandas" not in plan
+
+
+def test_column_histograms_partial_aggregation(tables):
+    from databricks_observe_spark.operators.catalog_ops import column_histograms
+
+    plan = _plan(column_histograms(tables))
+    # both the stats and the bucket-count aggregates combine map-side
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastExchange" in plan  # stats side ships, rows don't

@@ -103,6 +103,18 @@ COMMENTARY = {
         "a broadcast join; per-term contributions are rounded and summed "
         "as DECIMAL so the per-doc KL is partitioning-independent."
     ),
+    "semantic_dedup": (
+        "SemDeDup: one Arrow E-step pass against the broadcast codebook "
+        "assigns clusters, then pairwise cosines run inside per-cluster "
+        "pandas cogroups (FlatMapGroupsInPandas) — work scales with "
+        "sum(cluster_size^2), and no corpus-level pair join ever forms."
+    ),
+    "column_histograms": (
+        "ANALYZE-style stats in two scans for any number of columns: an "
+        "unpivot to (column, value), a map-side-combined extrema/ndv "
+        "aggregate that broadcasts back, and one more partial+final "
+        "aggregate for exact equi-width bucket counts."
+    ),
 }
 
 
