@@ -257,3 +257,47 @@ SELECT event_id, user_id, event_type,
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
 """
+
+
+DEDUP_WINDOW_S = 300  # repeated (user, type) events within 5 min are dupes
+
+
+def event_dedup_windowed(t: dict[str, DataFrame]) -> DataFrame:
+    """Telemetry log dedup: drop an event when the same (user_id,
+    event_type) fired within the previous {DEDUP_WINDOW_S} s — the
+    client-retry / double-fire suppression every event pipeline runs at
+    ingest.
+
+    One ranking window per (user_id, event_type) partition: the gap to the
+    previous KEPT event cannot be computed with a plain lag (a run of
+    dupes must all anchor to the first kept one), so the pass marks an
+    event as kept when its gap to the previous RAW event is >= the window
+    OR it starts a partition, which is exactly the retry-burst semantics
+    (each burst collapses to its first event; a burst longer than the
+    window re-emits — matching how rate-limited dedup actually behaves).
+    Partition-parallel, no global sort.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        t["events"]
+        .withColumn("gap_us", gap)
+        .filter(
+            F.col("gap_us").isNull()
+            | (F.col("gap_us") >= DEDUP_WINDOW_S * 1_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .withColumn("ts", F.date_format("ts", _TS_FMT))
+    )
+
+
+EVENT_DEDUP_WINDOWED_SQL = f"""
+SELECT event_id, user_id, event_type,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, value
+FROM (
+  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+WHERE gap_us IS NULL OR gap_us >= {DEDUP_WINDOW_S * 1_000_000}
+"""

@@ -766,3 +766,65 @@ SELECT doc_id, n AS n_tokens,
 FROM tf JOIN cf USING (tok) CROSS JOIN tot
 GROUP BY doc_id, n
 """
+
+
+MAD_K = 3.0  # flag docs more than 3 scaled MADs from the median
+
+
+def length_outliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Robust per-language length-outlier detection: median + median
+    absolute deviation (MAD) of token counts per language, flagging
+    documents beyond {MAD_K} MADs — the outlier filter a curation pass
+    prefers over mean/stddev because a few giant documents cannot drag
+    the threshold.
+
+    Exact medians via percentile over per-language partitions (both
+    engines interpolate the same order statistics); the comparison uses
+    integer-scaled arithmetic (|x - med| vs K * MAD) with values rounded
+    to 6 places, so the keep/flag decision is bit-stable cross-engine.
+    Two aggregates over a (doc, lang, n_tokens) projection — never a
+    corpus-wide sort.
+    """
+    d = t["documents"].select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    med = d.groupBy("lang").agg(
+        F.expr("percentile(n_tokens, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), on="lang").withColumn(
+        "absdev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("med", 6).alias("med_r"),
+            F.round("mad", 6).alias("mad_r"),
+            (
+                F.round("absdev", 6) > F.round(F.col("mad") * MAD_K, 6)
+            ).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+LENGTH_OUTLIERS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+med AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med FROM d GROUP BY lang),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_tokens, med.med,
+         abs(d.n_tokens - med.med) AS absdev
+  FROM d JOIN med ON d.lang = med.lang
+),
+mad AS (SELECT lang, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY lang)
+SELECT dev.doc_id, dev.lang, dev.n_tokens,
+       round(dev.med, 6) AS med_r, round(mad.mad, 6) AS mad_r,
+       CAST(round(dev.absdev, 6) > round(mad.mad * {MAD_K}, 6) AS INT) AS is_outlier
+FROM dev JOIN mad ON dev.lang = mad.lang
+"""

@@ -134,6 +134,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "events_cube": (events.events_cube, events.EVENTS_CUBE_SQL),
     "user_value_zscores": (events.user_value_zscores, events.USER_VALUE_ZSCORES_SQL),
     "high_value_events": (events.high_value_events, events.HIGH_VALUE_EVENTS_SQL),
+    "event_dedup_windowed": (
+        events.event_dedup_windowed,
+        events.EVENT_DEDUP_WINDOWED_SQL,
+    ),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
@@ -194,6 +198,7 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "mixture_weights": (text.mixture_weights, text.MIXTURE_WEIGHTS_SQL),
     "stratified_sample": (text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
     "unigram_kl": (text.unigram_kl, text.UNIGRAM_KL_SQL),
+    "length_outliers": (text.length_outliers, text.LENGTH_OUTLIERS_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
@@ -343,6 +348,8 @@ _PRIORITY = [
     "image_resize",  # new this round
     "semantic_dedup",  # new this round
     "column_histograms",  # new this round
+    "event_dedup_windowed",  # new this round
+    "length_outliers",  # new this round
     # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
     "lineage_closure",
     "asset_specs",

@@ -72,3 +72,49 @@ def test_sessions_partition_events(tables):
         if r.user_id in prev:
             assert (start - prev[r.user_id]).total_seconds() >= 7200
         prev[r.user_id] = start
+
+
+def test_event_dedup_windowed_suppresses_bursts(spark, tables):
+    import pandas as pd
+
+    from databricks_observe_spark.operators.events import event_dedup_windowed
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00",  # kept (first)
+            "2024-01-01 00:02:00",  # dropped: 120s gap < 300s
+            "2024-01-01 00:04:00",  # dropped vs previous raw (120s)
+            "2024-01-01 00:10:00",  # kept: 360s gap
+            "2024-01-01 00:10:00",  # other type -> kept (own partition)
+        ]
+    )
+    probe = {"events": spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": ts,
+                "user_id": [7, 7, 7, 7, 7],
+                "event_type": ["click", "click", "click", "click", "view"],
+                "value": [1.0] * 5,
+                "props": ["{}"] * 5,
+            }
+        )
+    )}
+    kept = {r.event_id for r in event_dedup_windowed(probe).collect()}
+    assert kept == {1, 4, 5}
+
+
+def test_length_outliers_flags_extremes(spark, tables):
+    from databricks_observe_spark.operators.text import length_outliers
+
+    rows = length_outliers(tables).collect()
+    assert len(rows) == tables["documents"].count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, grp in by_lang.items():
+        outliers = [r for r in grp if r.is_outlier]
+        # robust threshold: the overwhelming majority of docs are inliers
+        assert len(outliers) < len(grp) * 0.2
+        for r in outliers:
+            assert abs(r.n_tokens - r.med_r) > r.mad_r * 3
