@@ -444,55 +444,79 @@ def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
     (E2/S6 extension): per column, row/null counts, min/max, distinct
     count, and a {HIST_BUCKETS}-bucket equi-width histogram.
 
-    One unpivot (``stack``) turns the columns into (column, value) rows;
-    per-column extrema are a broadcast-joined first aggregate; the bucket
-    id is an exact expression on the row, so the histogram is one more
-    map-side-combined aggregate. Two scans total for any number of
-    profiled columns — never a per-column query loop.
+    Two single-pass aggregates on the ORIGINAL columns — never an unpivot
+    of data rows (the previous ``stack`` form pushed 4x|lineitem| rows
+    through two aggregates). Pass 1 computes all per-column stats
+    column-wise in one global aggregate; pass 2 broadcasts that 1-row
+    frame back over the scan and counts every (col, bucket) cell as a
+    conditional partial sum — pure map-side combine to a single row.
+    The (col, bucket) output shape is then exploded from that one row,
+    which is driver-trivial. NULL values are excluded from buckets (and
+    counted only in ``n_nulls``) so the two stay disjoint for any future
+    profiled column.
     """
-    n = len(_PROFILE_COLS)
-    pairs = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
-    long = t["lineitem"].select(
-        F.expr(f"stack({n}, {pairs}) AS (col, val)")
-    )
-    stats = long.groupBy("col").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("val").isNull().cast("bigint")).alias("n_nulls"),
-        F.min("val").alias("mn"),
-        F.max("val").alias("mx"),
-        F.countDistinct("val").alias("n_distinct"),
-    )
-    # constant-column guard: min == max would make the width 0/0 (NaN in
-    # Spark -> bucket 0, NULL in DuckDB) — pin every value to bucket 0
-    bucket = (
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("val") - F.col("mn"))
-                    * HIST_BUCKETS
-                    / (F.col("mx") - F.col("mn"))
-                ),
-                F.lit(HIST_BUCKETS - 1),
+    li = t["lineitem"].select(*_PROFILE_COLS)
+    stats_exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        stats_exprs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+    stats = li.agg(*stats_exprs)
+
+    # bucket pass: one conditional sum per (col, bucket) cell over the
+    # original rows; the 1-row stats frame broadcasts, data rows never
+    # shuffle. constant-column guard: min == max pins everything to
+    # bucket 0 (0/0 would be NaN in Spark, NULL in DuckDB).
+    bucket_exprs = []
+    for c in _PROFILE_COLS:
+        mn, mx = F.col(f"mn_{c}"), F.col(f"mx_{c}")
+        b = (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col(c) - mn) * HIST_BUCKETS / (mx - mn)),
+                    F.lit(HIST_BUCKETS - 1),
+                )
             )
+            .cast("int")
         )
-        .cast("int")
-    )
+        for k in range(HIST_BUCKETS):
+            bucket_exprs.append(
+                F.sum(
+                    (F.col(c).isNotNull() & (b == k)).cast("bigint")
+                ).alias(f"bc_{c}_{k}")
+            )
+    counts = li.crossJoin(F.broadcast(stats)).agg(*bucket_exprs)
+
+    # assemble: explode the single (stats x counts) row into the
+    # (col, bucket) output grid; empty buckets drop to match the
+    # group-by shape of the oracle
+    cells = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.round(f"mn_{c}", 6).alias("min_r"),
+            F.round(f"mx_{c}", 6).alias("max_r"),
+            F.lit(k).alias("bucket"),
+            F.col(f"bc_{c}_{k}").alias("bucket_count"),
+        )
+        for c in _PROFILE_COLS
+        for k in range(HIST_BUCKETS)
+    ]
     return (
-        long.join(F.broadcast(stats), on="col")
-        .withColumn("bucket", bucket)
-        .groupBy(
-            "col", "n_rows", "n_nulls", "n_distinct",
-            F.round("mn", 6).alias("min_r"), F.round("mx", 6).alias("max_r"),
-            "bucket",
-        )
-        .agg(F.count(F.lit(1)).alias("bucket_count"))
+        stats.crossJoin(F.broadcast(counts))
+        .select(F.explode(F.array(*cells)).alias("s"))
+        .select("s.*")
+        .filter(F.col("bucket_count") > 0)
     )
 
 
 def _hist_sql() -> str:
-    n = len(_PROFILE_COLS)
-    pairs = ", ".join(f"('{c}', {c})" for c in _PROFILE_COLS)
     unions = " UNION ALL ".join(
         f"SELECT '{c}' AS col, {c} AS val FROM lineitem" for c in _PROFILE_COLS
     )
@@ -512,6 +536,7 @@ SELECT l.col, s.n_rows, s.n_nulls, s.n_distinct,
                             {HIST_BUCKETS - 1}) END AS INT) AS bucket,
        COUNT(*) AS bucket_count
 FROM long l JOIN stats s ON l.col = s.col
+WHERE l.val IS NOT NULL
 GROUP BY 1, 2, 3, 4, 5, 6, 7
 """
 

@@ -121,11 +121,46 @@ def extract_features(blobs: DataFrame) -> DataFrame:
 
 
 def media_features(t: dict[str, DataFrame]) -> DataFrame:
+    """Registry query: one row per (doc, feature dim) — scalar columns only.
+
+    ``extract_features`` keeps the natural ``array<double>`` shape for
+    in-engine consumers; this driver-facing view ``posexplode``s it so the
+    result is canonicalizable (sortable/hashable scalars) and fully
+    oracle-checkable: the fake features are derived from sha256 digest
+    bytes, which the SQL oracle recomputes from hex slices.
+    """
     # fan_out: the Python decode stage is the CPU-bound path — spread the
     # under-split fixture scan across cores (no-op on a well-split scan)
     from databricks_observe_spark.sources.tables import fan_out
 
-    return extract_features(fan_out(media_blobs(t)))
+    feats = extract_features(fan_out(media_blobs(t)))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("feature").alias("dim", "value"),
+    )
+
+
+# Features are round(byte_i/255 - 0.5, 6) over the first FEATURE_DIM bytes
+# of sha256(blob) — recomputable in SQL from hex-pair slices of sha256(text)
+# (DuckDB casts '0x..' strings to INT; round() parity for all 256 byte
+# values verified empirically). Cross-checks the whole Arrow path byte-for-
+# byte: binary in, Python batches, typed scalars back out.
+MEDIA_FEATURES_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         {_MEDIA_TYPE} AS media_type,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       CAST(d.d AS INT) AS dim,
+       round(CAST('0x' || substring(h, 2 * CAST(d.d AS INT) + 1, 2) AS INT) / 255.0 - 0.5, 6) AS value
+FROM feats
+CROSS JOIN (SELECT unnest(range(0, {FEATURE_DIM})) AS d) d
+"""
 
 
 FPS = 24  # synthesized video metadata: fixed frame rate

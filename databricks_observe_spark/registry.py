@@ -201,8 +201,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "length_outliers": (text.length_outliers, text.LENGTH_OUTLIERS_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
-    # mapInPandas feature extraction: not SQL-expressible -> rows-only check
-    "media_features": (multimodal.media_features, None),
+    # mapInPandas feature extraction, posexploded to scalar rows; the fake
+    # features are sha256-derived so the oracle recomputes them from hex
+    "media_features": (multimodal.media_features, multimodal.MEDIA_FEATURES_SQL),
     # frame-sampling plan from metadata alone (JVM-only, oracle-paired)
     "frame_sample": (multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
     # Arrow resize plumbing; oracle recomputes the deterministic outputs

@@ -64,19 +64,23 @@ def test_multimodal_meta_matches_python_hash(tables):
 
 def test_media_features_deterministic_batching(tables, spark):
     df = M.media_features(tables)
+    # driver-facing shape: scalar columns only (canonicalizable/hashable)
     assert df.schema.simpleString() == (
-        "struct<doc_id:bigint,media_type:string,n_bytes:int,feature:array<double>>"
+        "struct<doc_id:bigint,media_type:string,n_bytes:int,dim:int,value:double>"
     )
-    rows = {r.doc_id: r for r in df.collect()}
+    rows: dict = {}
+    for r in df.collect():
+        rows.setdefault(r.doc_id, [None] * M.FEATURE_DIM)[r.dim] = r.value
     assert len(rows) == tables["documents"].count()
+    assert all(None not in v for v in rows.values())
     # deterministic: repartitioning must not change features
     rows2 = {
         r.doc_id: r
         for r in M.extract_features(M.media_blobs(tables).repartition(7)).collect()
     }
     for k in list(rows)[:20]:
-        assert rows[k].feature == rows2[k].feature
-        assert len(rows[k].feature) == M.FEATURE_DIM
+        assert rows[k] == rows2[k].feature
+        assert len(rows[k]) == M.FEATURE_DIM
 
 
 def test_decode_media_stub_raises(tables):
