@@ -857,6 +857,16 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
 SEMDEDUP_COS = 0.4
 
 
+# Max rows a single SemDeDup task ever holds in memory (per side). A
+# cluster larger than this is sub-split into ceil(size/cap) hash blocks and
+# scored block-pair-wise — the same triangle tiling embedding_near_dup uses
+# corpus-wide — so per-task memory is bounded no matter how popular a
+# cluster gets. At the fixture scale every cluster fits in one block, so
+# the plan degenerates to one task per cluster (output is identical either
+# way: the tiling is exhaustive within the cluster).
+SEMDEDUP_BLOCK_CAP = 4096
+
+
 def semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate pruning
     with the k-means assignment as the blocking key — cosine pairs are
@@ -864,45 +874,129 @@ def semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
 
     Composition of two already-verified pieces: the oracle-paired E-step
     (kmeans_assign's codebook/op order) provides cluster ids; an Arrow
-    cogroup per cluster rescores exact cosines with the oracle's
-    left-to-right accumulation. Output: every vector that is a semantic
-    duplicate (cosine >= {SEMDEDUP_COS} to a lower-id vector in its
-    cluster), with its keeper. Work scales with sum(cluster_size^2), not
-    corpus^2 — the whole point of clustering first; at 100 TB K grows with
-    the corpus so cluster sizes stay bounded.
+    cogroup rescores exact cosines with the oracle's left-to-right
+    accumulation. Output: every vector that is a semantic duplicate
+    (cosine >= {SEMDEDUP_COS} to a lower-id vector in its cluster), with
+    its keeper. Work scales with sum(cluster_size^2), not corpus^2 — the
+    point of clustering first — and, because clusters above
+    {SEMDEDUP_BLOCK_CAP} rows are sub-split into block pairs, no single
+    task ever materializes an unbounded cluster: one popular cluster costs
+    more TASKS, never more memory.
     """
     e = _doubled(t)
-    bc = e.sparkSession.sparkContext.broadcast(_init_centroids(t))
-    assigned = e.select("vec_id", "v", "nrm", "label").mapInPandas(
-        _sq_dist_assign_with_payload(bc),
-        "vec_id bigint, v array<double>, nrm double, label int, cluster int",
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast(_init_centroids(t))
+    # materialize the assignment once (it feeds the size aggregate and
+    # both cogroup sides; at scale this is the written assignment table)
+    assigned = (
+        e.select("vec_id", "v", "nrm", "label")
+        .mapInPandas(
+            _sq_dist_assign_with_payload(bc),
+            "vec_id bigint, v array<double>, nrm double, label int, cluster int",
+        )
+        .localCheckpoint()
     )
 
-    def pairs_per_cluster(key, pdf):
+    # per-cluster block count from the (K-row) size aggregate; the
+    # triangle of block pairs is generated JVM-side from the same frame
+    # (aliased key -> fresh attribute ids, no self-join ambiguity)
+    blocks = assigned.groupBy("cluster").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(SEMDEDUP_BLOCK_CAP)).cast("int").alias("nb")
+    )
+    pair_tbl = blocks.select(
+        F.col("cluster").alias("pcluster"),
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("bi"),
+        "nb",
+    ).select(
+        "pcluster",
+        "bi",
+        F.explode(F.sequence(F.col("bi"), F.col("nb") - 1)).alias("bj"),
+    )
+
+    a_blk = assigned.join(F.broadcast(blocks), on="cluster").withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int")
+    )
+    left = a_blk.join(
+        F.broadcast(pair_tbl),
+        on=[F.col("cluster") == F.col("pcluster"), F.col("blk") == F.col("bi")],
+    ).select("cluster", "bi", "bj", "vec_id", "v", "nrm")
+    # fresh attribute ids on the right side (self-cogroup disambiguation)
+    a_blk_r = a_blk.select(
+        F.col("cluster").alias("cluster_r"),
+        F.col("blk").alias("blk_r"),
+        F.col("vec_id").alias("vid_r"),
+        F.col("v").alias("v_r"),
+        F.col("nrm").alias("nrm_r"),
+    )
+    pair_tbl_r = pair_tbl.select(
+        F.col("pcluster").alias("pcluster_r"),
+        F.col("bi").alias("bi_r"),
+        F.col("bj").alias("bj_r"),
+    )
+    right = a_blk_r.join(
+        F.broadcast(pair_tbl_r),
+        on=[F.col("cluster_r") == F.col("pcluster_r"), F.col("blk_r") == F.col("bj_r")],
+    ).select(
+        F.col("cluster_r").alias("cluster"),
+        F.col("bi_r").alias("bi"),
+        F.col("bj_r").alias("bj"),
+        F.col("vid_r").alias("vec_id"),
+        F.col("v_r").alias("v"),
+        F.col("nrm_r").alias("nrm"),
+    )
+    thr_pre = SEMDEDUP_COS - 1e-6
+
+    def score(key, lpdf, rpdf):
         import numpy as _np
         import pandas as _pd
 
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy()
-        mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
-        nrm = pdf["nrm"].to_numpy()
-        acc = _np.outer(mat[:, 0], mat[:, 0])
-        for d in range(1, mat.shape[1]):
-            acc = acc + _np.outer(mat[:, d], mat[:, d])
-        cos = acc / _np.outer(nrm, nrm)
-        ii, jj = _np.nonzero(_np.triu(cos >= SEMDEDUP_COS, k=1))
+        empty = _pd.DataFrame(
+            {
+                "cluster": _np.array([], dtype=_np.int32),
+                "keep_id": _np.array([], dtype=_np.int64),
+                "drop_id": _np.array([], dtype=_np.int64),
+                "cosine": _np.array([], dtype=_np.float64),
+            }
+        )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        lids = lpdf["vec_id"].to_numpy()
+        rids = rpdf["vec_id"].to_numpy()
+        lmat = _np.array(lpdf["v"].tolist(), dtype=_np.float64)
+        rmat = _np.array(rpdf["v"].tolist(), dtype=_np.float64)
+        lnrm = lpdf["nrm"].to_numpy()
+        rnrm = rpdf["nrm"].to_numpy()
+        # BLAS prefilter, then exact left-to-right rescore (oracle op order)
+        sims = (lmat @ rmat.T) / _np.outer(lnrm, rnrm)
+        ai, bj = _np.nonzero(sims >= thr_pre)
+        if key[1] == key[2]:
+            # same block both sides: keep the id-ordered half of each pair
+            keep = lids[ai] < rids[bj]
+            ai, bj = ai[keep], bj[keep]
+        if len(ai) == 0:
+            return empty
+        av, bv = lmat[ai], rmat[bj]
+        acc = av[:, 0] * bv[:, 0]
+        for d in range(1, av.shape[1]):
+            acc = acc + av[:, d] * bv[:, d]
+        cos = acc / (lnrm[ai] * rnrm[bj])
+        ok = cos >= SEMDEDUP_COS
+        la, rb = lids[ai][ok], rids[bj][ok]
         return _pd.DataFrame(
             {
-                "cluster": key[0],
-                "keep_id": ids[ii],
-                "drop_id": ids[jj],
-                "cosine": cos[ii, jj],
+                "cluster": _np.full(len(la), key[0], dtype=_np.int32),
+                "keep_id": _np.minimum(la, rb),
+                "drop_id": _np.maximum(la, rb),
+                "cosine": cos[ok],
             }
         )
 
-    pairs = assigned.groupBy("cluster").applyInPandas(
-        pairs_per_cluster,
-        "cluster int, keep_id bigint, drop_id bigint, cosine double",
+    pairs = (
+        left.groupBy("cluster", "bi", "bj")
+        .cogroup(right.groupBy("cluster", "bi", "bj"))
+        .applyInPandas(
+            score, "cluster int, keep_id bigint, drop_id bigint, cosine double"
+        )
     )
     # a vector may match several lower-id keepers: report its closest
     # (highest cosine, ties -> lowest keeper)

@@ -342,3 +342,16 @@ def test_semantic_dedup_pairs_are_within_cluster_and_high_cos(tables):
     # one keeper decision per dropped vector
     drops = [r.drop_id for r in rows]
     assert len(drops) == len(set(drops))
+
+
+def test_semantic_dedup_output_invariant_to_block_cap(tables, monkeypatch):
+    """The block-pair tiling is an execution detail: forcing every fixture
+    cluster to sub-split (cap lower than any cluster size) must reproduce
+    the single-block output bit-for-bit — no pair lost at block borders,
+    no cosine changed by the tiling."""
+    from databricks_observe_spark.operators import similarity as S
+
+    base = sorted(map(tuple, S.semantic_dedup(tables).collect()))
+    monkeypatch.setattr(S, "SEMDEDUP_BLOCK_CAP", 32)
+    capped = sorted(map(tuple, S.semantic_dedup(tables).collect()))
+    assert base == capped and base

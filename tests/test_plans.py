@@ -233,9 +233,10 @@ def test_semantic_dedup_is_cluster_blocked(tables):
     from databricks_observe_spark.operators import similarity as S
 
     plan = _plan(S.semantic_dedup(tables))
-    # pairwise work happens inside per-cluster pandas cogroups; no
-    # corpus-level pair join ever forms
-    assert "FlatMapGroupsInPandas" in plan
+    # pairwise work happens inside per-(cluster, block-pair) pandas
+    # cogroups; no corpus-level pair join ever forms, and the block-pair
+    # table ships broadcast so data rows never shuffle for the tiling
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
