@@ -739,34 +739,67 @@ FROM (
 """
 
 
+# Fixed-point grids for the reproducible Lloyd loop. Inputs quantize to
+# 1e-6 via floor(x*1e6 + 0.5) — BINARY-value rounding (pure IEEE ops), the
+# one rounding both engines compute identically (decimal-repr rounding is
+# engine-specific: Spark rounds the shortest decimal repr, DuckDB the
+# binary value). Per-vector inertia contributions quantize to 1e-9 the
+# same way.
+KMEANS_GRID = 1_000_000.0
+INERTIA_GRID = 1_000_000_000.0
+
+
+def _quantized(t: dict[str, DataFrame]) -> DataFrame:
+    """(vec_id, vqi array<bigint>, vq array<double>, label): embeddings on
+    the 1e-6 fixed-point grid, memoized per context.
+
+    ``vqi`` (micro-units, exact integers) feeds the M-step sums; ``vq``
+    (= vqi/1e6, identical doubles in both engines) feeds distances."""
+    if "_kmeans_q" not in t:
+        t["_kmeans_q"] = (
+            _doubled(t)
+            .select("vec_id", "v", "label")
+            .withColumn(
+                "vqi",
+                F.transform(
+                    "v", lambda x: F.floor(x * F.lit(KMEANS_GRID) + F.lit(0.5))
+                ),
+            )
+            .withColumn("vq", F.transform("vqi", lambda i: i / F.lit(KMEANS_GRID)))
+            .select("vec_id", "vqi", "vq", "label")
+            .localCheckpoint()
+        )
+    return t["_kmeans_q"]
+
+
 def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
     """Full Lloyd k-means ({KMEANS_ITERS} iterations, K={KMEANS_K}) over the
-    embedding corpus, returning the per-cluster curation summary
-    (size, inertia, majority label, purity).
+    embedding corpus, returning the per-cluster curation summary: size,
+    membership digest (id sum/min), inertia, majority label, purity.
+
+    **Bit-reproducible across engines and run orders**, which is what lets
+    the full iterative loop be hash-checked against the SQL oracle (not
+    rows-only): inputs are quantized to a 1e-6 fixed-point grid, so the
+    M-step accumulates INTEGER micro-unit sums — exact and
+    order-independent, immune to float reassociation — and the centroid
+    is the correctly-rounded double of (int_sum / (1e6 * n)), identical
+    in any engine. E-step distances on the grid doubles use fixed
+    left-to-right accumulation (the oracle's IEEE op order). Every output
+    column is an integer (micro-units for inertia/purity), so the
+    driver's value hash is exact.
 
     Iteration shape at scale: each Lloyd iteration is ONE Arrow pass
-    against the BROADCAST centroid matrix (K x 64 doubles — the "ship the
-    codebook to the data" move) that also accumulates the M-step partials
-    per partition — K rows of (cluster, count, sum-vector), i.e. K*64
-    doubles per partition regardless of corpus size; the driver combines
-    partials in content-sorted order (float addition order independent of
-    task completion order) and rebroadcasts. Nothing corpus-sized ever
-    reaches the driver or a shuffle. The final summary assigns once more
-    with the converged centroids. Centroid means remain float sums (not
-    SQL-order-reproducible), so the iterative form is checked rows-only +
-    pytest determinism/quality gates; the oracle-paired E-step is
-    kmeans_assign.
+    against the BROADCAST centroid matrix that also accumulates the
+    M-step partials per partition — K rows of (cluster, count,
+    int-sum-vector) regardless of corpus size. Nothing corpus-sized ever
+    reaches the driver or a shuffle.
     """
     import numpy as np
 
-    e = _doubled(t).select("vec_id", "v", "label").localCheckpoint()
-    sc = e.sparkSession.sparkContext
+    q = _quantized(t)
+    sc = q.sparkSession.sparkContext
 
     def partial_kernel(bc):
-        # M-step partials INSIDE the E-step pass: each partition emits K
-        # rows of (cluster, count, sum-vector) — K*64 doubles per
-        # partition regardless of corpus size, instead of exploding
-        # corpus x 64 (cluster, dim, val) rows through a shuffle.
         def part(batches):
             import numpy as _np
             import pandas as _pd
@@ -774,11 +807,12 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
             c_mat = bc.value
             k, dim = c_mat.shape
             counts = _np.zeros(k, dtype=_np.int64)
-            sums = _np.zeros((k, dim), dtype=_np.float64)
+            isums = _np.zeros((k, dim), dtype=_np.int64)
             for pdf in batches:
                 if not len(pdf):
                     continue
-                mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+                mat = _np.array(pdf["vq"].tolist(), dtype=_np.float64)
+                imat = _np.array(pdf["vqi"].tolist(), dtype=_np.int64)
                 d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
                 acc = d0 * d0
                 for d in range(1, dim):
@@ -787,66 +821,220 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
                 best = _np.argmin(acc, axis=0)
                 counts += _np.bincount(best, minlength=k)
                 for cl in range(k):
-                    sel = mat[best == cl]
+                    sel = imat[best == cl]
                     if len(sel):
-                        sums[cl] += sel.sum(axis=0)
+                        isums[cl] += sel.sum(axis=0)
             yield _pd.DataFrame(
                 {
                     "cluster": _np.arange(k, dtype=_np.int32),
                     "n": counts,
-                    "sums": list(sums),
+                    "isums": list(isums),
                 }
             )
 
         return part
 
-    cents = _init_centroids(t)
+    c_int = _init_centroids_q(t)
+    cents = c_int.astype(np.float64) / KMEANS_GRID
     for _ in range(KMEANS_ITERS):
         bc = sc.broadcast(cents)
-        partials = e.mapInPandas(
-            partial_kernel(bc), "cluster int, n bigint, sums array<double>"
+        partials = q.mapInPandas(
+            partial_kernel(bc), "cluster int, n bigint, isums array<bigint>"
         ).collect()
-        # deterministic driver-side combine: sort partials by full content
-        # so float addition order never depends on task completion order
-        partials.sort(key=lambda r: (r.cluster, r.n, tuple(r.sums)))
-        new_c = cents.copy()  # empty cluster keeps its old centroid
-        counts = [0] * KMEANS_K
-        sums = np.zeros_like(cents)
+        # integer partials combine exactly in ANY order — no sort needed
+        counts = np.zeros(KMEANS_K, dtype=np.int64)
+        isums = np.zeros((KMEANS_K, cents.shape[1]), dtype=np.int64)
         for r in partials:
             counts[r.cluster] += r.n
-            sums[r.cluster] += np.array(r.sums)
+            isums[r.cluster] += np.array(r.isums, dtype=np.int64)
+        new_c = cents.copy()  # empty cluster keeps its old centroid
         for cl in range(KMEANS_K):
             if counts[cl]:
-                new_c[cl] = sums[cl] / counts[cl]
+                # fl(int)/fl(1e6*n): two exact operands, one IEEE divide —
+                # the oracle's CAST(s AS DOUBLE)/(1000000.0*n)
+                new_c[cl] = isums[cl].astype(np.float64) / (
+                    KMEANS_GRID * float(counts[cl])
+                )
         cents = new_c
+
     bc = sc.broadcast(cents)
-    assigned = e.mapInPandas(
-        _sq_dist_assign(bc),
-        "vec_id bigint, v array<double>, label int, cluster int, sq_dist double",
+
+    def assign_final(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        c_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.array(pdf["vq"].tolist(), dtype=_np.float64)
+            d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
+            acc = d0 * d0
+            for d in range(1, c_mat.shape[1]):
+                dd = c_mat[:, d][:, None] - mat[:, d][None, :]
+                acc = acc + dd * dd
+            best = _np.argmin(acc, axis=0)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cluster": best.astype("int32"),
+                    "sq_dist": acc[best, _np.arange(len(best))],
+                }
+            )
+
+    assigned = q.mapInPandas(
+        assign_final, "vec_id bigint, label int, cluster int, sq_dist double"
     )
-    maj = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
-    label_counts = (
-        assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
-    )
-    majority = (
-        label_counts.withColumn("rn", F.row_number().over(maj))
-        .filter(F.col("rn") == 1)
-        .select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("n_major"))
-    )
+    micro = F.floor(F.col("sq_dist") * F.lit(INERTIA_GRID) + F.lit(0.5))
     summary = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.sum(F.round("sq_dist", 9).cast("decimal(28,9)")).cast("double"), 3).alias("inertia_r"),
+        F.sum("vec_id").alias("id_sum"),
+        F.min("vec_id").alias("id_min"),
+        F.sum(micro).alias("inertia_micro"),
     )
-    return (
-        summary.join(F.broadcast(majority), on="cluster")
+    maj = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    majority = (
+        assigned.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(maj))
+        .filter(F.col("rn") == 1)
         .select(
             "cluster",
-            "n_vectors",
-            "inertia_r",
-            "majority_label",
-            F.round(F.col("n_major") / F.col("n_vectors"), 6).alias("purity_r"),
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_major"),
         )
     )
+    return summary.join(F.broadcast(majority), on="cluster").select(
+        "cluster",
+        "n_vectors",
+        "id_sum",
+        "id_min",
+        "inertia_micro",
+        "majority_label",
+        "n_major",
+        F.floor(
+            F.col("n_major").cast("double")
+            / F.col("n_vectors")
+            * F.lit(KMEANS_GRID)
+            + F.lit(0.5)
+        ).alias("purity_micro"),
+    )
+
+
+def _init_centroids_q(t: dict[str, DataFrame]):
+    """K lowest vec_ids' QUANTIZED vectors (int micro-units) as the
+    deterministic init — same selection rule as :func:`_init_centroids`,
+    on the fixed-point grid both engines reproduce exactly."""
+    import numpy as np
+
+    rows = (
+        _quantized(t)
+        .select("vec_id", "vqi")
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    if len(rows) < KMEANS_K:
+        raise ValueError(
+            f"kmeans init needs at least K={KMEANS_K} vectors; corpus has "
+            f"{len(rows)}"
+        )
+    return np.array([r.vqi for r in rows], dtype=np.int64)
+
+
+def _kmeans_clusters_sql() -> str:
+    # FLAT columns (q1..q64 ints, v1..v64 doubles), not lists: DuckDB
+    # inlines CTEs, and a list_transform-derived vq re-expands per [i]
+    # extraction — 64 terms x 2 sites x 4 assignment CTEs blew the
+    # optimizer's memory. Scalar columns keep every reference a plain
+    # column ref.
+    dim = 64
+    k = KMEANS_K
+    grid = "1000000.0"
+    rng = range(1, dim + 1)
+    qcols = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * {grid} + 0.5) AS BIGINT)"
+        f" AS q{i}"
+        for i in rng
+    )
+    vcols = ", ".join(f"CAST(q{i} AS DOUBLE) / {grid} AS v{i}" for i in rng)
+    dist = " + ".join(f"(e.v{i} - c.c{i}) * (e.v{i} - c.c{i})" for i in rng)
+    sums = ", ".join(f"SUM(q.q{i}) AS s{i}" for i in rng)
+    init_c = ", ".join(f"v{i} AS c{i}" for i in rng)
+    next_c = ", ".join(
+        f"CASE WHEN a.n IS NULL THEN c.c{i} "
+        f"ELSE CAST(a.s{i} AS DOUBLE) / ({grid} * a.n) END AS c{i}"
+        for i in rng
+    )
+    eq_cols = ", ".join(f"e.q{i}, e.v{i}" for i in rng)
+    parts = [
+        f"""eqi AS (SELECT vec_id, label, {qcols} FROM embeddings),
+eq AS (SELECT vec_id, label, {', '.join(f'q{i}' for i in rng)}, {vcols} FROM eqi),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         {init_c}
+  FROM (SELECT * FROM eq ORDER BY vec_id LIMIT {k}) q
+)"""
+    ]
+    prev = "c0"
+    for it in range(KMEANS_ITERS):
+        parts.append(
+            f"""a{it} AS (
+  SELECT * FROM (
+    SELECT e.vec_id, c.cluster, {eq_cols},
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c.cluster ASC) AS rn
+    FROM eq e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+g{it} AS (SELECT cluster, COUNT(*) AS n, {sums} FROM a{it} q GROUP BY cluster),
+c{it + 1} AS (
+  SELECT c.cluster, {next_c}
+  FROM {prev} c LEFT JOIN g{it} a ON c.cluster = a.cluster
+)"""
+        )
+        prev = f"c{it + 1}"
+    parts.append(
+        f"""af AS (
+  SELECT vec_id, label, cluster, sq_dist FROM (
+    SELECT e.vec_id, e.label, c.cluster, {dist} AS sq_dist,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c.cluster ASC) AS rn
+    FROM eq e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+s AS (
+  SELECT cluster, COUNT(*) AS n_vectors,
+         CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+         MIN(vec_id) AS id_min,
+         CAST(SUM(CAST(FLOOR(sq_dist * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS inertia_micro
+  FROM af GROUP BY cluster
+),
+mj AS (
+  SELECT cluster, label AS majority_label, n AS n_major FROM (
+    SELECT cluster, label, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY COUNT(*) DESC, label ASC) AS rn
+    FROM af GROUP BY cluster, label
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT s.cluster, s.n_vectors, s.id_sum, s.id_min, s.inertia_micro,
+       mj.majority_label, mj.n_major,
+       CAST(FLOOR(CAST(mj.n_major AS DOUBLE) / s.n_vectors * {grid} + 0.5)
+            AS BIGINT) AS purity_micro
+FROM s JOIN mj ON s.cluster = mj.cluster
+"""
+    )
+
+
+KMEANS_CLUSTERS_SQL = _kmeans_clusters_sql()
 
 
 # Within-cluster near-duplicate threshold. SemDeDup's paper value for web

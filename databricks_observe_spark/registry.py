@@ -176,10 +176,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_TOPK_SQL),
     "ivf_ann_topk": (similarity.ivf_ann_topk, similarity.IVF_ANN_TOPK_SQL),
-    # k-means E-step, oracle-paired; the full Lloyd loop is rows-only
-    # (float centroid means are summation-order-dependent)
+    # k-means E-step on raw doubles, oracle-paired
     "kmeans_assign": (similarity.kmeans_assign, similarity.KMEANS_ASSIGN_SQL),
-    "kmeans_clusters": (similarity.kmeans_clusters, None),
+    # full Lloyd loop on 1e-6 fixed-point inputs: integer M-step sums make
+    # every iteration bit-reproducible, so the oracle replays it exactly
+    "kmeans_clusters": (similarity.kmeans_clusters, similarity.KMEANS_CLUSTERS_SQL),
     # SemDeDup: cluster-blocked embedding near-dup pruning
     "semantic_dedup": (similarity.semantic_dedup, similarity.SEMANTIC_DEDUP_SQL),
     # --- text analysis ---

@@ -286,17 +286,23 @@ def test_kmeans_clusters_deterministic_and_improving(tables):
 
     a = sorted(S.kmeans_clusters(tables).collect())
     b = sorted(S.kmeans_clusters(tables).collect())
-    assert a == b  # bit-stable across runs (broadcast init, fixed op order)
-    assert sum(r.n_vectors for r in a) == tables["embeddings"].count()
+    assert a == b  # bit-stable across runs (integer M-step partials)
+    n_vecs = tables["embeddings"].count()
+    assert sum(r.n_vectors for r in a) == n_vecs
     assert all(r.n_vectors > 0 for r in a)
-    # Lloyd iterations must not be worse than the init assignment
+    # membership digest is a partition of the id space
+    assert sum(r.id_sum for r in a) == n_vecs * (n_vecs - 1) // 2
+    assert min(r.id_min for r in a) == 0
+    # Lloyd iterations must not be worse than the init assignment (the
+    # 1e-6 input quantization perturbs inertia by far less than the
+    # iteration improvement)
     init_inertia = (
         S.kmeans_assign(tables).agg({"sq_dist_r": "sum"}).collect()[0][0]
     )
-    assert sum(r.inertia_r for r in a) <= init_inertia
+    assert sum(r.inertia_micro for r in a) / 1e9 <= init_inertia
     # clusters capture latent structure: majority label better than chance
     n_labels = tables["embeddings"].select("label").distinct().count()
-    avg_purity = sum(r.purity_r for r in a) / len(a)
+    avg_purity = sum(r.purity_micro / 1e6 for r in a) / len(a)
     assert avg_purity > 1.5 / n_labels
 
 
