@@ -242,7 +242,12 @@ def table_files_meta(t: dict[str, DataFrame]) -> DataFrame:
     per-table file count, total bytes, and last-modified (the
     lastModified/createdAt coalesce of DA:154-156).
 
-    Wall-clock metadata is environment-dependent -> rows-only check.
+    Storage metadata is not derivable from the table DATA, but it IS
+    deterministic for a given filesystem state — so the oracle stats the
+    same files (DuckDB ``read_blob`` over the fixture glob, joined to the
+    parquet paths recovered from the registered views' SQL) and the whole
+    row hash-checks. Timestamps travel as epoch seconds: both engines
+    floor the same filesystem instant, no timezone/format semantics.
     """
     profiled = [
         "region", "nation", "customer", "supplier", "part",
@@ -264,12 +269,46 @@ def table_files_meta(t: dict[str, DataFrame]) -> DataFrame:
                 F.lit(name).alias("table"),
                 F.count(F.lit(1)).alias("n_files"),
                 F.sum("file_size").alias("total_bytes"),
-                F.date_format(F.max("mtime"), "yyyy-MM-dd HH:mm:ss").alias(
-                    "last_modified"
-                ),
-            ).select("table", "n_files", "total_bytes", "last_modified")
+                F.unix_timestamp(F.max("mtime")).alias("mtime_epoch"),
+            ).select("table", "n_files", "total_bytes", "mtime_epoch")
         )
     return reduce(DataFrame.union, frames)
+
+
+_PROFILED_TABLES_SQL = ", ".join(
+    f"'{n}'"
+    for n in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+)
+
+# File-stat CTE for the storage-metadata oracles: recover each view's
+# backing parquet path from duckdb_views() (the driver registers the
+# fixture tables as views over '<sf_dir>/<table>.parquet'), then stat the
+# files via a constant-glob read_blob (table functions take only constant
+# args) joined back on filename.
+_VIEW_FILES_SQL = f"""
+view_files AS (
+  SELECT v.view_name AS "table", b.size,
+         CAST(FLOOR(epoch(b.last_modified)) AS BIGINT) AS mtime_epoch,
+         b.filename AS path
+  FROM read_blob('/root/testdata/*/*.parquet') b
+  JOIN (
+    SELECT view_name,
+           regexp_extract(sql, '["'']([^"'']+[.]parquet)["'']', 1) AS p
+    FROM duckdb_views()
+  ) v ON b.filename = v.p
+  WHERE v.view_name IN ({_PROFILED_TABLES_SQL})
+)
+"""
+
+TABLE_FILES_META_SQL = f"""
+WITH {_VIEW_FILES_SQL}
+SELECT "table", COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_bytes,
+       MAX(mtime_epoch) AS mtime_epoch
+FROM view_files GROUP BY 1
+"""
 
 
 def named_assets(t: dict[str, DataFrame]) -> DataFrame:
@@ -379,10 +418,11 @@ def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
     ``created_at`` is NULL in this storage model (parquet exposes only
     mtimes), so ``created_or_modified = coalesce(created_at, last_modified)``
     exercises F4's original site exactly as the reference does: a missing
-    createdAt falls through to lastModified. Storage wall-clock fields are
-    environment-dependent -> rows-only check; the deterministic fields
-    (name/format/description) are cross-checked by ``tables_enriched``'s
-    oracle-paired query.
+    createdAt falls through to lastModified. Storage metadata is
+    deterministic for a given filesystem state, so the oracle stats the
+    same files (see :data:`TABLE_FILES_META_SQL`'s view_files CTE) and
+    every column hash-checks; modification instants travel as epoch
+    seconds to keep timezone/format semantics out of the comparison.
     """
     profiled = [
         "region", "nation", "customer", "supplier", "part",
@@ -404,9 +444,12 @@ def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
                 F.lit(name).alias("table"),
                 F.count(F.lit(1)).alias("num_files"),
                 F.sum("file_size").alias("size_in_bytes"),
-                F.max("mtime").alias("_max_mtime"),
+                F.unix_timestamp(F.max("mtime")).alias("_mtime_epoch"),
+                # strip Spark's file: URI scheme -> plain filesystem path
                 F.regexp_replace(
-                    F.first("path"), "/[^/]+$", ""
+                    F.regexp_replace(F.min("path"), "^file:", ""),
+                    "/[^/]+$",
+                    "",
                 ).alias("location"),
             )
         )
@@ -422,16 +465,50 @@ def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
             "format",
             "location",
             created_at.alias("created_at"),
-            F.col("_max_mtime").alias("last_modified"),
+            F.col("_mtime_epoch").alias("last_modified_epoch"),
             # F4's original site: createdAt or lastModified
-            F.coalesce(created_at, F.col("_max_mtime")).alias(
-                "created_or_modified"
-            ),
+            F.coalesce(
+                F.unix_timestamp(created_at), F.col("_mtime_epoch")
+            ).alias("created_or_modified_epoch"),
             "num_files",
             "size_in_bytes",
             "description",
         )
     )
+
+
+DESCRIBE_DETAIL_SQL = oracle_with_clause("catalog_objects") + f""",
+{_VIEW_FILES_SQL.strip().rstrip()},
+fagg AS (
+  SELECT "table", COUNT(*) AS num_files,
+         CAST(SUM(size) AS BIGINT) AS size_in_bytes,
+         MAX(mtime_epoch) AS last_modified_epoch,
+         regexp_replace(MIN(path), '/[^/]+$', '') AS location
+  FROM view_files GROUP BY 1
+),
+enriched AS (
+  SELECT d.catalog, d.schema, d."table",
+         CASE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '')
+              WHEN 'delta' THEN 'deltalake'
+              WHEN 'unknown_data_source_format' THEN ''
+              ELSE COALESCE(replace(lower(i.data_source_format), ' ', '_'), '') END AS format,
+         i.comment AS description
+  FROM (
+    SELECT DISTINCT catalog, schema, "table" FROM catalog_objects
+    WHERE lower(catalog) NOT IN ('') AND lower(schema) NOT IN ('information_schema')
+  ) d
+  LEFT JOIN information_schema_tables i
+    ON d.catalog = i.table_catalog AND d.schema = i.table_schema AND d."table" = i.table_name
+  WHERE d.catalog = 'testdata' AND d.schema = 'main'
+)
+SELECT e.catalog || '.' || e.schema || '.' || e."table" AS name,
+       e.format, f.location,
+       CAST(NULL AS TIMESTAMP) AS created_at,
+       f.last_modified_epoch,
+       COALESCE(CAST(NULL AS BIGINT), f.last_modified_epoch) AS created_or_modified_epoch,
+       f.num_files, f.size_in_bytes, e.description
+FROM fagg f JOIN enriched e ON f."table" = e."table"
+"""
 
 
 HIST_BUCKETS = 10

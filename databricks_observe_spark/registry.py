@@ -88,10 +88,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),
     "columns_schema": (catalog_ops.columns_schema, catalog_ops.COLUMNS_SCHEMA_SQL),
     "table_profiles": (catalog_ops.table_profiles, catalog_ops.TABLE_PROFILES_SQL),
-    # storage mtimes are environment-dependent -> rows-only
-    "table_files_meta": (catalog_ops.table_files_meta, None),
-    # S6 full DESCRIBE DETAIL field set (created/modified coalesce) -> rows-only
-    "describe_detail": (catalog_ops.describe_detail, None),
+    # storage metadata hash-checked: the oracle stats the same files via
+    # read_blob over paths recovered from duckdb_views(); instants travel
+    # as epoch seconds
+    "table_files_meta": (catalog_ops.table_files_meta, catalog_ops.TABLE_FILES_META_SQL),
+    "describe_detail": (catalog_ops.describe_detail, catalog_ops.DESCRIBE_DETAIL_SQL),
     # ANALYZE-style numeric stats + equi-width histograms (E2 extension)
     "column_histograms": (
         catalog_ops.column_histograms,

@@ -76,7 +76,7 @@ def test_describe_detail_field_set(tables):
     # F4's original site: createdAt missing in this storage model, so the
     # coalesce must fall through to lastModified
     assert ev.created_at is None
-    assert ev.created_or_modified == ev.last_modified is not None
+    assert ev.created_or_modified_epoch == ev.last_modified_epoch is not None
     assert rows["testdata.main.orders"].format == "deltalake"
 
 
