@@ -79,6 +79,48 @@ def wait_for_pipeline(
     )
 
 
+def run_output_lookup(t: dict[str, DataFrame]) -> DataFrame:
+    """S11 as a registry query: the run-output point read
+    (``job_discovery.py:57-65`` — ``get_run_output`` for one run id) —
+    one entity's newest update row.
+
+    The probe key is itself derived deterministically (min entity_id) so
+    the query is fixture-independent. Plan shape: the 1-row key frame
+    broadcasts; the updates scan is pruned by the hash-join probe, and
+    only one entity's rows ever sort. At scale this is the keyed
+    point-read every poll tick issues (see ``_poll_states``).
+    """
+    from databricks_observe_spark.operators.runs import _ts_str
+
+    u = t["updates"]
+    target = u.agg(F.min("entity_id").alias("_probe_id"))
+    return (
+        u.join(F.broadcast(target), on=F.col("entity_id") == F.col("_probe_id"))
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select(
+            "entity_type",
+            "entity_id",
+            "update_id",
+            "state",
+            _ts_str().alias("ts"),
+        )
+    )
+
+
+def _run_output_lookup_sql() -> str:
+    from databricks_observe_spark.operators.runs import _TS_FMT_DUCK
+    from databricks_observe_spark.sources.catalog_model import oracle_with_clause
+
+    return oracle_with_clause("updates") + f"""
+SELECT entity_type, entity_id, update_id, state,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts
+FROM updates
+WHERE entity_id = (SELECT MIN(entity_id) FROM updates)
+ORDER BY ts DESC, event_id DESC LIMIT 1
+"""
+
+
 def wait_for_job(
     updates: DataFrame,
     job_id: str,

@@ -28,11 +28,17 @@ def delta_available(spark) -> bool:
         return False
 
 
+def negotiate_format(spark, fmt: str | None = None) -> str:
+    """K1 format negotiation, separated from the write so the Delta branch
+    is unit-testable in environments that ship no delta-spark: an explicit
+    request wins; otherwise Delta when the classes load, else parquet."""
+    return fmt or ("delta" if delta_available(spark) else "parquet")
+
+
 def overwrite_table(df: DataFrame, path: str, fmt: str | None = None) -> str:
     """K1 semantics: full overwrite of a managed location. Returns the
     format used. Delta if requested/available, else parquet."""
-    spark = df.sparkSession
-    fmt = fmt or ("delta" if delta_available(spark) else "parquet")
+    fmt = negotiate_format(df.sparkSession, fmt)
     df.write.format(fmt).mode("overwrite").save(path)
     return fmt
 

@@ -19,6 +19,7 @@ from databricks_observe_spark.sources.catalog_model import oracle_with_clause
 from databricks_observe_spark.streaming import state as streaming_state
 from databricks_observe_spark.operators import (
     catalog_ops,
+    control,
     dedup,
     events,
     flagship,
@@ -122,6 +123,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         runs.signup_purchase_window,
         runs.SIGNUP_PURCHASE_WINDOW_SQL,
     ),
+    # S11: run-output point lookup as a query (job_discovery.py:57-65)
+    "run_output_lookup": (control.run_output_lookup, control._run_output_lookup_sql()),
     # F7: JSON cursor map serialize/parse round-trip (sensors/dlt_sensor.py:12,46)
     "sensor_cursor_roundtrip": (
         runs.sensor_cursor_roundtrip,

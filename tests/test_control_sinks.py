@@ -34,6 +34,63 @@ def test_wait_unknown_entity_raises(tables):
         C.wait_for_pipeline(tables["updates"], "pl-does-not-exist")
 
 
+def test_run_output_lookup_is_newest_row_of_min_entity(tables):
+    row = C.run_output_lookup(tables).collect()
+    assert len(row) == 1
+    r = row[0]
+    u = tables["updates"]
+    probe = u.agg(F.min("entity_id")).collect()[0][0]
+    assert r.entity_id == probe
+    newest = (
+        u.filter(F.col("entity_id") == probe)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .collect()[0]
+    )
+    assert (r.update_id, r.state) == (newest.update_id, newest.state)
+
+
+class _RecordingWriter:
+    def __init__(self):
+        self.calls: dict = {}
+
+    def format(self, f):
+        self.calls["format"] = f
+        return self
+
+    def mode(self, m):
+        self.calls["mode"] = m
+        return self
+
+    def save(self, p):
+        self.calls["save"] = p
+
+
+class _FakeDF:
+    """Duck-typed stand-in: overwrite_table touches only .sparkSession and
+    the .write chain, so the Delta call path is assertable without
+    delta-spark installed."""
+
+    def __init__(self, spark):
+        self.sparkSession = spark
+        self.write = _RecordingWriter()
+
+
+def test_overwrite_table_picks_delta_branch_when_available(spark, monkeypatch):
+    # probe says Delta classes load -> the delta write path must be chosen
+    monkeypatch.setattr(K, "delta_available", lambda s: True)
+    fake = _FakeDF(spark)
+    assert K.overwrite_table(fake, "/tmp/k1_delta") == "delta"
+    assert fake.write.calls == {
+        "format": "delta",
+        "mode": "overwrite",
+        "save": "/tmp/k1_delta",
+    }
+    # probe fails -> parquet fallback; explicit request always wins
+    monkeypatch.setattr(K, "delta_available", lambda s: False)
+    assert K.negotiate_format(spark) == "parquet"
+    assert K.negotiate_format(spark, "delta") == "delta"
+
+
 def test_overwrite_table_roundtrip(tables, spark):
     out = tempfile.mkdtemp(prefix="k1_") + "/t"
     fmt = K.overwrite_table(tables["region"], out)
