@@ -64,7 +64,17 @@ def shingle_regex_expr(k: int, text_col: str = "text") -> F.Column:
     tests/test_formats.py::test_shingle_regex_matches_slice_semantics.
     Sub-k docs keep the slice semantics (whole text as one truncated
     shingle).
+
+    k == 1 is rejected: the consuming ``[^ ]* `` needs a trailing space,
+    so a 1-gram pattern would silently drop the final token (latent
+    edge — no current caller uses k < 2; a 1-gram caller should
+    split+distinct instead).
     """
+    if k < 2:
+        raise ValueError(
+            "shingle_regex_expr requires k >= 2 (the consuming token needs "
+            "a following separator); use split+array_distinct for 1-grams"
+        )
     tc = F.col(text_col)
     n_tokens = F.size(F.split(tc, " "))
     rx = f"(?s)(?=((?:[^ ]* ){{{k - 1}}}[^ ]*))[^ ]* "

@@ -521,16 +521,22 @@ def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
     (E2/S6 extension): per column, row/null counts, min/max, distinct
     count, and a {HIST_BUCKETS}-bucket equi-width histogram.
 
-    Two single-pass aggregates on the ORIGINAL columns — never an unpivot
-    of data rows (the previous ``stack`` form pushed 4x|lineitem| rows
-    through two aggregates). Pass 1 computes all per-column stats
-    column-wise in one global aggregate; pass 2 broadcasts that 1-row
-    frame back over the scan and counts every (col, bucket) cell as a
-    conditional partial sum — pure map-side combine to a single row.
-    The (col, bucket) output shape is then exploded from that one row,
-    which is driver-trivial. NULL values are excluded from buckets (and
-    counted only in ``n_nulls``) so the two stay disjoint for any future
-    profiled column.
+    Two passes, neither data-shuffling beyond its aggregate:
+
+    1. A column-wise global aggregate for n_rows / nulls / min / max —
+       pure map-side combine to one row (no distinct, no expand).
+    2. ONE ``groupBy(col, value)`` aggregate over the unpivoted values
+       that yields BOTH the exact distinct count (group count per col)
+       and the bucket histogram (bucket id computed per distinct VALUE
+       against the broadcast extrema, weighted by the group count) —
+       the shuffle is distinct-pairs-sized, the same volume an exact
+       countDistinct would shuffle, but it replaces a countDistinct
+       expand AND a separate bucket scan.
+
+    NULL values are excluded before the value aggregate (counted only in
+    ``n_nulls``) so the two stay disjoint for any future profiled column.
+    Constant-column guard: min == max pins every value to bucket 0 (0/0
+    would be NaN in Spark, NULL in DuckDB).
     """
     li = t["lineitem"].select(*_PROFILE_COLS)
     stats_exprs = [F.count(F.lit(1)).alias("n_rows")]
@@ -539,56 +545,72 @@ def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"),
             F.min(c).alias(f"mn_{c}"),
             F.max(c).alias(f"mx_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
         ]
     stats = li.agg(*stats_exprs)
 
-    # bucket pass: one conditional sum per (col, bucket) cell over the
-    # original rows; the 1-row stats frame broadcasts, data rows never
-    # shuffle. constant-column guard: min == max pins everything to
-    # bucket 0 (0/0 would be NaN in Spark, NULL in DuckDB).
-    bucket_exprs = []
-    for c in _PROFILE_COLS:
-        mn, mx = F.col(f"mn_{c}"), F.col(f"mx_{c}")
-        b = (
-            F.when(mx == mn, F.lit(0))
-            .otherwise(
-                F.least(
-                    F.floor((F.col(c) - mn) * HIST_BUCKETS / (mx - mn)),
-                    F.lit(HIST_BUCKETS - 1),
-                )
-            )
-            .cast("int")
-        )
-        for k in range(HIST_BUCKETS):
-            bucket_exprs.append(
-                F.sum(
-                    (F.col(c).isNotNull() & (b == k)).cast("bigint")
-                ).alias(f"bc_{c}_{k}")
-            )
-    counts = li.crossJoin(F.broadcast(stats)).agg(*bucket_exprs)
+    n = len(_PROFILE_COLS)
+    pairs = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
+    vals = (
+        li.select(F.expr(f"stack({n}, {pairs}) AS (col, val)"))
+        .filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
-    # assemble: explode the single (stats x counts) row into the
-    # (col, bucket) output grid; empty buckets drop to match the
-    # group-by shape of the oracle
+    def _per_col(field: str) -> F.Column:
+        expr = F.lit(None)
+        for c in _PROFILE_COLS:
+            expr = F.when(F.col("col") == c, F.col(f"{field}_{c}")).otherwise(expr)
+        return expr
+
+    mn, mx = _per_col("mn"), _per_col("mx")
+    bucket = (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("val") - mn) * HIST_BUCKETS / (mx - mn)),
+                F.lit(HIST_BUCKETS - 1),
+            )
+        )
+        .cast("int")
+    )
+    per_col = (
+        vals.crossJoin(F.broadcast(stats))
+        .withColumn("bucket", bucket)
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == k, F.col("cnt")).otherwise(F.lit(0))
+                ).alias(f"bc_{k}")
+                for k in range(HIST_BUCKETS)
+            ],
+        )
+    )
+
+    # assemble: 4 rows x broadcast 1-row stats -> the (col, bucket) grid;
+    # empty buckets drop to match the group-by shape of the oracle
     cells = [
         F.struct(
-            F.lit(c).alias("col"),
-            F.col("n_rows").alias("n_rows"),
-            F.col(f"nn_{c}").alias("n_nulls"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            F.round(f"mn_{c}", 6).alias("min_r"),
-            F.round(f"mx_{c}", 6).alias("max_r"),
-            F.lit(k).alias("bucket"),
-            F.col(f"bc_{c}_{k}").alias("bucket_count"),
+            F.lit(k).alias("bucket"), F.col(f"bc_{k}").alias("bucket_count")
         )
-        for c in _PROFILE_COLS
         for k in range(HIST_BUCKETS)
     ]
     return (
-        stats.crossJoin(F.broadcast(counts))
-        .select(F.explode(F.array(*cells)).alias("s"))
-        .select("s.*")
+        per_col.crossJoin(F.broadcast(stats))
+        .select(
+            "col",
+            F.col("n_rows"),
+            _per_col("nn").alias("n_nulls"),
+            "n_distinct",
+            F.round(_per_col("mn"), 6).alias("min_r"),
+            F.round(_per_col("mx"), 6).alias("max_r"),
+            F.explode(F.array(*cells)).alias("s"),
+        )
+        .select(
+            "col", "n_rows", "n_nulls", "n_distinct", "min_r", "max_r", "s.*"
+        )
         .filter(F.col("bucket_count") > 0)
     )
 

@@ -268,14 +268,16 @@ def event_dedup_windowed(t: dict[str, DataFrame]) -> DataFrame:
     client-retry / double-fire suppression every event pipeline runs at
     ingest.
 
-    One ranking window per (user_id, event_type) partition: the gap to the
-    previous KEPT event cannot be computed with a plain lag (a run of
-    dupes must all anchor to the first kept one), so the pass marks an
-    event as kept when its gap to the previous RAW event is >= the window
-    OR it starts a partition, which is exactly the retry-burst semantics
-    (each burst collapses to its first event; a burst longer than the
-    window re-emits — matching how rate-limited dedup actually behaves).
-    Partition-parallel, no global sort.
+    Contract (gap-to-previous-RAW semantics): an event is kept iff it
+    starts its (user, type) partition or the gap to the immediately
+    previous RAW event is >= the window. A chain of events each arriving
+    within the window of its predecessor therefore collapses to its first
+    event for as long as the chain continues, even past {DEDUP_WINDOW_S} s
+    total — the retry-burst reading where every duplicate RESETS the
+    suppression timer (anchored-to-kept dedup, where a long burst re-emits
+    every window, is the other contract; this operator deliberately
+    implements the reset form, and the oracle mirrors it). One lag window
+    per partition — partition-parallel, no global sort.
     """
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))

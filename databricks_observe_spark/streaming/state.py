@@ -372,10 +372,14 @@ def sessionize_stream(
 
         for ts, value in zip(rows["ts"], rows["value"]):
             us = int(ts.value // 1000)  # pandas ns -> micros
-            # exact cents in state, rounded HALF-AWAY-FROM-ZERO to match
-            # Spark's double->DECIMAL(18,2) cast (HALF_UP) and the DuckDB
-            # oracle's cast; Python round() is half-EVEN and diverges on
-            # exact binary halves like 0.125 (code-review finding)
+            # exact cents in state, rounded half-away-from-zero ON THE
+            # BINARY VALUE — matching the DuckDB oracle's cast, which also
+            # rounds the binary double (2.675 -> 2.67). NOTE this is NOT
+            # Spark's double->DECIMAL(18,2) cast, which rounds the
+            # shortest decimal repr (2.675 -> 2.68); the batch side of
+            # this pipeline never takes that cast path, so oracle parity
+            # is binary-based end to end. Python round() is half-EVEN on
+            # exact halves like 0.125 and diverges from both.
             c = int(_math.floor(abs(value) * 100.0 + 0.5))
             if value < 0:
                 c = -c
