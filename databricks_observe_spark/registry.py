@@ -298,69 +298,47 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 
 
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
-# the first ~50 registry entries (budget cutoff observed in r01 and r02),
-# so order = verification priority. r02 recorded its first 50 as loader
-# errors (the events.ts drift, fixed this round) and never reached the 22
-# tail queries (which ARE green in the r01 record). r03 therefore leads
-# with everything that has never had a green driver row — the r02-priority
-# set, rerun under the fixed loader — followed by the 22 r01-green tail
-# queries so the union of rounds covers all 72 with fresh rows; the two
-# most derivative shapes sit last (if cut again, their r01 green rows
-# still stand).
+# the first ~50 registry entries (budget cutoff observed every round), so
+# order = verification priority. Round-4 plan: (a) the smoke anchor, (b)
+# the queries CHANGED or UPGRADED this round (media_features' fixed
+# driver-canonicalizable shape + new oracle; the fixed-point
+# kmeans_clusters; the block-tiled semantic_dedup; the one-shuffle
+# column_histograms; the file-stat-oracled describe_detail /
+# table_files_meta; the new run_output_lookup), then (c) the 38 queries
+# whose newest driver row is still r01 (r03's cap cut them), so after
+# this round no query's newest row is older than r03. The final slots
+# re-verify high-value r03-green rows whose shared helpers changed.
+# Everything beyond 50 keeps standing green rows from r01/r03.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # never driver-green (r02 recorded errs; r01 cut or failing) — rerun
-    # under the fixed loader
-    "doc_fingerprints",
-    "token_count_regex",
-    "heavy_hitter_tokens",
-    "tfidf_keywords",
-    "multimodal_meta",
+    # changed/upgraded this round — need fresh driver rows
     "media_features",
-    "streaming_first_completed",
-    "event_type_stats",
-    "lang_profile",
-    "langid_trigram",
-    "embedding_near_dup",
-    "user_count_accuracy",
-    "sensor_cursor_roundtrip",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped",
-    "near_dup_clusters",
-    "curated_corpus",
-    "simhash_near_dup_pairs",
-    "embedding_near_dup_lsh",
-    "quality_filter",
-    "vocab_coverage",
-    "streaming_tumbling_hourly",
-    "chunk_dedup",
-    "contamination_check",
-    "repetition_signals",
-    "sequence_packing",
-    "ivf_ann_topk",
-    "streaming_click_attribution",
-    "percentile_sketch_accuracy",
-    "discovered_objects_live",  # new this round
-    "streaming_sessionize",  # new this round
-    "describe_detail",  # new this round (rows-only)
-    "kmeans_assign",  # new this round
-    "kmeans_clusters",  # new this round (rows-only)
-    "pii_redaction",  # new this round
-    "mixture_weights",  # new this round
-    "stratified_sample",  # new this round
-    "unigram_kl",  # new this round
-    "incremental_dedup",  # new this round
-    "frame_sample",  # new this round
-    "image_resize",  # new this round
-    "semantic_dedup",  # new this round
-    "column_histograms",  # new this round
-    "event_dedup_windowed",  # new this round
-    "length_outliers",  # new this round
-    # r01-green but unrecorded in r02 (tail cutoff) — refresh their rows
-    "lineage_closure",
-    "asset_specs",
-    "topo_levels",
-    "latest_update_per_entity",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "column_histograms",
+    "describe_detail",
+    "table_files_meta",
+    "run_output_lookup",
+    # newest driver row is r01 — refresh all 38 (they fit under the cap)
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_revenue",
+    "top_orders_per_customer",
+    "segment_order_stats",
+    "order_priority_rollup",
+    "order_value_percentiles",
+    "approx_user_counts",
+    "top_balance_per_nation",
+    "dormant_customers",
+    "returned_item_revenue",
+    "nation_market_share",
+    "urgent_order_customers",
+    "discovered_objects",
+    "tables_enriched",
+    "columns_schema",
+    "table_profiles",
+    "named_assets",
+    "object_count_rollup",
     "state_transitions",
     "first_completed",
     "asof_last_error_before_purchase",
@@ -377,9 +355,13 @@ _PRIORITY = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "text_stats",
-    # derivative shapes last — covered by stronger checks above
     "deterministic_sample",
     "lsh_bucket_stats",
+    # r03-green, but shared helpers changed this round — re-verify
+    "tfidf_keywords",
+    "ivf_ann_topk",
+    "kmeans_assign",
+    "streaming_first_completed",
 ]
 
 

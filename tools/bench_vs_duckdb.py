@@ -33,6 +33,28 @@ def main() -> int:
 
     qs["flagship_us_customers"](spark, args.sf).count()  # warmup
 
+    # setup phase (timed separately, emitted as its own row): build the
+    # shared derived indexes — written tables at scale — so per-query
+    # numbers measure steady-state execution (mirrors bench.py)
+    from databricks_observe_spark.functions.textfns import doc_tokens
+    from databricks_observe_spark.operators.dedup import _shingled
+    from databricks_observe_spark.operators.similarity import (
+        _bucketed, _centroids_bc, _doubled, _ivf_assigned, _quantized,
+        _query_set_bc,
+    )
+    from databricks_observe_spark.operators.text import (
+        _char_trigrams, _tfidf_tf_frame,
+    )
+    from databricks_observe_spark.registry import _ctx
+
+    t0 = time.time()
+    ctx = _ctx(spark, args.sf)
+    for build in (doc_tokens, _shingled, _bucketed, _char_trigrams,
+                  _tfidf_tf_frame, _doubled, _centroids_bc, _query_set_bc,
+                  _ivf_assigned, _quantized):
+        build(ctx)
+    setup_s = time.time() - t0
+
     tot_s = tot_d = 0.0
     rows = []
     for name in qs:
@@ -51,16 +73,21 @@ def main() -> int:
     if args.md:
         print("| query | spark s | duckdb s | ratio | rows |")
         print("|---|---|---|---|---|")
+        print(f"| _index setup (build-once written tables at scale)_ | "
+              f"{setup_s:.2f} | — | — | |")
         for name, ts, td, n in rows:
             ratio = f"{ts / td:.1f}x" if td == td else "—"
             tds = f"{td:.2f}" if td == td else "—"
             print(f"| {name} | {ts:.2f} | {tds} | {ratio} | {n} |")
-        print(f"| **total** | **{tot_s:.1f}** | **{tot_d:.1f}** | "
+        print(f"| **steady-state total** | **{tot_s:.1f}** | **{tot_d:.1f}** | "
               f"**{tot_s / tot_d:.1f}x** | |")
+        print(f"| **total incl. setup** | **{tot_s + setup_s:.1f}** | "
+              f"**{tot_d:.1f}** | **{(tot_s + setup_s) / tot_d:.1f}x** | |")
     else:
+        print(f"SETUP (index builds) spark={setup_s:.1f}s")
         for name, ts, td, n in rows:
             print(f"{name:32s} spark={ts:6.2f}s duck={td:6.2f}s rows={n}")
-        print(f"TOTAL spark={tot_s:.1f}s duck={tot_d:.1f}s")
+        print(f"TOTAL spark={tot_s:.1f}s (+{setup_s:.1f}s setup) duck={tot_d:.1f}s")
     return 0
 
 
