@@ -249,30 +249,47 @@ def table_files_meta(t: dict[str, DataFrame]) -> DataFrame:
     row hash-checks. Timestamps travel as epoch seconds: both engines
     floor the same filesystem instant, no timezone/format semantics.
     """
+    return (
+        _file_listing(t)
+        .groupBy("table")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_size").alias("total_bytes"),
+            F.unix_timestamp(F.max("mtime")).alias("mtime_epoch"),
+        )
+    )
+
+
+def _file_listing(t: dict[str, DataFrame]) -> DataFrame:
+    """One row per fixture parquet FILE via the ``binaryFile`` source — a
+    file-INDEX read (directory listing + stat), never a data scan.
+
+    This is the 100 TB-correct shape for DESCRIBE DETAIL-class metadata:
+    the earlier ``_metadata`` pseudo-column formulation scanned every DATA
+    row of every table to re-derive per-file constants; this one touches
+    only the file index, so its cost scales with file COUNT. ``content``
+    is never projected, so the source prunes it (nothing is read past the
+    file status). Filtered to the profiled fixture tables by filename.
+    """
     profiled = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    frames = []
-    for name in profiled:
-        per_file = (
-            t[name]
-            .select(
-                F.col("_metadata.file_path").alias("path"),
-                F.col("_metadata.file_size").alias("file_size"),
-                F.col("_metadata.file_modification_time").alias("mtime"),
-            )
-            .distinct()
+    spark = t["lineitem"].sparkSession
+    import os
+
+    listing = spark.read.format("binaryFile").load(
+        os.path.join(t["_sf_dir"], "*.parquet")
+    )
+    return (
+        listing.select(
+            F.regexp_extract("path", "([^/]+)[.]parquet$", 1).alias("table"),
+            F.regexp_replace("path", "^file:", "").alias("path"),
+            F.col("length").alias("file_size"),
+            F.col("modificationTime").alias("mtime"),
         )
-        frames.append(
-            per_file.agg(
-                F.lit(name).alias("table"),
-                F.count(F.lit(1)).alias("n_files"),
-                F.sum("file_size").alias("total_bytes"),
-                F.unix_timestamp(F.max("mtime")).alias("mtime_epoch"),
-            ).select("table", "n_files", "total_bytes", "mtime_epoch")
-        )
-    return reduce(DataFrame.union, frames)
+        .filter(F.col("table").isin(profiled))
+    )
 
 
 _PROFILED_TABLES_SQL = ", ".join(
@@ -424,36 +441,16 @@ def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
     every column hash-checks; modification instants travel as epoch
     seconds to keep timezone/format semantics out of the comparison.
     """
-    profiled = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    frames = []
-    for name in profiled:
-        per_file = (
-            t[name]
-            .select(
-                F.col("_metadata.file_path").alias("path"),
-                F.col("_metadata.file_size").alias("file_size"),
-                F.col("_metadata.file_modification_time").alias("mtime"),
-            )
-            .distinct()
+    files = (
+        _file_listing(t)
+        .groupBy("table")
+        .agg(
+            F.count(F.lit(1)).alias("num_files"),
+            F.sum("file_size").alias("size_in_bytes"),
+            F.unix_timestamp(F.max("mtime")).alias("_mtime_epoch"),
+            F.regexp_replace(F.min("path"), "/[^/]+$", "").alias("location"),
         )
-        frames.append(
-            per_file.agg(
-                F.lit(name).alias("table"),
-                F.count(F.lit(1)).alias("num_files"),
-                F.sum("file_size").alias("size_in_bytes"),
-                F.unix_timestamp(F.max("mtime")).alias("_mtime_epoch"),
-                # strip Spark's file: URI scheme -> plain filesystem path
-                F.regexp_replace(
-                    F.regexp_replace(F.min("path"), "^file:", ""),
-                    "/[^/]+$",
-                    "",
-                ).alias("location"),
-            )
-        )
-    files = reduce(DataFrame.union, frames)
+    )
     enriched = tables_enriched(t).filter(
         (F.col("catalog") == "testdata") & (F.col("schema") == "main")
     )

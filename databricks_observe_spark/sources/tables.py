@@ -141,6 +141,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     """
     ensure_conf(spark)
     out: dict[str, DataFrame] = {}
+    out["_sf_dir"] = sf_dir  # for file-index reads (catalog_ops)
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)

@@ -29,7 +29,8 @@ def test_fixture_contract(spark):
     """Every fixture loads; contract-critical columns land on the expected
     Spark types regardless of the physical parquet layout."""
     tables = load_tables(spark, SF_DIR)
-    assert set(tables) == set(TABLE_NAMES)
+    # every fixture table present (plus non-table ctx slots, '_'-prefixed)
+    assert {n for n in tables if not n.startswith("_")} == set(TABLE_NAMES)
     assert dict(tables["events"].dtypes)["ts"] == "timestamp"
     assert dict(tables["orders"].dtypes)["o_orderdate"] in (
         "date",
