@@ -734,8 +734,13 @@ def simhash_near_dup_pairs(t: dict[str, DataFrame]) -> DataFrame:
     join (one shuffle on 8-byte band keys), constant-time verify.
     """
     fps = _simhash_fps(t)
+    # carry the (16-bit) fingerprint THROUGH the band rows: the hamming
+    # verify then runs inline on the join output — no candidate-sized
+    # distinct, no join back to the fingerprint table. The distinct runs
+    # last, on verified pairs only (a pair can agree on several bands).
     bands = fps.select(
-        "doc_id",
+        F.col("doc_id"),
+        F.col("simhash"),
         F.explode(
             F.array(
                 *[
@@ -749,32 +754,26 @@ def simhash_near_dup_pairs(t: dict[str, DataFrame]) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("band").alias("band_b"),
-                F.col("val").alias("val_b"),
-            ),
+    ).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+        F.col("band").alias("band_b"),
+        F.col("val").alias("val_b"),
+    )
+    return (
+        bands.join(
+            right,
             on=(F.col("band") == F.col("band_b"))
             & (F.col("val") == F.col("val_b"))
             & (F.col("doc_id") < F.col("doc_b")),
         )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-    )
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
-    return (
-        cand.join(fa, on="doc_a")
-        .join(fb, on="doc_b")
-        .withColumn(
-            "hamming", F.expr("CAST(bit_count(fp_a ^ fp_b) AS INT)")
-        )
+        .withColumn("hamming", F.expr("CAST(bit_count(simhash ^ fp_b) AS INT)"))
         .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", "hamming")
+        .distinct()
     )
 
 
