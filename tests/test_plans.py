@@ -267,3 +267,46 @@ def test_column_histograms_partial_aggregation(tables):
     # both the stats and the bucket-count aggregates combine map-side
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BroadcastExchange" in plan  # stats side ships, rows don't
+
+
+def test_simhash_pairs_single_join_inline_verify(tables):
+    import re
+
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.simhash_near_dup_pairs(tables))
+    # ONE join (the banded self-join); verification is an inline filter on
+    # the join output — no join back to the fingerprint table, and the
+    # distinct runs on verified pairs only
+    assert len(re.findall(r"Join", plan)) == 1
+    assert "bit_count" in plan
+
+
+def test_storage_metadata_reads_file_index_not_data(tables):
+    from databricks_observe_spark.operators.catalog_ops import table_files_meta
+
+    plan = _plan(table_files_meta(tables))
+    # binaryFile listing (one row per FILE, content pruned) — the profiled
+    # tables' parquet DATA is never scanned
+    assert "binaryFile" in plan
+    assert "Scan parquet" not in plan
+    assert "content" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_kmeans_clusters_broadcast_iteration(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    plan = _plan(S.kmeans_clusters(tables))
+    # final summary: Arrow assignment feeds map-side-combined aggregates;
+    # the majority side broadcasts; nothing corpus-sized cartesians
+    assert "InPandas" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_run_output_lookup_broadcasts_probe(tables):
+    from databricks_observe_spark.operators.control import run_output_lookup
+
+    plan = _plan(run_output_lookup(tables))
+    assert "BroadcastExchange" in plan  # 1-row probe key ships
+    assert "SortMergeJoin" not in plan

@@ -105,15 +105,54 @@ COMMENTARY = {
     ),
     "semantic_dedup": (
         "SemDeDup: one Arrow E-step pass against the broadcast codebook "
-        "assigns clusters, then pairwise cosines run inside per-cluster "
-        "pandas cogroups (FlatMapGroupsInPandas) — work scales with "
-        "sum(cluster_size^2), and no corpus-level pair join ever forms."
+        "assigns clusters; pairwise cosines run inside per-(cluster, "
+        "block-pair) pandas cogroups (FlatMapCoGroupsInPandas) with "
+        "clusters above SEMDEDUP_BLOCK_CAP rows sub-split by hash block — "
+        "work scales with sum(cluster_size^2), per-task memory is capped, "
+        "and no corpus-level pair join ever forms. The block-pair table "
+        "ships broadcast."
     ),
     "column_histograms": (
-        "ANALYZE-style stats in two scans for any number of columns: an "
-        "unpivot to (column, value), a map-side-combined extrema/ndv "
-        "aggregate that broadcasts back, and one more partial+final "
-        "aggregate for exact equi-width bucket counts."
+        "ANALYZE-style stats in two passes: a pure map-side column-wise "
+        "extrema/null aggregate (one row, broadcast back), then ONE "
+        "groupBy(col, value) aggregate whose groups yield both the exact "
+        "distinct count and the equi-width bucket histogram (bucket id "
+        "computed per distinct value, weighted by its count) — the only "
+        "data shuffle is distinct-pairs-sized."
+    ),
+    "simhash_near_dup_pairs": (
+        "Banded simhash self-join with the fingerprint carried through "
+        "the band rows: hamming verification (xor + bit_count) runs "
+        "inline on the join output and distinct applies to verified "
+        "pairs only — one shuffle on the band key, no candidate-sized "
+        "distinct, no join back to the fingerprint table."
+    ),
+    "kmeans_clusters": (
+        "Fixed-point Lloyd: inputs quantized to a 1e-6 grid (binary-value "
+        "rounding), each iteration one Arrow pass against the broadcast "
+        "centroids emitting K integer partial-sum rows per partition — "
+        "exact, order-independent combine; the final summary is two "
+        "map-side-combined aggregates over the assignment plus a "
+        "broadcast majority join. Bit-reproducible, so the full loop is "
+        "oracle-checked."
+    ),
+    "describe_detail": (
+        "DESCRIBE DETAIL from the file INDEX: the binaryFile source "
+        "lists + stats the backing files (content column pruned, one row "
+        "per file), so cost scales with file count, never row count; the "
+        "catalog enrichment side broadcasts."
+    ),
+    "run_output_lookup": (
+        "S11 point read: the 1-row probe key (min entity) broadcasts, "
+        "the updates scan is pruned by the hash-join probe, and only one "
+        "entity's rows reach the top-1 sort."
+    ),
+    "media_features": (
+        "Multimodal feature extraction: blobs stay on executors, decode "
+        "runs in Arrow-batched mapInPandas with an explicit schema, and "
+        "the array posexplodes to scalar (dim, value) rows — "
+        "driver-canonicalizable and fully oracle-checked (features are "
+        "sha256-derived)."
     ),
 }
 
