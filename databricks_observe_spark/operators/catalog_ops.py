@@ -300,23 +300,48 @@ _PROFILED_TABLES_SQL = ", ".join(
     )
 )
 
-# File-stat CTE for the storage-metadata oracles: recover each view's
-# backing parquet path from duckdb_views() (the driver registers the
-# fixture tables as views over '<sf_dir>/<table>.parquet'), then stat the
-# files via a constant-glob read_blob (table functions take only constant
-# args) joined back on filename.
+# File-stat CTE for the storage-metadata oracles. The oracle must stat
+# the SAME files Spark's file index reads, but oracle SQL only sees
+# registered views — so the fixture DIR is elected from DATA: per-dir
+# parquet footer row counts (parquet_file_metadata over a constant glob —
+# table functions take only constant args) are matched against each
+# view's COUNT(*), and the directory agreeing on the most tables wins
+# (per-table counts alone can tie across scale factors: region is always
+# 5 rows). Files are then statted via read_blob joined on filename. No
+# dependency on HOW the driver registered the views.
+_VIEW_COUNTS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS tbl, COUNT(*) AS n_rows FROM {n}"
+    for n in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+)
+
 _VIEW_FILES_SQL = f"""
+fcand AS (
+  SELECT file_name,
+         regexp_extract(file_name, '([^/]+)[.]parquet$', 1) AS tbl,
+         regexp_replace(file_name, '/[^/]+$', '') AS dir,
+         num_rows
+  FROM parquet_file_metadata('/root/testdata/*/*.parquet')
+  WHERE regexp_extract(file_name, '([^/]+)[.]parquet$', 1)
+        IN ({_PROFILED_TABLES_SQL})
+),
+vcounts AS ({_VIEW_COUNTS_SQL}),
+best_dir AS (
+  SELECT f.dir
+  FROM (SELECT dir, tbl, CAST(SUM(num_rows) AS BIGINT) AS n_rows
+        FROM fcand GROUP BY dir, tbl) f
+  JOIN vcounts v ON f.tbl = v.tbl AND f.n_rows = v.n_rows
+  GROUP BY f.dir ORDER BY COUNT(*) DESC, f.dir LIMIT 1
+),
 view_files AS (
-  SELECT v.view_name AS "table", b.size,
+  SELECT c.tbl AS "table", b.size,
          CAST(FLOOR(epoch(b.last_modified)) AS BIGINT) AS mtime_epoch,
          b.filename AS path
   FROM read_blob('/root/testdata/*/*.parquet') b
-  JOIN (
-    SELECT view_name,
-           regexp_extract(sql, '["'']([^"'']+[.]parquet)["'']', 1) AS p
-    FROM duckdb_views()
-  ) v ON b.filename = v.p
-  WHERE v.view_name IN ({_PROFILED_TABLES_SQL})
+  JOIN fcand c ON b.filename = c.file_name
+  JOIN best_dir d ON c.dir = d.dir
 )
 """
 
