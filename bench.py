@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "incremental_dedup",
     "column_histograms",
+    "hash_split",
+    "dedup_retention",
+    "unigram_logprob",
 ]
 
 

@@ -26,7 +26,7 @@ MIN runs on fixed-width hex strings (lexicographic == numeric).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from databricks_observe_spark.functions.textfns import (
     doc_tokens,
@@ -574,6 +574,121 @@ SELECT doc_id, lang, source, h FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 100 AS h
   FROM documents
 ) WHERE h < 20
+"""
+
+
+# train/val/test boundaries on the 0..99 hash-bucket space
+SPLIT_TRAIN_LT = 90
+SPLIT_VAL_LT = 95
+
+
+def hash_split(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be STABLE under corpus growth: membership depends
+    only on a content-stable digest of the id (same md5-bucket idiom as
+    ``deterministic_sample``), never on row position, partitioning, or an
+    RNG seed, so adding documents never reshuffles existing assignments
+    and train/eval contamination cannot creep in between runs.
+
+    90/5/5 by bucket; pure per-row projection over one scan — shuffle-free
+    at any scale.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+HASH_SPLIT_SQL = f"""
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+"""
+
+
+def dedup_retention(t: dict[str, DataFrame]) -> DataFrame:
+    """Quality-aware retention: within every near-duplicate cluster keep
+    the HIGHEST-QUALITY member, not the lowest id — the curation policy
+    real pipelines apply once near-dup clusters exist (canonical-min-id
+    keeps whichever duplicate happened to be crawled first; this keeps the
+    best one).
+
+    Quality here is the distinct-token count (an INTEGER, so ranking is
+    exactly reproducible cross-engine — float quality scores would rank on
+    engine-identical doubles, which works but adds nothing); ties break to
+    the lower doc_id. Composition of two verified pieces: the
+    label-propagation cluster frame and a shuffle-free per-doc projection;
+    the rank is one window per cluster partition.
+    """
+    labels = _cluster_labels(t)
+    quality = t["documents"].select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_types"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_types"), F.asc("doc_id")
+    )
+    return (
+        labels.join(quality, on="doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            "cluster_id",
+            "doc_id",
+            "n_types",
+            "rnk",
+            (F.col("rnk") == 1).cast("int").alias("kept"),
+        )
+    )
+
+
+DEDUP_RETENTION_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_a AS doc_id, doc_b AS other FROM edges
+  UNION
+  SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a
+),
+labels AS (
+  SELECT doc_id, LEAST(doc_id, MIN(other)) AS cluster_id FROM reach GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents
+)
+SELECT cluster_id, doc_id, n_types,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_types DESC, doc_id ASC) AS INT) AS rnk,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_types DESC, doc_id ASC) = 1 AS INT) AS kept
+FROM labels JOIN quality USING (doc_id)
 """
 
 

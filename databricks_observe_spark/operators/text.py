@@ -320,6 +320,69 @@ FROM scored QUALIFY rnk <= 3
 """
 
 
+def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document average token log-probability under the corpus's own
+    unigram LM — the cheapest LM-based quality signal a training pipeline
+    computes (low average logprob = gibberish / OCR noise / wrong-language
+    text; the shape of a perplexity filter without a neural LM).
+
+    Cross-engine determinism: each token's logprob ln(ctf/total) is
+    quantized to 1e-6 micro-units with binary-value rounding
+    (floor(x*1e6 + 0.5) — pure IEEE ops), then per-doc accumulation is an
+    exact INTEGER sum of tf * lp_micro, order-independent; the average is
+    one fl(int)/fl(int) divide, floored back to micro-units. Plan: the
+    memoized tf index joins the vocab-sized corpus-frequency aggregate
+    (AQE broadcasts it when it fits), then one groupBy(doc) — two
+    shuffles, nothing corpus-squared.
+    """
+    tf = _tfidf_tf_frame(t)
+    ctf = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").cast("double").alias("total"))
+    lp_micro = F.floor(
+        F.log(F.col("ctf") / F.col("total")) * F.lit(1000000.0) + F.lit(0.5)
+    )
+    scored = (
+        tf.join(ctf, on="tok")
+        .join(F.broadcast(total))
+        .withColumn("lp_micro", lp_micro)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("lp_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "lp_sum_micro",
+            F.floor(
+                F.col("lp_sum_micro").cast("double") / F.col("n_tokens")
+                + F.lit(0.5)
+            ).alias("avg_lp_micro"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY tok),
+tot AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS total FROM ctf),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(FLOOR(ln(ctf.ctf / tot.total) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+  FROM tf JOIN ctf ON tf.tok = ctf.tok CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * lp_micro) AS BIGINT) AS lp_sum_micro,
+       CAST(FLOOR(CAST(SUM(tf * lp_micro) AS DOUBLE) / SUM(tf) + 0.5) AS BIGINT)
+         AS avg_lp_micro
+FROM scored GROUP BY doc_id
+"""
+
+
 def token_count_regex(t: dict[str, DataFrame]) -> DataFrame:
     """BPE-ish regex tokenization count vs whitespace count (both engines
     use the same RE2/Java-compatible pattern).

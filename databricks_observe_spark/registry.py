@@ -144,6 +144,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    # stable train/val/test assignment (content-stable hash buckets)
+    "hash_split": (dedup.hash_split, dedup.HASH_SPLIT_SQL),
+    # quality-aware survivor per near-dup cluster (integer quality rank)
+    "dedup_retention": (dedup.dedup_retention, dedup.DEDUP_RETENTION_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     "ngram_jaccard_pairs_capped": (
         dedup.ngram_jaccard_pairs_capped,
@@ -203,6 +207,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "mixture_weights": (text.mixture_weights, text.MIXTURE_WEIGHTS_SQL),
     "stratified_sample": (text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
     "unigram_kl": (text.unigram_kl, text.UNIGRAM_KL_SQL),
+    # LM-based quality signal: per-doc avg unigram log-probability
+    "unigram_logprob": (text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
     "length_outliers": (text.length_outliers, text.LENGTH_OUTLIERS_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
@@ -319,6 +325,10 @@ _PRIORITY = [
     "describe_detail",
     "table_files_meta",
     "run_output_lookup",
+    # new this round
+    "hash_split",
+    "dedup_retention",
+    "unigram_logprob",
     # newest driver row is r01 — refresh all 38 (they fit under the cap)
     "pricing_summary",
     "shipping_priority",

@@ -361,3 +361,39 @@ def test_semantic_dedup_output_invariant_to_block_cap(tables, monkeypatch):
     monkeypatch.setattr(S, "SEMDEDUP_BLOCK_CAP", 32)
     capped = sorted(map(tuple, S.semantic_dedup(tables).collect()))
     assert base == capped and base
+
+
+def test_hash_split_stable_and_complete(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    rows = D.hash_split(tables).collect()
+    assert len(rows) == tables["documents"].count()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # growth-stability: the assignment of a doc depends only on its id —
+    # recomputing over a shrunk corpus must not move surviving docs
+    subset = dict(tables)
+    subset["documents"] = tables["documents"].filter("doc_id % 2 = 0")
+    sub = {r.doc_id: r.split for r in D.hash_split(subset).collect()}
+    full = {r.doc_id: r.split for r in rows}
+    assert all(full[d] == s for d, s in sub.items())
+    # rough proportions at the 90/5/5 boundaries
+    frac_train = sum(1 for r in rows if r.split == "train") / len(rows)
+    assert 0.8 < frac_train < 0.97
+
+
+def test_dedup_retention_keeps_best_member_per_cluster(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    rows = D.dedup_retention(tables).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    clusters = {r.cluster_id: r for r in D.near_dup_clusters(tables).collect()}
+    for cid, members in by_cluster.items():
+        assert len(members) == clusters[cid].cluster_size
+        kept = [m for m in members if m.kept == 1]
+        assert len(kept) == 1 and kept[0].rnk == 1
+        # the keeper has maximal quality (ties -> lowest id)
+        best = max(members, key=lambda m: (m.n_types, -m.doc_id))
+        assert kept[0].doc_id == best.doc_id

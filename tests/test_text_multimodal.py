@@ -282,3 +282,15 @@ def test_pii_counts_follow_sequential_redaction(spark, tables):
     assert r.n_email == 1
     assert r.n_phone == 0  # consumed by the email replace, not double-counted
     assert r.n_redactions == 1
+
+
+def test_unigram_logprob_monotone_in_token_rarity(tables):
+    from databricks_observe_spark.operators import text as T
+
+    rows = T.unigram_logprob(tables).collect()
+    assert len(rows) == tables["documents"].count()
+    for r in rows[:50]:
+        # probabilities < 1 -> negative logprobs; averages stay in range
+        assert r.avg_lp_micro < 0
+        assert r.lp_sum_micro <= r.avg_lp_micro  # sum over >=1 tokens
+        assert r.n_tokens >= 1
