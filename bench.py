@@ -91,7 +91,11 @@ def main() -> None:
     # reuses the pair table ngram_jaccard_pairs materialized); the
     # setup+queries total is the honest cross-query wall figure.
     from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.dedup import _shingled, _simhash_fps
+    from databricks_observe_spark.operators.dedup import (
+        _shingled,
+        _simhash_fps,
+        minhash_signatures,
+    )
     from databricks_observe_spark.operators.similarity import (
         _bucketed,
         _centroids_bc,
@@ -111,11 +115,12 @@ def main() -> None:
     setup_built = [
         "doc_tokens", "shingle_index", "lsh_buckets", "char_trigrams",
         "tfidf_tf", "vector_norms", "ivf_assignment", "kmeans_fixed_point",
-        "simhash_fingerprints",
+        "simhash_fingerprints", "minhash_signatures",
     ]
     doc_tokens(ctx)
     _shingled(ctx)
     _simhash_fps(ctx)
+    minhash_signatures(ctx)
     _bucketed(ctx)
     _char_trigrams(ctx)
     _tfidf_tf_frame(ctx)

@@ -37,7 +37,11 @@ def main() -> int:
     # shared derived indexes — written tables at scale — so per-query
     # numbers measure steady-state execution (mirrors bench.py)
     from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.dedup import _shingled, _simhash_fps
+    from databricks_observe_spark.operators.dedup import (
+        _shingled,
+        _simhash_fps,
+        minhash_signatures,
+    )
     from databricks_observe_spark.operators.similarity import (
         _bucketed, _centroids_bc, _doubled, _ivf_assigned, _quantized,
         _query_set_bc,
@@ -49,7 +53,7 @@ def main() -> int:
 
     t0 = time.time()
     ctx = _ctx(spark, args.sf)
-    for build in (doc_tokens, _shingled, _simhash_fps, _bucketed,
+    for build in (doc_tokens, _shingled, _simhash_fps, minhash_signatures, _bucketed,
                   _char_trigrams, _tfidf_tf_frame, _doubled, _centroids_bc,
                   _query_set_bc, _ivf_assigned, _quantized):
         build(ctx)
