@@ -154,6 +154,24 @@ COMMENTARY = {
         "driver-canonicalizable and fully oracle-checked (features are "
         "sha256-derived)."
     ),
+    "hash_split": (
+        "Content-stable train/val/test split: a pure per-row projection "
+        "over one scan (md5 bucket of the id) — shuffle-free at any "
+        "scale, and membership never moves when the corpus grows."
+    ),
+    "unigram_logprob": (
+        "Unigram-LM quality signal: the memoized tf index joins the "
+        "vocab-sized corpus-frequency aggregate (AQE broadcasts it when "
+        "it fits), per-token logprobs quantize to integer micro-units, "
+        "and one groupBy(doc) accumulates exact integer sums — two "
+        "shuffles, nothing corpus-squared."
+    ),
+    "dedup_retention": (
+        "Quality-aware retention: the label-propagation cluster frame "
+        "joins a shuffle-free per-doc integer quality projection; one "
+        "row_number window per cluster partition picks the keeper "
+        "(quality desc, id asc)."
+    ),
 }
 
 
