@@ -112,12 +112,19 @@ def _run_output_lookup_sql() -> str:
     from databricks_observe_spark.operators.runs import _TS_FMT_DUCK
     from databricks_observe_spark.sources.catalog_model import oracle_with_clause
 
+    # ORDER BY runs in a subquery over the RAW timestamp column, with
+    # strftime applied outside — matching latest_update_per_entity's
+    # pattern. (An outer ORDER BY ts would bind to the SELECT alias — the
+    # formatted string — which only happens to sort correctly because the
+    # fixed-width format is lexicographically order-preserving.)
     return oracle_with_clause("updates") + f"""
 SELECT entity_type, entity_id, update_id, state,
        strftime(ts, '{_TS_FMT_DUCK}') AS ts
-FROM updates
-WHERE entity_id = (SELECT MIN(entity_id) FROM updates)
-ORDER BY ts DESC, event_id DESC LIMIT 1
+FROM (
+  SELECT * FROM updates
+  WHERE entity_id = (SELECT MIN(entity_id) FROM updates)
+  ORDER BY ts DESC, event_id DESC LIMIT 1
+)
 """
 
 

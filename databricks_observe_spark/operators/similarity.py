@@ -1091,6 +1091,39 @@ def semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
     blocks = assigned.groupBy("cluster").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(SEMDEDUP_BLOCK_CAP)).cast("int").alias("nb")
     )
+    # Single-block short-circuit: when every cluster fits under the cap
+    # (nb == 1 for all — the common case until a cluster tops the cap),
+    # the block-pair scaffolding (pair-table explode + two broadcast
+    # joins) is pure overhead: every pair is (bi=0, bj=0). Skip straight
+    # to the direct per-cluster self-cogroup — output is identical (the
+    # tiling is exhaustive within a cluster either way); the branch
+    # decision is one K-row aggregate over the checkpointed assignment.
+    max_nb_row = blocks.agg(F.max("nb").alias("m")).first()
+    if (max_nb_row["m"] or 0) <= 1:
+        left = assigned.select(
+            "cluster",
+            F.lit(0).alias("bi"),
+            F.lit(0).alias("bj"),
+            "vec_id",
+            "v",
+            "nrm",
+        )
+        # fresh attribute ids on the right side (self-cogroup disambiguation)
+        right = assigned.select(
+            F.col("cluster").alias("cluster_r"),
+            F.col("vec_id").alias("vid_r"),
+            F.col("v").alias("v_r"),
+            F.col("nrm").alias("nrm_r"),
+        ).select(
+            F.col("cluster_r").alias("cluster"),
+            F.lit(0).alias("bi"),
+            F.lit(0).alias("bj"),
+            F.col("vid_r").alias("vec_id"),
+            F.col("v_r").alias("v"),
+            F.col("nrm_r").alias("nrm"),
+        )
+        return _semdedup_score_pairs(left, right)
+
     pair_tbl = blocks.select(
         F.col("cluster").alias("pcluster"),
         F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("bi"),
@@ -1132,6 +1165,12 @@ def semantic_dedup(t: dict[str, DataFrame]) -> DataFrame:
         F.col("v_r").alias("v"),
         F.col("nrm_r").alias("nrm"),
     )
+    return _semdedup_score_pairs(left, right)
+
+
+def _semdedup_score_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Score the (cluster, bi, bj) cogroup pairs exactly (shared by the
+    single-block short-circuit and the tiled oversize path)."""
     thr_pre = SEMDEDUP_COS - 1e-6
 
     def score(key, lpdf, rpdf):

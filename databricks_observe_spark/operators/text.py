@@ -334,6 +334,17 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     memoized tf index joins the vocab-sized corpus-frequency aggregate
     (AQE broadcasts it when it fits), then one groupBy(doc) — two
     shuffles, nothing corpus-squared.
+
+    Residual cross-engine risk (known, accepted): the +,*,/ ops above are
+    IEEE-correctly-rounded in both engines, but ``ln`` is NOT guaranteed
+    so — java.lang.Math.log (Spark) and libm log (DuckDB) may differ by
+    1 ulp, which flips floor(x*1e6 + 0.5) only when x*1e6 lands within
+    ~1 ulp of an integer boundary (~1e-10 chance per distinct token, none
+    observed across the fixture vocab at three scale factors). The same
+    caveat applies to :func:`unigram_kl`'s rounded log terms. Quantizing
+    the RATIO before the log would make the transcendental's input
+    identical but not its output, so the honest posture is to document
+    the bound rather than pretend determinism.
     """
     tf = _tfidf_tf_frame(t)
     ctf = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
@@ -798,7 +809,12 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     order-independent by rounding each term to 12 decimals and summing as
     DECIMAL — bit-identical across engines and partitionings. Two corpus
     shuffles (doc-term, corpus-term), both map-side combined; the corpus
-    frequency side is vocab-sized -> joined without a forced broadcast."""
+    frequency side is vocab-sized -> joined without a forced broadcast.
+
+    Shares :func:`unigram_logprob`'s documented residual: ``ln`` is not
+    correctly-rounded in either engine, so a 1-ulp divergence can in
+    principle flip the 12-decimal rounding of a term at a grid boundary —
+    astronomically rare, never observed on the fixtures."""
     toks = doc_tokens(t).select(
         "doc_id", F.size("w").alias("n"), F.explode("w").alias("tok")
     )

@@ -305,73 +305,69 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
 # the first ~50 registry entries (budget cutoff observed every round), so
-# order = verification priority. Round-4 plan: (a) the smoke anchor, (b)
-# the queries CHANGED or UPGRADED this round (media_features' fixed
-# driver-canonicalizable shape + new oracle; the fixed-point
-# kmeans_clusters; the block-tiled semantic_dedup; the one-shuffle
-# column_histograms; the file-stat-oracled describe_detail /
-# table_files_meta; the new run_output_lookup), then (c) the 38 queries
-# whose newest driver row is still r01 (r03's cap cut them), so after
-# this round no query's newest row is older than r03. The final slots
-# re-verify high-value r03-green rows whose shared helpers changed.
-# Everything beyond 50 keeps standing green rows from r01/r03.
+# order = verification priority. Round-5 plan: (a) the smoke anchor, (b)
+# the queries whose CODE or ORACLE changed this round (semantic_dedup's
+# single-block short-circuit; column_histograms' one-scan window rewrite;
+# describe_detail / table_files_meta's shared memoized file listing +
+# shared enriched-CTE oracle; run_output_lookup's raw-ts ORDER BY
+# subquery; dedup_retention's setup-accounted labels; kmeans_clusters
+# as the similarity.py canary), then (c) ALL 42 queries whose newest
+# driver row is r03 (they fit under the cap exactly), so after this
+# round no query's newest green row is older than r04. Everything beyond
+# 50 keeps standing r04 rows.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # changed/upgraded this round — need fresh driver rows
-    "media_features",
-    "kmeans_clusters",
+    # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",
     "describe_detail",
     "table_files_meta",
     "run_output_lookup",
-    # new this round
-    "hash_split",
     "dedup_retention",
-    "unigram_logprob",
-    # newest driver row is r01 — refresh all 38 (they fit under the cap)
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_revenue",
-    "top_orders_per_customer",
-    "segment_order_stats",
-    "order_priority_rollup",
-    "order_value_percentiles",
-    "approx_user_counts",
-    "top_balance_per_nation",
-    "dormant_customers",
-    "returned_item_revenue",
-    "nation_market_share",
-    "urgent_order_customers",
-    "discovered_objects",
-    "tables_enriched",
-    "columns_schema",
-    "table_profiles",
-    "named_assets",
-    "object_count_rollup",
-    "state_transitions",
-    "first_completed",
-    "asof_last_error_before_purchase",
-    "signup_purchase_window",
-    "tumbling_hourly",
-    "sliding_daily",
-    "user_sessions",
-    "events_cube",
-    "user_value_zscores",
-    "high_value_events",
-    "exact_dedup",
-    "minhash_lsh_pairs",
-    "simhash_fingerprints",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "text_stats",
-    "deterministic_sample",
-    "lsh_bucket_stats",
-    # r03-green, but shared helpers changed this round — re-verify
-    "tfidf_keywords",
-    "ivf_ann_topk",
+    "kmeans_clusters",
+    # newest driver row is r03 — refresh all 42 (they fit under the cap)
+    "streaming_click_attribution",  # also changed: dead-batch cut
+    "user_count_accuracy",
+    "percentile_sketch_accuracy",
+    "lineage_closure",
+    "asset_specs",
+    "topo_levels",
+    "latest_update_per_entity",
+    "sensor_cursor_roundtrip",
+    "event_type_stats",
+    "event_dedup_windowed",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
+    "near_dup_clusters",
+    "curated_corpus",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "chunk_dedup",
+    "incremental_dedup",
+    "contamination_check",
     "kmeans_assign",
+    "lang_profile",
+    "langid_trigram",
+    "doc_fingerprints",
+    "token_count_regex",
+    "heavy_hitter_tokens",
+    "quality_filter",
+    "vocab_coverage",
+    "repetition_signals",
+    "sequence_packing",
+    "pii_redaction",
+    "mixture_weights",
+    "stratified_sample",
+    "unigram_kl",
+    "length_outliers",
+    "multimodal_meta",
+    "frame_sample",
+    "image_resize",
+    "discovered_objects_live",
     "streaming_first_completed",
+    "streaming_tumbling_hourly",
+    "streaming_sessionize",
 ]
 
 

@@ -143,22 +143,36 @@ STREAM_SHUFFLE_PARTITIONS = "8"
 
 
 @contextlib.contextmanager
-def _stream_partitions(spark: SparkSession):
-    """Pin stateful-stream shuffle partitions to a fixture-sized count.
+def _stream_confs(spark: SparkSession, extra: dict[str, str] | None = None):
+    """Pin stateful-stream confs around ``.start()`` (a stream captures
+    the conf at start, so this scopes to the stream while leaving batch
+    queries on the session defaults).
 
-    Each shuffle partition of a stateful operator owns a state store
-    (checkpoint dir + maintenance thread); at fixture scale 32 stores are
-    pure overhead (~2x wall on the harness queries, measured). A stream
-    captures the conf at .start(), so setting it around query start pins
-    the stream while leaving batch queries on the session default. At
-    production scale this knob is sized UP with key cardinality — state
-    parallelism, not a fixed constant."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    Always pins shuffle partitions to a fixture-sized count: each shuffle
+    partition of a stateful operator owns a state store (checkpoint dir +
+    maintenance thread); at fixture scale 32 stores are pure overhead
+    (~2x wall on the harness queries, measured). At production scale this
+    knob is sized UP with key cardinality — state parallelism, not a
+    fixed constant. ``extra`` adds per-stream conf overrides keyed by the
+    full conf name."""
+    confs = {"spark.sql.shuffle.partitions": STREAM_SHUFFLE_PARTITIONS}
+    confs.update(extra or {})
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _stream_partitions(spark: SparkSession):
+    """Back-compat alias: partitions-only pinning."""
+    return _stream_confs(spark)
 
 
 def streaming_first_completed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +189,14 @@ def streaming_first_completed_query(spark: SparkSession, sf_dir: str) -> DataFra
 
     name = f"fc_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_fcq_")
-    with _stream_partitions(spark):
+    # dropDuplicatesWithinWatermark emits a key the batch it first
+    # arrives; the trailing no-data micro-batch only evicts expired state
+    # (0 output rows) — cut it for the run-to-exhaustion harness, as in
+    # streaming_click_attribution. Watermark-flushed APPEND AGGREGATIONS
+    # (tumbling) must keep theirs.
+    with _stream_confs(
+        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+    ):
         q = first_completed_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
         q.stop()
@@ -308,7 +329,16 @@ def streaming_click_attribution_query(
 
     name = f"ca_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_caq_")
-    with _stream_partitions(spark):
+    # An INNER stream-stream join emits every match in the batch that
+    # completes it and emits NOTHING on watermark advance — the trailing
+    # no-data micro-batch exists only to evict expired state (measured:
+    # ~1/3 of the run's wall, 0 output rows). Cut that dead batch here;
+    # a continuous deployment keeps it (eviction cadence matters when the
+    # stream doesn't end). Append-mode aggregations (tumbling/sessionize)
+    # MUST keep no-data batches — their output flushes on watermark.
+    with _stream_confs(
+        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+    ):
         q = click_attribution_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
         q.stop()
@@ -472,7 +502,13 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"sess_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_sessq_")
-    with _stream_partitions(spark):
+    # With GroupStateTimeout.NoTimeout the fold is never invoked for a
+    # key that received no input rows, so a no-data micro-batch cannot
+    # emit anything — the open-tail sessions stay in state either way
+    # (asserted in tests). Cut the dead batch.
+    with _stream_confs(
+        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+    ):
         q = sessionize_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
         q.stop()

@@ -260,13 +260,17 @@ def test_pii_redaction_is_single_scan(tables):
     assert "InPandas" not in plan
 
 
-def test_column_histograms_partial_aggregation(tables):
+def test_column_histograms_single_scan(tables):
     from databricks_observe_spark.operators.catalog_ops import column_histograms
 
     plan = _plan(column_histograms(tables))
-    # both the stats and the bucket-count aggregates combine map-side
+    # ONE lineitem scan feeds everything: per-col stats are window
+    # aggregates over the (col, val) value aggregate, a single linear
+    # pipeline — no second stats pass over the table
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+    # the value aggregate combines map-side before its shuffle
     assert "partial_count" in plan or "partial_sum" in plan
-    assert "BroadcastExchange" in plan  # stats side ships, rows don't
 
 
 def test_simhash_pairs_single_join_inline_verify(tables):
