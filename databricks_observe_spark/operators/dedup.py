@@ -182,6 +182,12 @@ def ngram_jaccard_pairs_capped(
 
     At 100 TB this is the variant you run; the exact form remains the
     oracle for corpora where the df histogram is known to be tame.
+
+    Plan shape note: a grouped-posting-list variant (collect_list per
+    shingle, pair expansion via higher-order array functions) was
+    measured ~2x SLOWER here — transform/filter lambdas run interpreted
+    per element, losing to the whole-stage-codegen hash self-join even
+    though it saves a shuffle. The join form stays.
     """
     sh = _shingled(t)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -263,14 +263,22 @@ def test_pii_redaction_is_single_scan(tables):
 def test_column_histograms_single_scan(tables):
     from databricks_observe_spark.operators.catalog_ops import column_histograms
 
-    plan = _plan(column_histograms(tables))
-    # ONE lineitem scan feeds everything: per-col stats are window
-    # aggregates over the (col, val) value aggregate, a single linear
-    # pipeline — no second stats pass over the table
-    assert plan.count("Scan parquet") == 1
-    assert "Window" in plan
+    from databricks_observe_spark.operators.catalog_ops import _hist_vals
+
+    # ONE lineitem scan feeds everything: the (col, val) value aggregate
+    # is the single pass over the table...
+    vplan = _plan(_hist_vals(tables))
+    assert vplan.count("Scan parquet") == 1
     # the value aggregate combines map-side before its shuffle
-    assert "partial_count" in plan or "partial_sum" in plan
+    assert "partial_count" in vplan or "partial_sum" in vplan
+    # ...and the query consumes only its materialization: per-col stats
+    # come back via a broadcast join (n_cols rows), not a window
+    # (partitionBy(col) would cap parallelism at n_cols), and the table
+    # is never re-scanned
+    plan = _plan(column_histograms(tables))
+    assert "Scan parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
 
 
 def test_simhash_pairs_single_join_inline_verify(tables):
@@ -287,14 +295,23 @@ def test_simhash_pairs_single_join_inline_verify(tables):
 
 
 def test_storage_metadata_reads_file_index_not_data(tables):
-    from databricks_observe_spark.operators.catalog_ops import table_files_meta
+    from databricks_observe_spark.operators.catalog_ops import (
+        _file_listing,
+        table_files_meta,
+    )
 
-    plan = _plan(table_files_meta(tables))
-    # binaryFile listing (one row per FILE, content pruned) — the profiled
-    # tables' parquet DATA is never scanned
+    # the builder frame is the evidence: binaryFile listing (one row per
+    # FILE, content pruned) — the profiled tables' parquet DATA is never
+    # scanned. The queries consume only its memoized 10-row aggregate.
+    plan = _plan(_file_listing(tables))
     assert "binaryFile" in plan
     assert "Scan parquet" not in plan
     assert "content" not in plan.split("ReadSchema")[-1][:200]
+    # and the query side touches nothing else: no parquet scan, no
+    # re-listing — just the checkpointed per-table stats
+    qplan = _plan(table_files_meta(tables))
+    assert "Scan parquet" not in qplan
+    assert "binaryFile" not in qplan
 
 
 def test_kmeans_clusters_broadcast_iteration(tables):

@@ -37,14 +37,16 @@ def main() -> int:
     # shared derived indexes — written tables at scale — so per-query
     # numbers measure steady-state execution (mirrors bench.py)
     from databricks_observe_spark.functions.textfns import doc_tokens
+    from databricks_observe_spark.operators.catalog_ops import _file_stats
     from databricks_observe_spark.operators.dedup import (
+        _cluster_labels,
         _shingled,
         _simhash_fps,
         minhash_signatures,
     )
     from databricks_observe_spark.operators.similarity import (
         _bucketed, _centroids_bc, _doubled, _ivf_assigned, _quantized,
-        _query_set_bc,
+        _query_set_bc, _semdedup_assigned,
     )
     from databricks_observe_spark.operators.text import (
         _char_trigrams, _tfidf_tf_frame,
@@ -55,8 +57,16 @@ def main() -> int:
     ctx = _ctx(spark, args.sf)
     for build in (doc_tokens, _shingled, _simhash_fps, minhash_signatures, _bucketed,
                   _char_trigrams, _tfidf_tf_frame, _doubled, _centroids_bc,
-                  _query_set_bc, _ivf_assigned, _quantized):
+                  _query_set_bc, _ivf_assigned, _quantized, _cluster_labels,
+                  _file_stats, _semdedup_assigned):
         build(ctx)
+    # warm the Arrow python workers (long-lived on a real cluster) so
+    # mapInPandas/cogroup timings measure execution, not process spawn
+    import pandas as _pd
+
+    ctx["documents"].select("doc_id").limit(32).mapInPandas(
+        lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
+    ).count()
     setup_s = time.time() - t0
 
     tot_s = tot_d = 0.0
