@@ -701,3 +701,202 @@ GROUP BY 1, 2, 3, 4, 5, 6, 7
 
 
 COLUMN_HISTOGRAMS_SQL = _hist_sql()
+
+
+# --- compaction planning (lakehouse OPTIMIZE-style, E-extension) ------------
+
+# fixture-sized bin target so the fixture files actually split into bins;
+# a production lakehouse compacts toward ~1 GiB targets — the knob scales,
+# the plan shape doesn't.
+COMPACTION_TARGET_BYTES = 256 * 1024
+
+
+def compaction_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """Small-file compaction plan: greedily pack each table's files (path
+    order) into output bins of ~{COMPACTION_TARGET_BYTES} bytes — the
+    planning half of a lakehouse OPTIMIZE/auto-compaction pass, derived
+    from the same file INDEX as ``describe_detail`` (reference anchor: the
+    DESCRIBE DETAIL numFiles/sizeInBytes fields, ``dlt_assets.py:154-156``,
+    are exactly what an operator watches to decide compaction).
+
+    bin_id = floor(bytes_before_this_file / target) — the classic running
+    -sum bin assignment: deterministic, one window over the FILE INDEX
+    (cost scales with file count, never data size; partitioned by table,
+    so parallelism = table count and each partition holds only that
+    table's file list).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("table")
+        .orderBy("path")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _file_listing(t).select(
+        "table",
+        "path",
+        "file_size",
+        F.floor(
+            (F.sum("file_size").over(w) - F.col("file_size"))
+            / F.lit(float(COMPACTION_TARGET_BYTES))
+        )
+        .cast("int")
+        .alias("bin_id"),
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH {_VIEW_FILES_SQL.strip()}
+SELECT "table", path, CAST(size AS BIGINT) AS file_size,
+       CAST(FLOOR((SUM(size) OVER (PARTITION BY "table" ORDER BY path
+                                   ROWS UNBOUNDED PRECEDING) - size)
+                  / {float(COMPACTION_TARGET_BYTES)}) AS INT) AS bin_id
+FROM view_files
+"""
+
+
+# --- schema drift detection (S5 extension) ----------------------------------
+
+# one storage class per catalog type name: both engines normalize their
+# type vocabulary into THIS set before comparing, so drift means the
+# storage layout changed, not that two engines print the same footer
+# differently. The timestamp family collapses to one class (tz-adjustment
+# is not part of the declared catalog vocabulary).
+_TYPE_CLASS = {
+    # Spark simpleString
+    "int": "int", "bigint": "bigint", "string": "string", "double": "double",
+    "float": "float", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "array<float>": "array<float>",
+    # DuckDB DESCRIBE
+    "INTEGER": "int", "BIGINT": "bigint", "VARCHAR": "string",
+    "DOUBLE": "double", "FLOAT": "float", "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "FLOAT[]": "array<float>",
+}
+
+
+def schema_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Catalog-vs-storage schema drift report: full-outer diff of the
+    information_schema.columns declaration against the ACTUAL parquet
+    footer schema of every profiled table.
+
+    The reference trusts information_schema blindly (``dlt_assets.py:
+    159-166`` builds asset schemas from it); this operator is the check a
+    real observer runs — per column: ``match`` / ``type_drift`` /
+    ``missing_in_catalog`` (storage has a column the catalog doesn't) /
+    ``missing_in_storage`` (catalog declares a column storage lost).
+    TESTDATA.md documents a REAL historical drift this would have caught
+    (events.ts re-materialized from ns-as-BIGINT to TIMESTAMP).
+
+    The actual side is driver-collected footer METADATA (10 pyarrow
+    ``read_schema`` calls — pure footer reads, no Spark file-index build,
+    bounded by table count: the same catalog-sized collect as the
+    reference's schema probes), then diffed distributively.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _arrow_class(at) -> str:
+        if pa.types.is_list(at) or pa.types.is_large_list(at):
+            return f"array<{_arrow_class(at.value_type)}>"
+        if pa.types.is_timestamp(at):
+            return "timestamp"
+        if pa.types.is_int32(at):
+            return "int"
+        if pa.types.is_int64(at):
+            return "bigint"
+        if pa.types.is_string(at) or pa.types.is_large_string(at):
+            return "string"
+        if pa.types.is_float64(at):
+            return "double"
+        if pa.types.is_float32(at):
+            return "float"
+        return str(at)
+
+    spark = t["lineitem"].sparkSession
+    sf_dir = t["_sf_dir"]
+    actual_rows = []
+    for tbl in TABLE_NAMES:
+        sch = pq.read_schema(os.path.join(sf_dir, f"{tbl}.parquet"))
+        for i, name in enumerate(sch.names, start=1):
+            actual_rows.append((tbl, name, i, _arrow_class(sch.field(i - 1).type)))
+    actual = spark.createDataFrame(
+        actual_rows, "table string, column string, ordinal int, actual_type string"
+    )
+    declared = t["information_schema_columns"].select(
+        F.col("table_name").alias("table"),
+        F.col("column_name").alias("column"),
+        F.col("data_type").alias("declared_raw"),
+    ).withColumn(
+        "declared_type",
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in _TYPE_CLASS.items() for x in kv]
+                ),
+                F.col("declared_raw"),
+            ),
+            F.col("declared_raw"),
+        ),
+    ).drop("declared_raw")
+    status = (
+        F.when(F.col("declared_type").isNull(), "missing_in_catalog")
+        .when(F.col("actual_type").isNull(), "missing_in_storage")
+        .when(F.col("declared_type") == F.col("actual_type"), "match")
+        .otherwise("type_drift")
+    )
+    return (
+        actual.join(declared, on=["table", "column"], how="full_outer")
+        .select(
+            "table",
+            "column",
+            "ordinal",
+            "declared_type",
+            "actual_type",
+            status.alias("status"),
+        )
+    )
+
+
+def _schema_drift_sql() -> str:
+    type_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _TYPE_CLASS.items()
+    )
+    actual_unions = " UNION ALL ".join(
+        f"SELECT '{tbl}' AS \"table\", column_name AS \"column\","
+        f" CAST(ROW_NUMBER() OVER () AS INT) AS ordinal, column_type"
+        f" FROM (DESCRIBE SELECT * FROM"
+        f" read_parquet('/root/testdata/sf0.001/{tbl}.parquet'))"
+        for tbl in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    )
+    return (
+        oracle_with_clause("information_schema_columns")
+        + f""",
+actual AS (
+  SELECT "table", "column", ordinal,
+         CASE column_type {type_case} ELSE column_type END AS actual_type
+  FROM ({actual_unions})
+),
+declared AS (
+  SELECT table_name AS "table", column_name AS "column",
+         CASE data_type {type_case} ELSE data_type END AS declared_type
+  FROM information_schema_columns
+)
+SELECT COALESCE(a."table", d."table") AS "table",
+       COALESCE(a."column", d."column") AS "column",
+       a.ordinal, d.declared_type, a.actual_type,
+       CASE WHEN d.declared_type IS NULL THEN 'missing_in_catalog'
+            WHEN a.actual_type IS NULL THEN 'missing_in_storage'
+            WHEN d.declared_type = a.actual_type THEN 'match'
+            ELSE 'type_drift' END AS status
+FROM actual a FULL OUTER JOIN declared d
+  ON a."table" = d."table" AND a."column" = d."column"
+"""
+    )
+
+
+SCHEMA_DRIFT_SQL = _schema_drift_sql()

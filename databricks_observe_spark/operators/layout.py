@@ -94,3 +94,71 @@ def read_pruned(spark, path: str, partition_col: str, value) -> DataFrame:
     filter against the directory layout (PartitionFilters in the scan,
     zero data files opened outside the matching partition)."""
     return spark.read.parquet(path).filter(F.col(partition_col) == value)
+
+
+# --- Z-order layout keys (multi-dimensional clustering) ---------------------
+
+ZORDER_BITS = 16
+ZORDER_FILES = 16
+
+
+def _interleave_sql(u_expr: str, h_expr: str, bits: int, shiftr) -> str:
+    """Bit-interleave two ``bits``-wide integers into one Morton (Z-order)
+    value, rendered as SQL. ``shiftr(expr, n)`` renders an arithmetic
+    right-shift in the target dialect (Spark: ``shiftright(e, n)``;
+    DuckDB: ``(e >> n)``); masking and the power-of-two scaling are plain
+    integer arithmetic, bit-identical everywhere."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({shiftr(u_expr, i)} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shiftr(h_expr, i)} & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+def zorder_key(t: dict[str, DataFrame]) -> DataFrame:
+    """Z-order (Morton) clustering key over events(user_id, hour), plus the
+    target-file assignment a lakehouse OPTIMIZE ZORDER write would use.
+
+    The layout op behind multi-dimensional data skipping: interleaving the
+    bits of the two filter dimensions gives one sort key whose ranges are
+    small in BOTH dimensions, so min/max file stats prune point/range
+    queries on either column. The file assignment mirrors the production
+    write's physical shape — range-partition on a z-value PREFIX (the top
+    bits), then cut each range into equal files by local z order — so the
+    sort parallelizes across ranges instead of funnelling the table
+    through one global window; deterministic because (zval, event_id) is
+    a total order within each range.
+
+    Both dimensions are masked to {ZORDER_BITS} bits (z-ordering operates
+    on fixed-width prefixes; production picks width by column cardinality).
+    """
+    from pyspark.sql.window import Window
+
+    u = f"(user_id % {1 << ZORDER_BITS})"
+    h = f"(CAST(floor(unix_micros(ts) / 3600000000) AS BIGINT) % {1 << ZORDER_BITS})"
+    z = _interleave_sql(u, h, ZORDER_BITS, lambda e, n: f"shiftright({e}, {n})")
+    w = Window.partitionBy("zrange").orderBy("zval", "event_id")
+    return (
+        t["events"]
+        .select("event_id", F.expr(z).alias("zval"))
+        .withColumn("zrange", F.shiftright("zval", ZORDER_BITS).cast("int"))
+        .withColumn("file_seq", F.ntile(ZORDER_FILES).over(w))
+    )
+
+
+def _zorder_sql() -> str:
+    u = f"(user_id % {1 << ZORDER_BITS})"
+    h = f"(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % {1 << ZORDER_BITS})"
+    z = _interleave_sql(u, h, ZORDER_BITS, lambda e, n: f"({e} >> {n})")
+    return f"""
+SELECT event_id, zval, zrange,
+       CAST(NTILE({ZORDER_FILES}) OVER (PARTITION BY zrange
+                                        ORDER BY zval, event_id) AS INT)
+         AS file_seq
+FROM (SELECT event_id, {z} AS zval,
+             CAST(({z}) >> {ZORDER_BITS} AS INT) AS zrange
+      FROM events)
+"""
+
+
+ZORDER_KEY_SQL = _zorder_sql()

@@ -550,3 +550,76 @@ SELECT user_id, session_start, n_events, sum_value
 FROM agg
 QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
 """
+
+
+# --- streaming corpus-ingest dedup (exactly-once document acceptance) -------
+
+
+def corpus_dedup_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str
+) -> StreamingQuery:
+    """Streaming exact dedup of a document feed: each distinct text digest
+    is accepted exactly once — the continuous form of
+    operators/dedup.py:exact_dedup, i.e. the dedup gate a training-corpus
+    INGEST pipeline runs as crawls arrive (BASELINE.json north star),
+    with the checkpoint as the persisted seen-set.
+
+    State is keyed by the 16-byte md5 digest, never the document payload —
+    the property that matters at 100 TB: the store grows with DISTINCT
+    content, and rows are reduced to their digest before the stateful
+    exchange, so the shuffle never carries text. No watermark: content
+    recurrence has no event-time bound (a crawl can resurface a page
+    years later), so the seen-set is genuinely append-only — at scale you
+    back it with RocksDB and size state parallelism by digest cardinality.
+    """
+    ensure_conf(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    accepted = (
+        docs.select(F.md5("text").alias("text_hash"))
+        .dropDuplicates(["text_hash"])
+    )
+    return (
+        accepted.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_corpus_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form: run the ingest-dedup stream to exhaustion and
+    return the accepted digest set — deterministic regardless of which
+    duplicate row won the dropDuplicates race, so it pairs with a batch
+    DISTINCT oracle."""
+    import tempfile
+    import uuid
+
+    name = f"cd_q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdq_")
+    # unwatermarked dropDuplicates emits on first arrival and never on
+    # watermark advance — the trailing no-data batch would be pure
+    # overhead, as in streaming_first_completed
+    with _stream_confs(
+        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+    ):
+        q = corpus_dedup_stream(spark, sf_dir, ckpt, name)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_corpus_dedup did not finish its availableNow run "
+            "within 300s"
+        )
+    return spark.table(name).select("text_hash").distinct()
+
+
+STREAMING_CORPUS_DEDUP_SQL = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents
+"""

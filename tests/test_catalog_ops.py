@@ -98,3 +98,61 @@ def test_column_histograms_cover_all_rows(tables):
         assert grp[0].n_rows == n_lineitem
         assert all(0 <= r.bucket < 10 for r in grp)
         assert grp[0].min_r <= grp[0].max_r
+
+
+def test_compaction_plan_bins_respect_target(tables):
+    from databricks_observe_spark.operators.catalog_ops import (
+        COMPACTION_TARGET_BYTES,
+        compaction_plan,
+    )
+
+    rows = compaction_plan(tables).collect()
+    assert rows and all(r.bin_id >= 0 for r in rows)
+    # running-sum binning: bin id strictly derived from bytes packed
+    # before the file, per table in path order
+    from collections import defaultdict
+
+    by_table = defaultdict(list)
+    for r in rows:
+        by_table[r.table].append(r)
+    for files in by_table.values():
+        files.sort(key=lambda r: r.path)
+        cum = 0
+        for r in files:
+            assert r.bin_id == cum // COMPACTION_TARGET_BYTES
+            cum += r.file_size
+
+
+def test_schema_drift_all_match_on_clean_fixture(tables):
+    from databricks_observe_spark.operators.catalog_ops import schema_drift
+    from databricks_observe_spark.sources.catalog_model import _SCHEMAS
+
+    rows = schema_drift(tables).collect()
+    n_declared = sum(len(v) for v in _SCHEMAS.values())
+    assert len(rows) == n_declared
+    assert all(r.status == "match" for r in rows), [
+        r for r in rows if r.status != "match"
+    ]
+    # the timestamp family normalizes to one storage class on both sides
+    ts_rows = [r for r in rows if r.column in ("ts", "o_orderdate", "l_shipdate")]
+    assert ts_rows and all(r.actual_type == "timestamp" for r in ts_rows)
+
+
+def test_schema_drift_statuses_on_synthetic_drift(tables, spark):
+    # a doctored declared-side must surface each non-match status
+    from databricks_observe_spark.operators import catalog_ops as C
+
+    t2 = dict(tables)
+    t2["information_schema_columns"] = spark.createDataFrame(
+        [
+            ("testdata", "main", "region", "r_regionkey", "string", None, 1),
+            ("testdata", "main", "region", "r_ghost", "int", None, 3),
+        ],
+        "table_catalog string, table_schema string, table_name string,"
+        " column_name string, data_type string, comment string,"
+        " ordinal_position int",
+    )
+    rows = {(r.table, r.column): r.status for r in C.schema_drift(t2).collect()}
+    assert rows[("region", "r_regionkey")] == "type_drift"
+    assert rows[("region", "r_ghost")] == "missing_in_storage"
+    assert rows[("region", "r_name")] == "missing_in_catalog"

@@ -63,3 +63,34 @@ def test_partitioned_write_prunes_at_plan_time(tables, spark, tmp_path):
     expected = ev.filter(F.col("day") == "2024-01-02").count()
     got = one.count()
     assert got == expected and got > 0
+
+
+def test_zorder_key_locality_and_determinism(tables):
+    rows = L.zorder_key(tables).collect()
+    assert len(rows) == tables["events"].count()
+    # z-value decodes back to its inputs: de-interleaving even/odd bits
+    # must reproduce (user_id, hour) masked to ZORDER_BITS
+    ev = {r.event_id: r for r in tables["events"].collect()}
+    import datetime as dt
+
+    for r in rows[:200]:
+        e = ev[r.event_id]
+        u = e.user_id % (1 << L.ZORDER_BITS)
+        ts = e.ts.replace(tzinfo=dt.timezone.utc)
+        h = int(ts.timestamp() // 3600) % (1 << L.ZORDER_BITS)
+        du = sum(((r.zval >> (2 * i)) & 1) << i for i in range(L.ZORDER_BITS))
+        dh = sum(((r.zval >> (2 * i + 1)) & 1) << i for i in range(L.ZORDER_BITS))
+        assert (du, dh) == (u, h), (r.event_id, du, u, dh, h)
+        assert r.zrange == r.zval >> L.ZORDER_BITS
+    # file assignment is a partition of each z-range into contiguous runs:
+    # within a range, file_seq is non-decreasing along (zval, event_id)
+    from collections import defaultdict
+
+    by_range = defaultdict(list)
+    for r in rows:
+        by_range[r.zrange].append((r.zval, r.event_id, r.file_seq))
+    for vs in by_range.values():
+        vs.sort()
+        seqs = [s for _, _, s in vs]
+        assert seqs == sorted(seqs)
+        assert 1 <= seqs[0] and seqs[-1] <= L.ZORDER_FILES

@@ -331,3 +331,24 @@ def test_run_output_lookup_broadcasts_probe(tables):
     plan = _plan(run_output_lookup(tables))
     assert "BroadcastExchange" in plan  # 1-row probe key ships
     assert "SortMergeJoin" not in plan
+
+
+def test_compaction_plan_reads_file_index_only(tables):
+    from databricks_observe_spark.operators.catalog_ops import compaction_plan
+
+    plan = _plan(compaction_plan(tables))
+    # the compaction plan is derived from the binaryFile file INDEX —
+    # table DATA is never scanned (cost scales with file count)
+    assert "binaryFile" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_zorder_key_partitioned_window(tables):
+    from databricks_observe_spark.operators.layout import zorder_key
+
+    plan = _plan(zorder_key(tables))
+    # ONE events scan; the file assignment runs per z-range partition —
+    # no single global window funnel
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+    assert "zrange" in plan

@@ -236,3 +236,16 @@ def test_click_attribution_stream_matches_batch(spark, tables):
         (r.purchase_id, r.click_id, r.user_id, r.gap_us) for r in batch.collect()
     }
     assert got == expected and got
+
+
+def test_corpus_dedup_stream_exactly_once(spark, tables):
+    from databricks_observe_spark.streaming.state import (
+        streaming_corpus_dedup_query,
+    )
+
+    got = {r.text_hash for r in streaming_corpus_dedup_query(spark, SF_DIR).collect()}
+    want = {
+        r.h
+        for r in tables["documents"].select(F.md5("text").alias("h")).distinct().collect()
+    }
+    assert got == want and len(got) > 0

@@ -110,15 +110,19 @@ COMMENTARY = {
         "clusters above SEMDEDUP_BLOCK_CAP rows sub-split by hash block — "
         "work scales with sum(cluster_size^2), per-task memory is capped, "
         "and no corpus-level pair join ever forms. The block-pair table "
-        "ships broadcast."
+        "ships broadcast, and when every cluster fits in one block the "
+        "pair scaffolding is skipped entirely (direct per-cluster "
+        "cogroup); the assignment table is memoized — at scale a written "
+        "table maintained beside the corpus."
     ),
     "column_histograms": (
-        "ANALYZE-style stats in two passes: a pure map-side column-wise "
-        "extrema/null aggregate (one row, broadcast back), then ONE "
-        "groupBy(col, value) aggregate whose groups yield both the exact "
-        "distinct count and the equi-width bucket histogram (bucket id "
-        "computed per distinct value, weighted by its count) — the only "
-        "data shuffle is distinct-pairs-sized."
+        "ANALYZE-style stats from ONE table scan: the (cid, value) "
+        "aggregate (column as a tinyint ordinal — 1 shuffled byte vs a "
+        "~15-byte name) is materialized once (the local stand-in for the "
+        "ANALYZE intermediate a pipeline writes to storage), then a "
+        "per-col stats aggregate broadcast-joins back and the equi-width "
+        "bucket histogram derives per distinct value, weighted by its "
+        "count — everything after the scan is distinct-pairs-sized."
     ),
     "simhash_near_dup_pairs": (
         "Banded simhash self-join with the fingerprint carried through "
@@ -139,8 +143,30 @@ COMMENTARY = {
     "describe_detail": (
         "DESCRIBE DETAIL from the file INDEX: the binaryFile source "
         "lists + stats the backing files (content column pruned, one row "
-        "per file), so cost scales with file count, never row count; the "
-        "catalog enrichment side broadcasts."
+        "per file), so cost scales with file count, never row count; "
+        "describe_detail and table_files_meta share one memoized 10-row "
+        "per-table stats aggregate, and the catalog enrichment side "
+        "broadcasts."
+    ),
+    "compaction_plan": (
+        "OPTIMIZE-style small-file packing planned from the same "
+        "binaryFile file INDEX: one window (partitioned by table, file "
+        "count-sized) assigns each file a running-sum bin — table DATA "
+        "is never scanned, so the plan costs what a metadata query costs."
+    ),
+    "schema_drift": (
+        "Catalog-vs-storage diff: the actual side is driver-collected "
+        "parquet FOOTER metadata (bounded by table count, the same "
+        "catalog-sized collect the reference's schema probes make), the "
+        "declared side is the information_schema fixture; the full-outer "
+        "diff and status derivation run distributed."
+    ),
+    "zorder_key": (
+        "Z-order layout: the Morton key is 32 pure-integer bit terms "
+        "(whole-stage codegen, no UDF); file assignment range-partitions "
+        "on the z-prefix and ntiles within each range — the production "
+        "write shape (sort by z, cut files), parallel across ranges with "
+        "no global-window funnel."
     ),
     "run_output_lookup": (
         "S11 point read: the 1-row probe key (min entity) broadcasts, "
