@@ -94,6 +94,8 @@ def main() -> None:
     from databricks_observe_spark.operators.catalog_ops import _file_stats
     from databricks_observe_spark.operators.dedup import (
         _cluster_labels,
+        _shingle_df,
+        _shingle_sizes,
         _shingled,
         _simhash_fps,
         minhash_signatures,
@@ -119,10 +121,12 @@ def main() -> None:
         "doc_tokens", "shingle_index", "lsh_buckets", "char_trigrams",
         "tfidf_tf", "vector_norms", "ivf_assignment", "kmeans_fixed_point",
         "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
-        "file_listing", "semdedup_assignment",
+        "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
     ]
     doc_tokens(ctx)
     _shingled(ctx)
+    _shingle_df(ctx)
+    _shingle_sizes(ctx)
     _simhash_fps(ctx)
     minhash_signatures(ctx)
     _bucketed(ctx)

@@ -95,6 +95,36 @@ def _shingled(t: dict[str, DataFrame]) -> DataFrame:
 _SHINGLED_SQL = shingled_sql(3)
 
 
+def _shingle_df(t: dict[str, DataFrame]) -> DataFrame:
+    """Shingle document-frequency table ``(shingle, df)``, memoized +
+    materialized once per context — the corpus statistic every text
+    pipeline writes beside its shingle index (stop-shingle capping,
+    posting-list pruning, IDF all read it). df counts OCCURRENCES (same
+    as the inverted-index self-join multiplicity)."""
+    if "_shingle_df" not in t:
+        t["_shingle_df"] = (
+            _shingled(t)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .localCheckpoint()
+        )
+    return t["_shingle_df"]
+
+
+def _shingle_sizes(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document shingle counts ``(doc_id, n_shingles)``, memoized +
+    materialized once per context — the size side of every Jaccard
+    denominator."""
+    if "_shingle_sizes" not in t:
+        t["_shingle_sizes"] = (
+            _shingled(t)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+            .localCheckpoint()
+        )
+    return t["_shingle_sizes"]
+
+
 def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
     """Exact shingle-Jaccard near-duplicate pairs (>= 0.5).
 
@@ -106,16 +136,14 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
     if "_jaccard_pairs" in t:
         return t["_jaccard_pairs"]
     sh = _shingled(t)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = _shingle_sizes(t)
     # posting-list prefilter: shingles appearing in exactly one document
     # cannot produce a pair — dropping them shrinks the self-join input by
     # the unique-shingle mass (the majority, in any natural corpus) without
     # changing a single output row. This is the result-preserving half of
     # the stop-shingle trick; a df *upper* cap would further bound skew at
     # scale but changes results, so it stays off here.
-    shared = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") >= 2
-    )
+    shared = _shingle_df(t).filter(F.col("df") >= 2)
     sh2 = sh.join(shared.select("shingle"), on="shingle")
     a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -190,11 +218,9 @@ def ngram_jaccard_pairs_capped(
     though it saves a shuffle. The join form stays.
     """
     sh = _shingled(t)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    kept = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    sizes = _shingle_sizes(t)
+    kept = _shingle_df(t).filter(
+        (F.col("df") >= 2) & (F.col("df") <= max_df)
     )
     sh2 = sh.join(kept.select("shingle"), on="shingle")
     a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")

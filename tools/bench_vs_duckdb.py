@@ -40,6 +40,8 @@ def main() -> int:
     from databricks_observe_spark.operators.catalog_ops import _file_stats
     from databricks_observe_spark.operators.dedup import (
         _cluster_labels,
+        _shingle_df,
+        _shingle_sizes,
         _shingled,
         _simhash_fps,
         minhash_signatures,
@@ -55,7 +57,8 @@ def main() -> int:
 
     t0 = time.time()
     ctx = _ctx(spark, args.sf)
-    for build in (doc_tokens, _shingled, _simhash_fps, minhash_signatures, _bucketed,
+    for build in (doc_tokens, _shingled, _shingle_df, _shingle_sizes,
+                  _simhash_fps, minhash_signatures, _bucketed,
                   _char_trigrams, _tfidf_tf_frame, _doubled, _centroids_bc,
                   _query_set_bc, _ivf_assigned, _quantized, _cluster_labels,
                   _file_stats, _semdedup_assigned):
