@@ -257,6 +257,8 @@ def _streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_state.streaming_corpus_dedup_query(spark, sf_dir)
 
 
+
+
 # --- live-session queries (take (spark, sf_dir) directly: they introspect
 # the SparkSession itself, not the fixture frames) ---
 
@@ -301,6 +303,13 @@ _STREAMING_QUERIES: dict[str, tuple] = {
         streaming_state.STREAMING_CORPUS_DEDUP_SQL,
     ),
 }
+
+# NOT registered: streaming/state.py also carries the SAME sessionizer on
+# the successor arbitrary-state API (transformWithStateInPandas, Spark 4)
+# — same fold, same oracle. Its state-server protocol requires
+# google.protobuf, which this sandbox does not ship (same environment
+# partial as the Delta sink branch, K1); the twin is import-gated and its
+# equality test skips without protobuf rather than failing the driver.
 
 
 # ctx cache: prepare() is pure view registration, reuse across queries() calls
