@@ -1202,3 +1202,44 @@ SELECT b.doc_id, b.h AS text_hash,
             ELSE 'admit' END AS decision
 FROM batch b LEFT JOIN base ON b.h = base.h JOIN firsts f ON b.h = f.h
 """
+
+
+# --- normalization dedup (near-exact variants) ------------------------------
+
+
+def normalized_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """Normalization-based near-exact dedup: lowercase, strip non-
+    alphanumerics, collapse whitespace, THEN hash — the cheap first rung
+    of the dedup ladder real pipelines run before any fuzzy method (it
+    catches case/punctuation/whitespace variants exact_dedup misses, at
+    exact_dedup's cost: one shuffle on a 16-byte digest).
+
+    canonical = min doc_id per normalized digest; ``n_variants`` > 1 rows
+    are the removable near-exact duplicates.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+NORMALIZED_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '  +', ' ', 'g'))) AS norm_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_variants
+FROM documents
+GROUP BY 1
+"""

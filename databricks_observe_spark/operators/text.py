@@ -913,3 +913,62 @@ SELECT dev.doc_id, dev.lang, dev.n_tokens,
        CAST(round(dev.absdev, 6) > round(mad.mad * {MAD_K}, 6) AS INT) AS is_outlier
 FROM dev JOIN mad ON dev.lang = mad.lang
 """
+
+
+# --- BPE tokenizer-training primitive ---------------------------------------
+
+
+def bpe_pair_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """The inner loop of BPE tokenizer training, one merge step: adjacent
+    symbol-pair frequencies over the corpus, weighted by WORD frequency —
+    the argmax row is the next merge.
+
+    The classic scale trick is built in: pairs are counted per DISTINCT
+    word and weighted by the word's corpus count (the word-frequency
+    table is vocabulary-sized; the corpus is only scanned once to build
+    it), so a 100 TB corpus costs one token explode + one
+    vocabulary-sized pair explode, never a per-occurrence character walk.
+    Symbols here are characters (merge step 0); iterating merges would
+    re-run this over the re-segmented vocabulary.
+    """
+    words = (
+        doc_tokens(t)
+        .select(F.explode("w").alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1),"
+                " i -> named_struct('left_sym', substring(word, i, 1),"
+                " 'right_sym', substring(word, i + 1, 1)))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+BPE_PAIR_COUNTS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wf AS (
+  SELECT word, COUNT(*) AS cnt FROM toks WHERE length(word) >= 2 GROUP BY word
+),
+p AS (
+  SELECT substr(word, i.i, 1) AS left_sym, substr(word, i.i + 1, 1) AS right_sym, cnt
+  FROM wf
+  CROSS JOIN LATERAL (SELECT unnest(range(1, length(word))) AS i) i
+)
+SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+"""

@@ -151,6 +151,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    # normalization-based near-exact dedup (the first rung of the ladder)
+    "normalized_dedup": (dedup.normalized_dedup, dedup.NORMALIZED_DEDUP_SQL),
     # stable train/val/test assignment (content-stable hash buckets)
     "hash_split": (dedup.hash_split, dedup.HASH_SPLIT_SQL),
     # quality-aware survivor per near-dup cluster (integer quality rank)
@@ -214,6 +216,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "mixture_weights": (text.mixture_weights, text.MIXTURE_WEIGHTS_SQL),
     "stratified_sample": (text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
     "unigram_kl": (text.unigram_kl, text.UNIGRAM_KL_SQL),
+    # BPE tokenizer-training inner loop: weighted adjacent-pair counts
+    "bpe_pair_counts": (text.bpe_pair_counts, text.BPE_PAIR_COUNTS_SQL),
     # LM-based quality signal: per-doc avg unigram log-probability
     "unigram_logprob": (text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
     "length_outliers": (text.length_outliers, text.LENGTH_OUTLIERS_SQL),
@@ -342,10 +346,10 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # setup-accounted labels; streaming_click_attribution's dead-batch cut),
 # then (d) the queries whose newest driver row is r03. kmeans_clusters
 # dropped out (unchanged since its r04 hash-green row). The cap forces a
-# choice: the multimodal trio (multimodal_meta / frame_sample /
-# image_resize) stays r03 this round — unchanged code, pytest- and
-# plan-covered, and media_features' r04 hash-green row covers the same
-# Arrow path — it MUST head round 6's rotation.
+# choice: five unchanged, pytest-covered queries stay r03 this round —
+# the multimodal trio (multimodal_meta / frame_sample / image_resize;
+# media_features' r04 hash-green row covers the same Arrow path),
+# lang_profile, and length_outliers — they MUST head round 6's rotation.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
     # new this round — first driver rows
@@ -353,6 +357,8 @@ _PRIORITY = [
     "schema_drift",
     "zorder_key",
     "streaming_corpus_dedup",
+    "normalized_dedup",
+    "bpe_pair_counts",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",
@@ -382,7 +388,6 @@ _PRIORITY = [
     "incremental_dedup",
     "contamination_check",
     "kmeans_assign",
-    "lang_profile",
     "langid_trigram",
     "doc_fingerprints",
     "token_count_regex",
@@ -395,7 +400,6 @@ _PRIORITY = [
     "mixture_weights",
     "stratified_sample",
     "unigram_kl",
-    "length_outliers",
     "discovered_objects_live",
     "streaming_first_completed",
     "streaming_tumbling_hourly",

@@ -397,3 +397,23 @@ def test_dedup_retention_keeps_best_member_per_cluster(tables):
         # the keeper has maximal quality (ties -> lowest id)
         best = max(members, key=lambda m: (m.n_types, -m.doc_id))
         assert kept[0].doc_id == best.doc_id
+
+
+def test_normalized_dedup_catches_case_and_punct_variants(tables, spark):
+    from databricks_observe_spark.operators import dedup as D
+
+    t2 = dict(tables)
+    t2["documents"] = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.canonical_doc_id: r for r in D.normalized_dedup(t2).collect()}
+    # the three hello variants normalize to one digest, canonical = min id
+    assert rows[1].n_variants == 3
+    assert rows[4].n_variants == 1
+    assert len(rows) == 2

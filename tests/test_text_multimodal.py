@@ -294,3 +294,17 @@ def test_unigram_logprob_monotone_in_token_rarity(tables):
         assert r.avg_lp_micro < 0
         assert r.lp_sum_micro <= r.avg_lp_micro  # sum over >=1 tokens
         assert r.n_tokens >= 1
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(tables, spark):
+    from databricks_observe_spark.operators import text as T
+
+    t2 = dict(tables)
+    t2["documents"] = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab x")],  # 'x' too short for a pair
+        "doc_id bigint, text string",
+    )
+    t2.pop("_doc_tokens", None)
+    rows = {(r.left_sym, r.right_sym): r.pair_count for r in T.bpe_pair_counts(t2).collect()}
+    # 'ab' occurs 3 times -> pair (a,b)=3 ; 'cd' once -> (c,d)=1
+    assert rows == {("a", "b"): 3, ("c", "d"): 1}
