@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "hash_split",
     "dedup_retention",
     "unigram_logprob",
+    "compaction_plan",
+    "zorder_key",
+    "schema_drift",
+    "normalized_dedup",
+    "bpe_pair_counts",
 ]
 
 

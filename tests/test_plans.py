@@ -352,3 +352,28 @@ def test_zorder_key_partitioned_window(tables):
     assert plan.count("Scan parquet") == 1
     assert "Window" in plan
     assert "zrange" in plan
+
+
+def test_bpe_pair_counts_vocab_sized_walk(tables):
+    from databricks_observe_spark.operators.text import bpe_pair_counts
+
+    plan = _plan(bpe_pair_counts(tables))
+    # the character walk runs over the DISTINCT-word aggregate: the pair
+    # explode consumes the word-count aggregate's output (prints above
+    # it in the top-down plan), and both aggregates combine map-side
+    assert plan.index("explode(transform") < plan.index("keys=[word")
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_normalized_dedup_shuffles_digest_only(tables):
+    from databricks_observe_spark.operators.dedup import normalized_dedup
+
+    plan = _plan(normalized_dedup(tables))
+    # one scan, normalization + md5 computed before the exchange: the
+    # shuffle carries the 16-byte digest, never the text payload
+    assert plan.count("Scan parquet") <= 1
+    import re
+
+    exchange_pos = plan.index("Exchange")
+    assert "md5" in plan[exchange_pos:] or "norm_hash" in plan[exchange_pos:]
+    assert "text" not in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)[0]
