@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "schema_drift",
     "normalized_dedup",
     "bpe_pair_counts",
+    "skew_report",
 ]
 
 

@@ -162,3 +162,67 @@ FROM (SELECT event_id, {z} AS zval,
 
 
 ZORDER_KEY_SQL = _zorder_sql()
+
+
+# --- skew diagnosis (the input to the salting decision) ---------------------
+
+SKEW_TOP_K = 10
+
+
+def skew_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Join-key skew diagnosis over events.user_id: the hottest
+    {SKEW_TOP_K} keys with their share of the table and their skew factor
+    vs the median key — the measurement that decides between AQE's
+    automatic skew-join handling and an explicit ``salted_join``, and
+    sizes the salt (``suggested_salt`` = how many tasks the hot key needs
+    to look like a median key).
+
+    One shuffle on the key (the same shuffle the skewed join itself would
+    do); the stats side is a two-row broadcast. At 100 TB this runs as a
+    sampled or sketched pass — the exact form is the oracle anchor.
+    """
+    from pyspark.sql.window import Window
+
+    counts = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.expr("percentile(cnt, 0.5)").alias("median_cnt"),
+    )
+    # distributed top-k (TakeOrderedAndProject: per-task heaps merged on
+    # the driver); the ranking window runs over the 10 survivors only
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(SKEW_TOP_K)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return top.join(F.broadcast(stats)).select(
+        "rnk",
+        "user_id",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        F.round(F.col("cnt") / F.col("median_cnt"), 6).alias("skew_factor"),
+        F.ceil(F.col("cnt") / F.col("median_cnt")).cast("int").alias("suggested_salt"),
+    )
+
+
+SKEW_REPORT_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         quantile_cont(cnt, 0.5) AS median_cnt
+  FROM counts
+),
+top AS (
+  SELECT user_id, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS INT) AS rnk
+  FROM counts QUALIFY rnk <= {SKEW_TOP_K}
+)
+SELECT rnk, user_id, cnt,
+       round(cnt * 1.0 / total, 6) AS share,
+       round(cnt / median_cnt, 6) AS skew_factor,
+       CAST(CEIL(cnt / median_cnt) AS INT) AS suggested_salt
+FROM top CROSS JOIN stats
+"""

@@ -106,6 +106,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "schema_drift": (catalog_ops.schema_drift, catalog_ops.SCHEMA_DRIFT_SQL),
     # Z-order clustering key + range-partitioned file assignment
     "zorder_key": (layout.zorder_key, layout.ZORDER_KEY_SQL),
+    # join-key skew diagnosis: hottest keys, share, salt sizing
+    "skew_report": (layout.skew_report, layout.SKEW_REPORT_SQL),
     "named_assets": (catalog_ops.named_assets, catalog_ops.NAMED_ASSETS_SQL),
     "object_count_rollup": (
         catalog_ops.object_count_rollup,
@@ -349,7 +351,8 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # choice: five unchanged, pytest-covered queries stay r03 this round —
 # the multimodal trio (multimodal_meta / frame_sample / image_resize;
 # media_features' r04 hash-green row covers the same Arrow path),
-# lang_profile, and length_outliers — they MUST head round 6's rotation.
+# lang_profile, length_outliers, and doc_fingerprints — they MUST head
+# round 6's rotation.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
     # new this round — first driver rows
@@ -359,6 +362,7 @@ _PRIORITY = [
     "streaming_corpus_dedup",
     "normalized_dedup",
     "bpe_pair_counts",
+    "skew_report",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",
@@ -389,7 +393,6 @@ _PRIORITY = [
     "contamination_check",
     "kmeans_assign",
     "langid_trigram",
-    "doc_fingerprints",
     "token_count_regex",
     "heavy_hitter_tokens",
     "quality_filter",

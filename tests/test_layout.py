@@ -94,3 +94,24 @@ def test_zorder_key_locality_and_determinism(tables):
         seqs = [s for _, _, s in vs]
         assert seqs == sorted(seqs)
         assert 1 <= seqs[0] and seqs[-1] <= L.ZORDER_FILES
+
+
+def test_skew_report_math_and_topk(tables):
+    rows = L.skew_report(tables).collect()
+    assert len(rows) == L.SKEW_TOP_K
+    assert [r.rnk for r in rows] == list(range(1, L.SKEW_TOP_K + 1))
+    counts = {
+        r.user_id: r.cnt
+        for r in tables["events"].groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: L.SKEW_TOP_K]
+    assert [(r.user_id, r.cnt) for r in sorted(rows, key=lambda r: r.rnk)] == top
+    import math
+    import statistics
+
+    total = sum(counts.values())
+    median = statistics.median(counts.values())
+    for r in rows:
+        assert r.share == round(r.cnt / total, 6)
+        assert r.skew_factor == round(r.cnt / median, 6)
+        assert r.suggested_salt == math.ceil(r.cnt / median)

@@ -377,3 +377,14 @@ def test_normalized_dedup_shuffles_digest_only(tables):
     exchange_pos = plan.index("Exchange")
     assert "md5" in plan[exchange_pos:] or "norm_hash" in plan[exchange_pos:]
     assert "text" not in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)[0]
+
+
+def test_skew_report_distributed_topk(tables):
+    from databricks_observe_spark.operators.layout import skew_report
+
+    plan = _plan(skew_report(tables))
+    # top-k is TakeOrderedAndProject (per-task heaps), the ranking window
+    # runs over the k survivors, and the 2-row stats side broadcasts
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
