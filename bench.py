@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "normalized_dedup",
     "bpe_pair_counts",
     "skew_report",
+    "scd2_history",
+    "per_source_dedup_rate",
+    "epoch_shuffle",
+    "value_deciles",
+    "ann_recall",
+    "int8_quantize",
 ]
 
 

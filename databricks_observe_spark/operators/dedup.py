@@ -1243,3 +1243,98 @@ SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'
 FROM documents
 GROUP BY 1
 """
+
+
+# --- corpus health + training-order operators --------------------------------
+
+
+def per_source_dedup_rate(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source duplicate-rate report — the corpus-health dashboard a
+    curation pipeline watches to find which crawl/feed is polluting the
+    mix (a source whose dup rate spikes gets throttled before training).
+
+    One scan, one shuffle keyed on (source, digest): COUNT(DISTINCT md5)
+    is a two-level hash aggregate; the rate is reported in integer basis
+    points so the row hashes identically cross-engine.
+    """
+    return (
+        t["documents"]
+        .select("source", F.md5(F.col("text")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_uniq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_uniq",
+            (F.col("n_docs") - F.col("n_uniq")).alias("n_dups"),
+            F.floor(
+                (F.col("n_docs") - F.col("n_uniq"))
+                * F.lit(10000.0)
+                / F.col("n_docs")
+                + F.lit(0.5)
+            ).alias("dup_bp"),
+        )
+    )
+
+
+PER_SOURCE_DEDUP_RATE_SQL = """
+SELECT source, n_docs, n_uniq, n_docs - n_uniq AS n_dups,
+       CAST(FLOOR((n_docs - n_uniq) * 10000.0 / n_docs + 0.5) AS BIGINT) AS dup_bp
+FROM (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_uniq
+  FROM documents GROUP BY source
+)
+"""
+
+
+# training-order shuffle: shard count and epoch seed are corpus constants
+EPOCH_SHUFFLE_SHARDS = 8
+EPOCH_SHUFFLE_SEED = "epoch1"
+
+
+def epoch_shuffle(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic global training-order shuffle — every epoch the
+    loader needs a reproducible pseudo-random permutation of the corpus
+    that does NOT depend on row position, partitioning, or an RNG stream
+    (so any worker can recompute any shard independently).
+
+    Order key = md5(seed || ':' || doc_id); changing the seed gives a
+    fresh permutation. Scale shape: NO global sort — documents hash into
+    ``EPOCH_SHUFFLE_SHARDS`` shards by the high hex digits and are
+    ordered *within* shard by the remaining digits (one shuffle + one
+    per-partition sort; shards stream to trainer workers independently,
+    which is how epoch shuffles actually run at 100 TB).
+    """
+    key = F.md5(F.concat(F.lit(EPOCH_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint")
+        % EPOCH_SHUFFLE_SHARDS
+    )
+    df = t["documents"].select(
+        "doc_id", key.alias("k"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(F.substring("k", 5, 28), F.asc("doc_id"))
+    return df.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY substr(k, 5, 28), doc_id) AS INT) AS pos
+FROM (
+  SELECT doc_id, k,
+         CAST(('0x' || substr(k, 1, 4))::BIGINT AS BIGINT) % {EPOCH_SHUFFLE_SHARDS} AS shard
+  FROM (
+    SELECT doc_id,
+           md5('{EPOCH_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+  )
+)
+"""

@@ -303,3 +303,43 @@ FROM (
 )
 WHERE gap_us IS NULL OR gap_us >= {DEDUP_WINDOW_S * 1_000_000}
 """
+
+
+def value_deciles(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type decile binning of the value column (ntile) — the feature-
+    binning pass a feature store runs to turn a raw numeric into a
+    calibrated categorical (and the shape behind equal-frequency
+    histograms). One shuffle on event_type; the ntile ranks inside the
+    sorted partition with event_id as the total-order tiebreak so bin
+    membership is reproducible under any partitioning. Values aggregate
+    as exact micro-unit integers (doubles summed in arbitrary order would
+    not be engine-stable).
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return (
+        t["events"]
+        .withColumn("decile", F.ntile(10).over(w))
+        .withColumn("v_micro", micro)
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("v_micro").alias("lo_micro"),
+            F.max("v_micro").alias("hi_micro"),
+            F.sum("v_micro").alias("sum_micro"),
+        )
+    )
+
+
+VALUE_DECILES_SQL = """
+SELECT event_type, CAST(decile AS INT) AS decile, COUNT(*) AS n_events,
+       MIN(v_micro) AS lo_micro, MAX(v_micro) AS hi_micro,
+       CAST(SUM(v_micro) AS BIGINT) AS sum_micro
+FROM (
+  SELECT event_type,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+  FROM events
+)
+GROUP BY 1, 2
+"""

@@ -304,3 +304,72 @@ SELECT a.k AS entity_key, p.v AS prior_state, a.completed_us
 FROM allkv a LEFT JOIN pre p ON a.k = p.k
 WHERE a.state_now = 'COMPLETED' AND (p.v IS NULL OR p.v <> 'COMPLETED')
 """
+
+
+def scd2_history(t: dict[str, DataFrame]) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) state history per entity —
+    the MERGE-style history table a lakehouse keeps for each pipeline/job:
+    consecutive polls in the same state collapse into one validity
+    interval [valid_from, valid_to) with a version number and an
+    is_current flag (valid_to NULL on the open interval).
+
+    Classic gaps-and-islands, one shuffle on the entity key: a lag window
+    marks state changes, a running sum numbers the islands, and a
+    group-by per island takes the interval bounds; valid_to is the next
+    island's start via lead. Mirrors the state timeline the reference
+    only ever samples point-wise (pipeline_discovery.py:30-41) — here it
+    is the full audited history.
+    """
+    w = Window.partitionBy("entity_type", "entity_id").orderBy("ts", "event_id")
+    changed = (
+        F.when(F.lag("state").over(w).isNull(), 1)
+        .when(F.lag("state").over(w) != F.col("state"), 1)
+        .otherwise(0)
+    )
+    islands = t["updates"].withColumn(
+        "version", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = islands.groupBy("entity_type", "entity_id", "version").agg(
+        # all rows in an island share one state; MIN mirrors the oracle
+        F.min("state").alias("state"),
+        F.min("ts").alias("from_raw"),
+        F.count(F.lit(1)).alias("n_polls"),
+    )
+    w2 = Window.partitionBy("entity_type", "entity_id").orderBy("version")
+    return iv.select(
+        "entity_type",
+        "entity_id",
+        F.col("version").cast("int").alias("version"),
+        "state",
+        F.date_format("from_raw", _TS_FMT).alias("valid_from"),
+        F.date_format(F.lead("from_raw").over(w2), _TS_FMT).alias("valid_to"),
+        F.lead("from_raw").over(w2).isNull().alias("is_current"),
+        "n_polls",
+    )
+
+
+SCD2_HISTORY_SQL = oracle_with_clause("updates") + f"""
+, marked AS (
+  SELECT entity_type, entity_id, state, ts, event_id,
+         CASE WHEN LAG(state) OVER w IS NULL THEN 1
+              WHEN LAG(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+  FROM updates
+  WINDOW w AS (PARTITION BY entity_type, entity_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY entity_type, entity_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM marked
+), iv AS (
+  SELECT entity_type, entity_id, version,
+         MIN(state) AS state, MIN(ts) AS from_raw, COUNT(*) AS n_polls
+  FROM numbered GROUP BY 1, 2, 3
+)
+SELECT entity_type, entity_id, CAST(version AS INT) AS version, state,
+       strftime(from_raw, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(LEAD(from_raw) OVER w2, '{_TS_FMT_DUCK}') AS valid_to,
+       LEAD(from_raw) OVER w2 IS NULL AS is_current,
+       n_polls
+FROM iv
+WINDOW w2 AS (PARTITION BY entity_type, entity_id ORDER BY version)
+"""

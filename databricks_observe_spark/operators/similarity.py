@@ -1302,3 +1302,122 @@ FROM (
 SEMANTIC_DEDUP_SQL = SEMANTIC_DEDUP_SQL.replace(
     "{dist}", _dist_sql_unrolled("e.v", "c.cv", 64)
 )
+
+
+# --- embedding compression + index quality evaluation ------------------------
+
+INT8_LEVELS = 127  # symmetric int8: codes in [-127, 127]
+
+
+def int8_quantize(t: dict[str, DataFrame]) -> DataFrame:
+    """Symmetric per-vector int8 quantization summary — the compression
+    step a 100 TB vector store applies before ANN serving (4x smaller
+    than float32, SIMD-friendly dot products). Per vector: scale =
+    max|v|/127, codes c_i = floor(v_i/scale + 0.5), and the
+    reconstruction error of c_i*scale vs v_i.
+
+    Pure JVM path — F.aggregate/F.transform higher-order functions over
+    the array column, no Python, no shuffle (per-row projection; the only
+    exchange anywhere is the parquet scan itself). Determinism: max/divide
+    are exact/correctly-rounded IEEE ops; the error sum accumulates
+    left-to-right over dimensions, the same op order as the oracle's
+    unrolled SQL; integer outputs + micro/nano quantization make the row
+    hash engine-stable.
+    """
+    e = _doubled(t)
+    zero = F.lit(0.0).cast("double")
+    maxabs = F.aggregate(
+        "v", zero, lambda a, x: F.greatest(a, F.abs(x))
+    )
+    df = e.select("vec_id", "v", maxabs.alias("maxabs"))
+    scale = F.col("maxabs") / F.lit(float(INT8_LEVELS))
+    df = df.withColumn("scale", scale)
+    code = lambda x: F.floor(x / F.col("scale") + F.lit(0.5))  # noqa: E731
+    sum_codes = F.aggregate("v", F.lit(0).cast("bigint"), lambda a, x: a + code(x))
+    sum_abs = F.aggregate(
+        "v", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(code(x))
+    )
+    sq_err = F.aggregate(
+        "v",
+        zero,
+        lambda a, x: a
+        + (x - code(x).cast("double") * F.col("scale"))
+        * (x - code(x).cast("double") * F.col("scale")),
+    )
+    return df.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1e6) + F.lit(0.5)).alias("scale_micro"),
+        sum_codes.alias("sum_codes"),
+        sum_abs.alias("sum_abs_codes"),
+        F.floor(sq_err / F.lit(float(DIM)) * F.lit(1e9) + F.lit(0.5)).alias(
+            "mse_nano"
+        ),
+    )
+
+
+def _int8_sql() -> str:
+    v = "v"
+    maxabs = "greatest(" + ", ".join(f"abs({v}[{i + 1}])" for i in range(DIM)) + ")"
+    code = lambda i: f"FLOOR({v}[{i + 1}] / scale + 0.5)"  # noqa: E731
+    sum_codes = " + ".join(code(i) for i in range(DIM))
+    sum_abs = " + ".join(f"abs({code(i)})" for i in range(DIM))
+    sq = " + ".join(
+        f"(({v}[{i + 1}] - {code(i)} * scale) * ({v}[{i + 1}] - {code(i)} * scale))"
+        for i in range(DIM)
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, {maxabs} / {float(INT8_LEVELS)!r} AS scale FROM e0)
+SELECT vec_id,
+       CAST(FLOOR(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micro,
+       CAST({sum_codes} AS BIGINT) AS sum_codes,
+       CAST({sum_abs} AS BIGINT) AS sum_abs_codes,
+       CAST(FLOOR(({sq}) / {float(DIM)!r} * 1000000000.0 + 0.5) AS BIGINT) AS mse_nano
+FROM s
+"""
+
+
+INT8_QUANTIZE_SQL = _int8_sql()
+
+
+def ann_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of the sign-LSH ANN index against the brute-force ground
+    truth — the eval loop every production ANN deployment runs before
+    trading exactness for speed (and re-runs whenever the plane count /
+    probe budget changes). Per query: how many of the true top-5
+    neighbors the LSH index returned, in integer basis points.
+
+    Composition of the two existing operators (the index path and the
+    exact path share the memoized norm table), joined on (query_id,
+    neighbor_id). Ground truth drives the LEFT join so a catastrophic
+    0-recall query still appears as a row.
+    """
+    truth = ann_bruteforce_topk(t).select("query_id", "neighbor_id")
+    got = (
+        ann_lsh_topk(t)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(got, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            (F.col("n_hit") * F.lit(10000) / F.lit(TOP_K))
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH bf AS ({ANN_BRUTEFORCE_TOPK_SQL}),
+lsh AS ({ANN_LSH_TOPK_SQL})
+SELECT bf.query_id, COUNT(lsh.neighbor_id) AS n_hit,
+       CAST(COUNT(lsh.neighbor_id) * 10000 / {TOP_K} AS BIGINT) AS recall_bp
+FROM bf LEFT JOIN lsh
+  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+GROUP BY bf.query_id
+"""

@@ -132,6 +132,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         runs.signup_purchase_window,
         runs.SIGNUP_PURCHASE_WINDOW_SQL,
     ),
+    # SCD2 validity intervals per entity (gaps-and-islands over the
+    # state timeline the reference samples point-wise, PD:30-41)
+    "scd2_history": (runs.scd2_history, runs.SCD2_HISTORY_SQL),
     # S11: run-output point lookup as a query (job_discovery.py:57-65)
     "run_output_lookup": (control.run_output_lookup, control._run_output_lookup_sql()),
     # F7: JSON cursor map serialize/parse round-trip (sensors/dlt_sensor.py:12,46)
@@ -151,6 +154,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         events.event_dedup_windowed,
         events.EVENT_DEDUP_WINDOWED_SQL,
     ),
+    # equal-frequency (ntile) feature binning with exact integer aggregates
+    "value_deciles": (events.value_deciles, events.VALUE_DECILES_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -167,6 +172,13 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     "curated_corpus": (dedup.curated_corpus, dedup.CURATED_CORPUS_SQL),
     "deterministic_sample": (dedup.deterministic_sample, dedup.DETERMINISTIC_SAMPLE_SQL),
+    # per-source duplicate-rate health report (basis points, integer)
+    "per_source_dedup_rate": (
+        dedup.per_source_dedup_rate,
+        dedup.PER_SOURCE_DEDUP_RATE_SQL,
+    ),
+    # deterministic sharded training-order permutation (no global sort)
+    "epoch_shuffle": (dedup.epoch_shuffle, dedup.EPOCH_SHUFFLE_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_fingerprints": (
         dedup.simhash_fingerprints,
@@ -195,6 +207,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
     "ann_lsh_topk": (similarity.ann_lsh_topk, similarity.ANN_LSH_TOPK_SQL),
     "ivf_ann_topk": (similarity.ivf_ann_topk, similarity.IVF_ANN_TOPK_SQL),
+    # recall@k of the LSH index vs brute-force ground truth (eval loop)
+    "ann_recall": (similarity.ann_recall, similarity.ANN_RECALL_SQL),
+    # symmetric per-vector int8 compression summary, pure JVM array ops
+    "int8_quantize": (similarity.int8_quantize, similarity.INT8_QUANTIZE_SQL),
     # k-means E-step on raw doubles, oracle-paired
     "kmeans_assign": (similarity.kmeans_assign, similarity.KMEANS_ASSIGN_SQL),
     # full Lloyd loop on 1e-6 fixed-point inputs: integer M-step sums make
@@ -339,20 +355,22 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
 # the first ~50 registry entries (budget cutoff observed every round), so
 # order = verification priority. Round-5 plan: (a) the smoke anchor, (b)
-# the four NEW round-5 queries (compaction_plan / schema_drift /
-# zorder_key / streaming_corpus_dedup — first-ever driver rows), (c) the
-# queries whose CODE or ORACLE changed this round (semantic_dedup's
+# the thirteen NEW round-5 queries (compaction_plan / schema_drift /
+# zorder_key / streaming_corpus_dedup / normalized_dedup / bpe_pair_counts
+# / skew_report / scd2_history / per_source_dedup_rate / epoch_shuffle /
+# value_deciles / ann_recall / int8_quantize — first-ever driver rows),
+# (c) the queries whose CODE or ORACLE changed this round (semantic_dedup's
 # memoized assignment; column_histograms' materialized one-scan rewrite;
 # describe_detail / table_files_meta's shared file-stats aggregate;
 # run_output_lookup's raw-ts ORDER BY subquery; dedup_retention's
 # setup-accounted labels; streaming_click_attribution's dead-batch cut),
 # then (d) the queries whose newest driver row is r03. kmeans_clusters
-# dropped out (unchanged since its r04 hash-green row). The cap forces a
-# choice: five unchanged, pytest-covered queries stay r03 this round —
-# the multimodal trio (multimodal_meta / frame_sample / image_resize;
-# media_features' r04 hash-green row covers the same Arrow path),
-# lang_profile, length_outliers, and doc_fingerprints — they MUST head
-# round 6's rotation.
+# dropped out (unchanged since its r04 hash-green row). The ~50-row cap
+# forces a choice: the unchanged, pytest-covered r03 tail that no longer
+# fits (the multimodal trio — media_features' r04 hash-green row covers
+# the same Arrow path — lang_profile, length_outliers, doc_fingerprints,
+# and whatever falls below the cap line among the r03 refreshes) MUST
+# head round 6's rotation.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
     # new this round — first driver rows
@@ -363,6 +381,12 @@ _PRIORITY = [
     "normalized_dedup",
     "bpe_pair_counts",
     "skew_report",
+    "scd2_history",
+    "per_source_dedup_rate",
+    "epoch_shuffle",
+    "value_deciles",
+    "ann_recall",
+    "int8_quantize",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",

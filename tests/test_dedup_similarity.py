@@ -417,3 +417,55 @@ def test_normalized_dedup_catches_case_and_punct_variants(tables, spark):
     assert rows[1].n_variants == 3
     assert rows[4].n_variants == 1
     assert len(rows) == 2
+
+
+def test_per_source_dedup_rate_accounts_every_doc(tables):
+    rows = D.per_source_dedup_rate(tables).collect()
+    assert sum(r.n_docs for r in rows) == tables["documents"].count()
+    for r in rows:
+        assert r.n_dups == r.n_docs - r.n_uniq
+        assert 0 <= r.dup_bp <= 10000
+
+
+def test_epoch_shuffle_is_a_sharded_permutation(tables):
+    rows = D.epoch_shuffle(tables).collect()
+    docs = {r.doc_id for r in tables["documents"].select("doc_id").collect()}
+    assert {r.doc_id for r in rows} == docs and len(rows) == len(docs)
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.shard < D.EPOCH_SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        assert sorted(r.pos for r in rs) == list(range(1, len(rs) + 1))
+    # actually shuffled: concatenated shard order must not be doc_id order
+    flat = [
+        r.doc_id
+        for s in sorted(by_shard)
+        for r in sorted(by_shard[s], key=lambda r: r.pos)
+    ]
+    assert flat != sorted(flat)
+    # deterministic: a second evaluation reproduces the permutation
+    again = {(r.doc_id): (r.shard, r.pos) for r in D.epoch_shuffle(tables).collect()}
+    assert {r.doc_id: (r.shard, r.pos) for r in rows} == again
+
+
+def test_ann_recall_matches_ground_truth_overlap(tables):
+    rows = S.ann_recall(tables).collect()
+    assert {r.query_id for r in rows} == set(range(S.N_QUERIES))
+    for r in rows:
+        assert 0 <= r.n_hit <= S.TOP_K
+        assert r.recall_bp == r.n_hit * 10000 // S.TOP_K
+    # the multi-table multiprobe index is gated at >= 0.6 mean recall
+    assert sum(r.n_hit for r in rows) / (len(rows) * S.TOP_K) >= 0.6
+
+
+def test_int8_quantize_error_within_half_step(tables):
+    rows = S.int8_quantize(tables).collect()
+    assert len(rows) == tables["embeddings"].count()
+    for r in rows:
+        assert r.scale_micro > 0
+        assert r.sum_abs_codes <= S.DIM * S.INT8_LEVELS
+        # rounding to the nearest code keeps per-dim error <= scale/2,
+        # so MSE <= (scale/2)^2 (+1 nano for the two quantizations)
+        scale = r.scale_micro / 1e6
+        assert 0 <= r.mse_nano <= (scale / 2) ** 2 * 1e9 + 1

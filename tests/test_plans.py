@@ -388,3 +388,58 @@ def test_skew_report_distributed_topk(tables):
     assert "TakeOrderedAndProject" in plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_int8_quantize_is_shuffle_free_jvm(tables):
+    from databricks_observe_spark.operators import similarity as S
+
+    plan = _plan(S.int8_quantize(tables))
+    # per-row projection over the memoized norm table: no exchange, no
+    # Python — the higher-order array fold runs entirely JVM-side
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_epoch_shuffle_single_shuffle_no_global_sort(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.epoch_shuffle(tables))
+    # one hash exchange on shard; NO rangepartitioning (a global sort
+    # would serialize the permutation through one ordering pass)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_per_source_dedup_rate_partial_aggregates(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.per_source_dedup_rate(tables))
+    # two-level distinct aggregate with map-side partials; the shuffle
+    # key carries the 16-byte digest, never the text payload
+    assert "partial_count" in plan
+    # the md5 projection runs below the exchange, so the shuffle rows
+    # carry (source, digest) — never the text payload
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
+
+
+def test_scd2_history_one_shuffle_for_both_windows(tables):
+    from databricks_observe_spark.operators import runs as R
+
+    plan = _plan(R.scd2_history(tables))
+    # lag + running-sum + groupBy + lead all share the entity-key
+    # clustering: exactly one hash exchange on the full updates stream
+    # (a second tiny exchange may appear only above the island rollup)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "rangepartitioning" not in plan
+
+
+def test_value_deciles_reuses_window_partitioning(tables):
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.value_deciles(tables))
+    # the groupBy(event_type, decile) must reuse the ntile window's
+    # hashpartitioning(event_type) — one exchange of the events stream
+    assert plan.count("Exchange hashpartitioning") == 1

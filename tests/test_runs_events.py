@@ -118,3 +118,42 @@ def test_length_outliers_flags_extremes(spark, tables):
         assert len(outliers) < len(grp) * 0.2
         for r in outliers:
             assert abs(r.n_tokens - r.med_r) > r.mad_r * 3
+
+
+def test_scd2_history_partitions_the_timeline(tables):
+    from databricks_observe_spark.operators import runs as R
+
+    rows = R.scd2_history(tables).collect()
+    assert sum(r.n_polls for r in rows) == tables["updates"].count()
+    by_entity: dict = {}
+    for r in rows:
+        by_entity.setdefault((r.entity_type, r.entity_id), []).append(r)
+    for rs in by_entity.values():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # no gaps, no overlap
+            assert a.state != b.state  # islands collapse same-state runs
+            assert a.valid_from < a.valid_to
+
+
+def test_value_deciles_equal_frequency(tables):
+    from databricks_observe_spark.operators import events as E
+
+    rows = E.value_deciles(tables).collect()
+    assert sum(r.n_events for r in rows) == tables["events"].count()
+    by_type: dict = {}
+    for r in rows:
+        assert 1 <= r.decile <= 10
+        assert r.lo_micro <= r.hi_micro
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.decile)
+        # ntile balance: bin sizes differ by at most 1
+        sizes = [r.n_events for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        # bins are ordered ranges over value
+        for a, b in zip(rs, rs[1:]):
+            assert a.hi_micro <= b.lo_micro
