@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "value_deciles",
     "ann_recall",
     "int8_quantize",
+    "textrank_keywords",
 ]
 
 

@@ -972,3 +972,144 @@ p AS (
 SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS pair_count
 FROM p GROUP BY 1, 2
 """
+
+
+# --- TextRank keyword centrality ---------------------------------------------
+
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 3
+
+
+def _textrank_graph(t: dict[str, DataFrame]):
+    """(nodes, edges, deg) of the corpus token co-occurrence graph.
+
+    Edges = adjacent-token pairs summed over the corpus, symmetrized;
+    one shuffle keyed on the pair. The graph is vocab-sized — at 100 TB
+    the corpus scan dominates and the iteration state stays tiny.
+    """
+    toks = doc_tokens(t)
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+        )
+    )
+    directed = (
+        toks.filter(F.size("w") >= 2)
+        .select(pair.alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        directed.select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
+        .unionByName(directed.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    nodes = toks.select(F.explode("w").alias("tok")).distinct()
+    return nodes, edges, deg
+
+
+def textrank_keywords(t: dict[str, DataFrame]) -> DataFrame:
+    """TextRank keyword centrality: PageRank power iteration over the
+    corpus-wide token co-occurrence graph (adjacent-pair edges, weighted,
+    symmetrized) — the classic unsupervised keyword extractor, and the
+    engine's general iterative-graph-centrality primitive.
+
+    Fixed-point form (the ``kmeans_clusters`` determinism recipe): ranks
+    live as integer micro-units; each iteration's per-edge contribution
+    is ``floor(d * w * r / wdeg + 0.5)`` — an identical IEEE expression
+    in both engines — and per-node accumulation is an exact INTEGER sum,
+    so all ``TEXTRANK_ITERS`` rounds are bit-reproducible and the DuckDB
+    oracle replays them exactly (unrolled CTEs).
+
+    Scale: the heavy work (pair counting) is one corpus scan + one
+    shuffle; the rank frame is vocab-sized, so each iteration is a
+    broadcast join against the edge table. Dangling/isolated tokens keep
+    the teleport mass via the left join.
+    """
+    nodes, edges, deg = _textrank_graph(t)
+    n = nodes.count()  # scalar graph parameter (vocab size), bounded
+    # same IEEE expression the oracle floors: 0.15 * 1e6 / n, then +0.5
+    teleport = int(0.15 * 1000000.0 / n + 0.5)
+    r = nodes.select(
+        "tok", F.floor(F.lit(1000000.0) / F.lit(float(n)) + F.lit(0.5)).alias("r")
+    )
+    ed = edges.join(deg, on="u")
+    for it in range(TEXTRANK_ITERS):
+        contribs = (
+            ed.join(F.broadcast(r), ed["u"] == r["tok"])
+            .select(
+                F.col("v").alias("tok"),
+                F.floor(
+                    F.lit(TEXTRANK_DAMPING)
+                    * F.col("w").cast("double")
+                    * F.col("r").cast("double")
+                    / F.col("wdeg").cast("double")
+                    + F.lit(0.5)
+                ).alias("c"),
+            )
+            .groupBy("tok")
+            .agg(F.sum("c").alias("c"))
+        )
+        # contribs is vocab-sized (iteration state): broadcast explicitly
+        # rather than leave the static planner to pick SMJ on unknown stats
+        r = nodes.join(F.broadcast(contribs), on="tok", how="left").select(
+            "tok",
+            (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0))).alias("r"),
+        )
+        if it < TEXTRANK_ITERS - 1:
+            # truncate the growing plan between iterations; the LAST
+            # iteration stays unmaterialized so callers see (and plan-
+            # gate) the real join shape
+            r = r.localCheckpoint()
+    return r.select(F.col("tok").alias("token"), F.col("r").alias("rank_micro"))
+
+
+def _textrank_sql() -> str:
+    d = TEXTRANK_DAMPING
+    head = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pairs AS (
+  SELECT unnest(w[1:len(w) - 1]) AS a, unnest(w[2:len(w)]) AS b
+  FROM toks WHERE len(w) >= 2
+),
+directed AS (SELECT a, b, COUNT(*) AS w FROM pairs GROUP BY 1, 2),
+edges AS (
+  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT a AS u, b AS v, w FROM directed
+    UNION ALL SELECT b AS u, a AS v, w FROM directed
+  ) GROUP BY 1, 2
+),
+deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY u),
+nodes AS (SELECT DISTINCT unnest(w) AS tok FROM toks),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT tok, CAST(FLOOR(1000000.0 / nn.n + 0.5) AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+)"""
+    body = []
+    prev = "r0"
+    for i in range(1, TEXTRANK_ITERS + 1):
+        body.append(f""",
+c{i} AS (
+  SELECT e.v AS tok,
+         CAST(SUM(CAST(FLOOR({d} * CAST(e.w AS DOUBLE) * CAST(r.r AS DOUBLE)
+                              / CAST(deg.wdeg AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM edges e JOIN {prev} r ON e.u = r.tok JOIN deg ON e.u = deg.u
+  GROUP BY e.v
+),
+r{i} AS (
+  SELECT n.tok,
+         CAST(FLOOR(0.15 * 1000000.0 / nn.n + 0.5) AS BIGINT) + COALESCE(c{i}.c, 0) AS r
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON n.tok = c{i}.tok
+)""")
+        prev = f"r{i}"
+    return head + "".join(body) + f"""
+SELECT tok AS token, r AS rank_micro FROM {prev}
+"""
+
+
+TEXTRANK_KEYWORDS_SQL = _textrank_sql()

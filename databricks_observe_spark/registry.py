@@ -233,6 +233,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "pii_redaction": (text.pii_redaction, text.PII_REDACTION_SQL),
     "mixture_weights": (text.mixture_weights, text.MIXTURE_WEIGHTS_SQL),
     "stratified_sample": (text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
+    # TextRank keyword centrality: fixed-point PageRank over the token
+    # co-occurrence graph, oracle replays the unrolled iterations
+    "textrank_keywords": (text.textrank_keywords, text.TEXTRANK_KEYWORDS_SQL),
     "unigram_kl": (text.unigram_kl, text.UNIGRAM_KL_SQL),
     # BPE tokenizer-training inner loop: weighted adjacent-pair counts
     "bpe_pair_counts": (text.bpe_pair_counts, text.BPE_PAIR_COUNTS_SQL),
@@ -387,6 +390,7 @@ _PRIORITY = [
     "value_deciles",
     "ann_recall",
     "int8_quantize",
+    "textrank_keywords",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",

@@ -443,3 +443,14 @@ def test_value_deciles_reuses_window_partitioning(tables):
     # the groupBy(event_type, decile) must reuse the ntile window's
     # hashpartitioning(event_type) — one exchange of the events stream
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_textrank_iterations_broadcast_vocab_state(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.textrank_keywords(tables))
+    # every power-iteration join ships the vocab-sized rank frame to the
+    # edge table — never a sort-merge of the corpus against itself
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -308,3 +308,23 @@ def test_bpe_pair_counts_weighted_by_word_frequency(tables, spark):
     rows = {(r.left_sym, r.right_sym): r.pair_count for r in T.bpe_pair_counts(t2).collect()}
     # 'ab' occurs 3 times -> pair (a,b)=3 ; 'cd' once -> (c,d)=1
     assert rows == {("a", "b"): 3, ("c", "d"): 1}
+
+
+def test_textrank_conserves_rank_mass(tables):
+    from databricks_observe_spark.operators import text as T
+
+    rows = T.textrank_keywords(tables).collect()
+    vocab = (
+        tables["documents"]
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == vocab
+    # power iteration conserves total rank mass up to per-node rounding
+    total = sum(r.rank_micro for r in rows)
+    assert abs(total - 1_000_000) <= len(rows)
+    teleport = int(0.15 * 1_000_000.0 / vocab + 0.5)
+    assert all(r.rank_micro >= teleport for r in rows)
+    # centrality signal: the max-rank token beats the uniform prior
+    assert max(r.rank_micro for r in rows) > 1_000_000 // vocab

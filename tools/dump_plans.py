@@ -198,6 +198,47 @@ COMMENTARY = {
         "row_number window per cluster partition picks the keeper "
         "(quality desc, id asc)."
     ),
+    "epoch_shuffle": (
+        "Deterministic training-order shuffle with NO global sort: the "
+        "md5 order key hash-shards the corpus (one exchange) and the "
+        "permutation is a per-shard window sort — shards stream to "
+        "trainer workers independently, the actual 100 TB epoch shape."
+    ),
+    "int8_quantize": (
+        "Vector compression summary: higher-order array folds "
+        "(aggregate/transform) over the memoized norm table — zero "
+        "exchanges, zero Python; the whole operator is a per-row JVM "
+        "projection that scales embarrassingly."
+    ),
+    "scd2_history": (
+        "SCD2 gaps-and-islands: lag mark, running-sum island number, "
+        "island rollup, and the lead(valid_to) window all cluster on the "
+        "entity key — the updates stream crosses the wire once."
+    ),
+    "value_deciles": (
+        "Equal-frequency binning: the ntile window partitions on "
+        "event_type and the (event_type, decile) rollup REUSES that "
+        "partitioning — Catalyst proves the clustering subsumes the "
+        "group keys, so the events stream sees exactly one exchange."
+    ),
+    "ann_recall": (
+        "Index-quality eval: ground truth and LSH candidates share the "
+        "memoized norm table and broadcast query matrix; the overlap "
+        "join runs on (query, neighbor) pairs — 2x50 rows — so the eval "
+        "costs two index probes, not a third scan."
+    ),
+    "per_source_dedup_rate": (
+        "Corpus-health rollup: md5 digests project below the exchange "
+        "(the shuffle carries 16-byte hashes, never text), and the "
+        "distinct-count runs as a two-level partial aggregate."
+    ),
+    "textrank_keywords": (
+        "PageRank power iteration: the heavy pair-count aggregation runs "
+        "once (one corpus shuffle, checkpointed); each iteration joins "
+        "the edge table against the BROADCAST vocab-sized rank state and "
+        "re-aggregates integer contributions — the plan shown is the "
+        "final iteration (earlier rounds are checkpoint-truncated)."
+    ),
 }
 
 
