@@ -124,6 +124,7 @@ def main() -> None:
     )
     from databricks_observe_spark.operators.text import (
         _char_trigrams,
+        _textrank_graph,
         _tfidf_tf_frame,
     )
     from databricks_observe_spark.registry import _ctx
@@ -135,6 +136,7 @@ def main() -> None:
         "tfidf_tf", "vector_norms", "ivf_assignment", "kmeans_fixed_point",
         "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
         "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
+        "textrank_cooccurrence_graph",
     ]
     doc_tokens(ctx)
     _shingled(ctx)
@@ -145,6 +147,7 @@ def main() -> None:
     _bucketed(ctx)
     _char_trigrams(ctx)
     _tfidf_tf_frame(ctx)
+    _textrank_graph(ctx)
     _doubled(ctx)
     _centroids_bc(ctx)
     _query_set_bc(ctx)

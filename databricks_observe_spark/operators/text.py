@@ -986,7 +986,11 @@ def _textrank_graph(t: dict[str, DataFrame]):
     Edges = adjacent-token pairs summed over the corpus, symmetrized;
     one shuffle keyed on the pair. The graph is vocab-sized — at 100 TB
     the corpus scan dominates and the iteration state stays tiny.
+    Memoized in the context (at scale: a written co-occurrence table
+    maintained by ingest, like the shingle/LSH/IVF indexes).
     """
+    if "_textrank_graph" in t:
+        return t["_textrank_graph"]
     toks = doc_tokens(t)
     pair = F.explode(
         F.expr(
@@ -1007,9 +1011,10 @@ def _textrank_graph(t: dict[str, DataFrame]):
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
     ).localCheckpoint()
-    deg = edges.groupBy("u").agg(F.sum("w").alias("wdeg"))
-    nodes = toks.select(F.explode("w").alias("tok")).distinct()
-    return nodes, edges, deg
+    deg = edges.groupBy("u").agg(F.sum("w").alias("wdeg")).localCheckpoint()
+    nodes = toks.select(F.explode("w").alias("tok")).distinct().localCheckpoint()
+    t["_textrank_graph"] = (nodes, edges, deg)
+    return t["_textrank_graph"]
 
 
 def textrank_keywords(t: dict[str, DataFrame]) -> DataFrame:

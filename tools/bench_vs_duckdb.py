@@ -51,7 +51,7 @@ def main() -> int:
         _query_set_bc, _semdedup_assigned,
     )
     from databricks_observe_spark.operators.text import (
-        _char_trigrams, _tfidf_tf_frame,
+        _char_trigrams, _textrank_graph, _tfidf_tf_frame,
     )
     from databricks_observe_spark.registry import _ctx
 
@@ -59,7 +59,8 @@ def main() -> int:
     ctx = _ctx(spark, args.sf)
     for build in (doc_tokens, _shingled, _shingle_df, _shingle_sizes,
                   _simhash_fps, minhash_signatures, _bucketed,
-                  _char_trigrams, _tfidf_tf_frame, _doubled, _centroids_bc,
+                  _char_trigrams, _tfidf_tf_frame, _textrank_graph,
+                  _doubled, _centroids_bc,
                   _query_set_bc, _ivf_assigned, _quantized, _cluster_labels,
                   _file_stats, _semdedup_assigned):
         build(ctx)
