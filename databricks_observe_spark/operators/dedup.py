@@ -1215,8 +1215,13 @@ def normalized_dedup(t: dict[str, DataFrame]) -> DataFrame:
     exact_dedup's cost: one shuffle on a 16-byte digest).
 
     canonical = min doc_id per normalized digest; ``n_variants`` > 1 rows
-    are the removable near-exact duplicates.
+    are the removable near-exact duplicates. The normalization is
+    CPU-bound (two regex passes over every text), so the under-split
+    fixture scan routes through ``fan_out`` like the other heavy text
+    ops — a no-op on a well-split production scan.
     """
+    from databricks_observe_spark.sources.tables import fan_out
+
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
@@ -1225,7 +1230,7 @@ def normalized_dedup(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     return (
-        t["documents"]
+        fan_out(t["documents"])
         .select("doc_id", F.md5(norm).alias("norm_hash"))
         .groupBy("norm_hash")
         .agg(
