@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "ann_recall",
     "int8_quantize",
     "textrank_keywords",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

@@ -343,3 +343,120 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered funnel conversion (signup -> click -> purchase): per user,
+    each stage counts only if it happens strictly AFTER the previous
+    stage completed — the product-analytics query every event pipeline
+    answers, and a sequencing pattern plain per-type counts get wrong.
+
+    ONE shuffle on user_id: running windows over the (ts, event_id)
+    order carry the earliest qualifying prior-stage timestamp (strictly
+    preceding rows, so simultaneous events never self-qualify), then a
+    per-user aggregate and a tiny rollup. Counts monotonically decrease
+    down the funnel by construction.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    run_s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    ev = ev.withColumn("prior_signup", run_s)
+    qual_click = F.when(
+        (F.col("event_type") == "click") & F.col("prior_signup").isNotNull(),
+        F.col("ts"),
+    )
+    ev = ev.withColumn("prior_click", F.min(qual_click).over(w))
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("did_signup"),
+        F.max(
+            ((F.col("event_type") == "click") & F.col("prior_signup").isNotNull())
+            .cast("int")
+        ).alias("did_click"),
+        F.max(
+            ((F.col("event_type") == "purchase") & F.col("prior_click").isNotNull())
+            .cast("int")
+        ).alias("did_purchase"),
+    )
+    return per_user.agg(
+        F.sum("did_signup").alias("n_signup"),
+        F.sum("did_click").alias("n_click_after_signup"),
+        F.sum("did_purchase").alias("n_purchase_after_click"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup
+  FROM events
+), ev2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND prior_signup IS NOT NULL THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+  FROM ev
+), per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS did_signup,
+         MAX(CASE WHEN event_type = 'click' AND prior_signup IS NOT NULL
+                  THEN 1 ELSE 0 END) AS did_click,
+         MAX(CASE WHEN event_type = 'purchase' AND prior_click IS NOT NULL
+                  THEN 1 ELSE 0 END) AS did_purchase
+  FROM ev2 GROUP BY user_id
+)
+SELECT CAST(SUM(did_signup) AS BIGINT) AS n_signup,
+       CAST(SUM(did_click) AS BIGINT) AS n_click_after_signup,
+       CAST(SUM(did_purchase) AS BIGINT) AS n_purchase_after_click,
+       COUNT(*) AS n_users
+FROM per_user
+"""
+
+
+def retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of their
+    FIRST event; for each later week offset, how many of that cohort were
+    active — the standard growth-analytics triangle.
+
+    Two shuffles at scale: the first-event aggregate shuffles on user_id
+    and joins back co-partitioned (same key, no re-exchange), then the
+    (cohort, offset) rollup shuffles its compact distinct-pairs output.
+    Offsets count in exact 7-day steps from the cohort date (identical
+    integer arithmetic in both engines — no week-boundary functions).
+    """
+    ev = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(first, on="user_id")
+        .select(
+            "user_id",
+            "cohort_d",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_d", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+            "week_offset",
+            "n_active",
+        )
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY user_id)
+SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_date,
+       CAST(FLOOR(date_diff('day', f.cohort_d, e.d) / 7.0) AS INT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""

@@ -156,6 +156,10 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     # equal-frequency (ntile) feature binning with exact integer aggregates
     "value_deciles": (events.value_deciles, events.VALUE_DECILES_SQL),
+    # ordered signup->click->purchase funnel in one user-key window pass
+    "funnel_conversion": (events.funnel_conversion, events.FUNNEL_CONVERSION_SQL),
+    # weekly cohort retention triangle (first-event cohorts, 7-day offsets)
+    "retention_cohorts": (events.retention_cohorts, events.RETENTION_COHORTS_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -391,6 +395,8 @@ _PRIORITY = [
     "ann_recall",
     "int8_quantize",
     "textrank_keywords",
+    "funnel_conversion",
+    "retention_cohorts",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",

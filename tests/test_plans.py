@@ -454,3 +454,25 @@ def test_textrank_iterations_broadcast_vocab_state(tables):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_user_shuffle(tables):
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.funnel_conversion(tables))
+    # both running windows, the per-user aggregate, and the final rollup
+    # ride ONE hash exchange of the events stream (plus the single-row
+    # final-aggregate exchange)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_retention_cohorts_copartitioned_join(tables):
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.retention_cohorts(tables))
+    # the first-event aggregate joins back on the SAME user_id key, so
+    # the events stream is exchanged on user_id once; only the compact
+    # (cohort, offset) rollup adds a second exchange
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2

@@ -157,3 +157,30 @@ def test_value_deciles_equal_frequency(tables):
         # bins are ordered ranges over value
         for a, b in zip(rs, rs[1:]):
             assert a.hi_micro <= b.lo_micro
+
+
+def test_funnel_stages_monotonically_decrease(tables):
+    from databricks_observe_spark.operators import events as E
+
+    row = E.funnel_conversion(tables).collect()[0]
+    assert row.n_users >= row.n_signup >= row.n_click_after_signup
+    assert row.n_click_after_signup >= row.n_purchase_after_click >= 0
+    # the fixture stream has all three event types, so the funnel is live
+    assert row.n_purchase_after_click > 0
+
+
+def test_retention_cohorts_account_all_users(tables):
+    from databricks_observe_spark.operators import events as E
+
+    rows = E.retention_cohorts(tables).collect()
+    n_users = tables["events"].select("user_id").distinct().count()
+    # offset 0 contains every user exactly once across cohorts
+    assert sum(r.n_active for r in rows if r.week_offset == 0) == n_users
+    by_cohort: dict = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_date, {})[r.week_offset] = r.n_active
+    for offs in by_cohort.values():
+        assert 0 in offs  # every cohort is active in its own week
+        # retention never exceeds the cohort's own size
+        assert all(n <= offs[0] for n in offs.values())
