@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "funnel_conversion",
     "retention_cohorts",
+    "expectations_report",
+    "merge_upsert",
 ]
 
 

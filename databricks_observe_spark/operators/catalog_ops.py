@@ -900,3 +900,91 @@ FROM actual a FULL OUTER JOIN declared d
 
 
 SCHEMA_DRIFT_SQL = _schema_drift_sql()
+
+
+# --- DLT-style expectations (data-quality constraints) -----------------------
+# (name, action, portable boolean SQL) — the constraint DSL of the DLT
+# pipelines the reference observes (its updates stream reports their
+# runs; pipeline_discovery.py:30-41): 'drop' rows fail out of the flow,
+# 'warn' rows pass with a recorded violation.
+EXPECTATIONS = (
+    ("qty_positive", "drop", "l_quantity > 0"),
+    ("qty_reasonable", "warn", "l_quantity <= 50"),
+    ("discount_range", "drop", "l_discount BETWEEN 0 AND 0.10"),
+    ("tax_nonnegative", "warn", "l_tax >= 0"),
+    ("returnflag_domain", "drop", "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_not_null", "drop", "l_shipdate IS NOT NULL"),
+)
+
+
+def expectations_report(t: dict[str, DataFrame]) -> DataFrame:
+    """DLT-expectations report over ``lineitem``: per declared constraint,
+    pass/fail counts and the failure rate in basis points — the
+    data-quality gate a Delta Live Tables pipeline evaluates on every
+    update (and the metric its event log exposes).
+
+    ONE scan at any scale: every constraint folds to a SUM(CASE) in a
+    single aggregate row (map-side partials collapse each task to one
+    row), which then unpivots to per-constraint rows — constraint count
+    never multiplies the scan. The boolean exprs are portable SQL shared
+    verbatim with the oracle, so the two engines evaluate the identical
+    predicate (NULL counts as a failure in both, per CASE semantics).
+    """
+    li = t["lineitem"]
+    aggs = [
+        F.sum(F.when(F.expr(cond), 1).otherwise(0)).alias(f"p{i}")
+        for i, (_, _, cond) in enumerate(EXPECTATIONS)
+    ]
+    row = li.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    per = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("constraint"),
+                    F.lit(action).alias("action"),
+                    F.col(f"p{i}").alias("n_pass"),
+                    (F.col("n") - F.col(f"p{i}")).alias("n_fail"),
+                )
+                for i, (name, action, _) in enumerate(EXPECTATIONS)
+            ]
+        )
+    )
+    return row.select(per.alias("e")).select(
+        "e.constraint",
+        "e.action",
+        "e.n_pass",
+        "e.n_fail",
+        F.floor(
+            F.col("e.n_fail") * F.lit(10000.0) / (F.col("e.n_pass") + F.col("e.n_fail"))
+            + F.lit(0.5)
+        ).alias("fail_bp"),
+    )
+
+
+def _expectations_sql() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS p{i}"
+        for i, (_, _, cond) in enumerate(EXPECTATIONS)
+    )
+    rows = ",\n    ".join(
+        f"('{name}', '{action}', {i})" for i, (name, action, _) in enumerate(EXPECTATIONS)
+    )
+    branches_pass = " ".join(f"WHEN {i} THEN p{i}" for i in range(len(EXPECTATIONS)))
+    return f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         {sums}
+  FROM lineitem
+), m AS (SELECT * FROM (VALUES
+    {rows}
+) AS v("constraint", action, i))
+SELECT m."constraint", m.action,
+       CAST(CASE m.i {branches_pass} END AS BIGINT) AS n_pass,
+       CAST(agg.n - (CASE m.i {branches_pass} END) AS BIGINT) AS n_fail,
+       CAST(FLOOR((agg.n - (CASE m.i {branches_pass} END)) * 10000.0 / agg.n + 0.5)
+            AS BIGINT) AS fail_bp
+FROM m CROSS JOIN agg
+"""
+
+
+EXPECTATIONS_REPORT_SQL = _expectations_sql()

@@ -546,3 +546,83 @@ WHERE EXISTS (
   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
 )
 """
+
+
+# --- MERGE INTO semantics, batch-expressed -----------------------------------
+
+
+def _order_changes(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic change batch derived from ``orders``: key % 7 rows
+    become price updates, key % 13 rows become deletes (delete wins on
+    overlap, as in a CDC stream's last event), and key % 11 rows re-key
+    beyond the current max as inserts. Prices travel as integer cents."""
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    cents = F.floor(F.col("o_totalprice") * F.lit(110.0) + F.lit(0.5))
+    upd = (
+        o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0))
+        .select("o_orderkey", cents.alias("new_cents"), F.lit("update").alias("op"))
+    )
+    dele = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit(None).cast("bigint").alias("new_cents"),
+        F.lit("delete").alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(max_key)).alias("o_orderkey"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).alias("new_cents"),
+        F.lit("insert").alias("op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def merge_upsert(t: dict[str, DataFrame]) -> DataFrame:
+    """MERGE INTO semantics without Delta: apply a CDC change batch
+    (update / delete / insert) to the ``orders`` base in one pass — the
+    core lakehouse write primitive, expressed as a single full-outer
+    join on the key (matched+update -> new value, matched+delete ->
+    drop, unmatched change -> insert, unmatched base -> carry).
+
+    At scale this is exactly how MERGE executes under the hood: one
+    shuffle of both sides on the join key, rewrite of the touched
+    output. Prices compare as integer cents (exact cross-engine).
+    """
+    base = t["orders"].select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).alias("cents"),
+    )
+    ch = _order_changes(t)
+    joined = base.join(ch, on="o_orderkey", how="full_outer")
+    return (
+        joined.filter(F.coalesce(F.col("op"), F.lit("")) != "delete")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("new_cents"), F.col("cents")).alias("price_cents"),
+            F.when(F.col("op").isNull(), "keep").otherwise(F.col("op")).alias("op"),
+        )
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), mk AS (SELECT MAX(o_orderkey) AS max_key FROM orders),
+ch AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 110.0 + 0.5) AS BIGINT) AS new_cents,
+         'update' AS op
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey, NULL, 'delete' FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + mk.max_key,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT), 'insert'
+  FROM orders CROSS JOIN mk WHERE o_orderkey % 11 = 0
+)
+SELECT COALESCE(b.o_orderkey, ch.o_orderkey) AS o_orderkey,
+       COALESCE(ch.new_cents, b.cents) AS price_cents,
+       COALESCE(ch.op, 'keep') AS op
+FROM base b FULL OUTER JOIN ch ON b.o_orderkey = ch.o_orderkey
+WHERE COALESCE(ch.op, '') <> 'delete'
+"""

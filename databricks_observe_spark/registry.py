@@ -85,6 +85,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         relational.urgent_order_customers,
         relational.URGENT_ORDER_CUSTOMERS_SQL,
     ),
+    # MERGE INTO semantics batch-expressed: one full-outer pass applies a
+    # CDC change batch (update/delete/insert) to the base
+    "merge_upsert": (relational.merge_upsert, relational.MERGE_UPSERT_SQL),
     # --- catalog introspection & profiling (§2.1-2.4) ---
     "discovered_objects": (catalog_ops.discovered_objects, catalog_ops.DISCOVERED_OBJECTS_SQL),
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),
@@ -108,6 +111,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "zorder_key": (layout.zorder_key, layout.ZORDER_KEY_SQL),
     # join-key skew diagnosis: hottest keys, share, salt sizing
     "skew_report": (layout.skew_report, layout.SKEW_REPORT_SQL),
+    # DLT-expectations data-quality gate: per-constraint pass/fail in one scan
+    "expectations_report": (
+        catalog_ops.expectations_report,
+        catalog_ops.EXPECTATIONS_REPORT_SQL,
+    ),
     "named_assets": (catalog_ops.named_assets, catalog_ops.NAMED_ASSETS_SQL),
     "object_count_rollup": (
         catalog_ops.object_count_rollup,
@@ -397,6 +405,8 @@ _PRIORITY = [
     "textrank_keywords",
     "funnel_conversion",
     "retention_cohorts",
+    "expectations_report",
+    "merge_upsert",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",

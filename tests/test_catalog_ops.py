@@ -156,3 +156,19 @@ def test_schema_drift_statuses_on_synthetic_drift(tables, spark):
     assert rows[("region", "r_regionkey")] == "type_drift"
     assert rows[("region", "r_ghost")] == "missing_in_storage"
     assert rows[("region", "r_name")] == "missing_in_catalog"
+
+
+def test_expectations_report_counts_partition_rows(tables):
+    from databricks_observe_spark.operators import catalog_ops as C
+
+    rows = C.expectations_report(tables).collect()
+    n = tables["lineitem"].count()
+    assert {r.constraint for r in rows} == {e[0] for e in C.EXPECTATIONS}
+    for r in rows:
+        assert r.action in ("warn", "drop")
+        assert r.n_pass + r.n_fail == n
+        assert 0 <= r.fail_bp <= 10000
+    # the fixture data satisfies the hard domain constraints
+    by_name = {r.constraint: r for r in rows}
+    assert by_name["returnflag_domain"].n_fail == 0
+    assert by_name["shipdate_not_null"].n_fail == 0

@@ -476,3 +476,23 @@ def test_retention_cohorts_copartitioned_join(tables):
     # (cohort, offset) rollup adds a second exchange
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_expectations_single_scan_partial_agg(tables):
+    from databricks_observe_spark.operators import catalog_ops as C
+
+    plan = _plan(C.expectations_report(tables))
+    # all constraints fold into ONE aggregate over one scan; the unpivot
+    # explodes the single result row, never re-reading the table
+    assert plan.count("Scan parquet") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_merge_upsert_single_key_join(tables):
+    from databricks_observe_spark.operators import relational as R
+
+    plan = _plan(R.merge_upsert(tables))
+    # MERGE = one full-outer equi join on the key; no cartesian fallback
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -74,3 +74,29 @@ def test_urgent_order_customers_no_duplication(tables):
         .collect()
     }
     assert set(keys) == urgent_custs & set(keys) and len(keys) == len(urgent_custs)
+
+
+def test_merge_upsert_applies_cdc_semantics(tables):
+    from databricks_observe_spark.operators import relational as R
+
+    base_n = tables["orders"].count()
+    rows = R.merge_upsert(tables).collect()
+    ops = {}
+    for r in rows:
+        ops[r.op] = ops.get(r.op, 0) + 1
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))  # merge output is keyed
+    # every base row either survives (keep/update) or was deleted
+    n_deleted = base_n - ops.get("keep", 0) - ops.get("update", 0)
+    assert n_deleted > 0 and ops.get("insert", 0) > 0 and ops.get("update", 0) > 0
+    assert len(rows) == base_n - n_deleted + ops["insert"]
+    # updates raised prices by exactly 10% in integer cents
+    base_cents = {
+        r.o_orderkey: int(r.o_totalprice * 100 + 0.5)
+        for r in tables["orders"].select("o_orderkey", "o_totalprice").collect()
+    }
+    for r in rows:
+        if r.op == "update":
+            assert abs(r.price_cents - base_cents[r.o_orderkey] * 1.1) <= 2
+        elif r.op == "keep":
+            assert r.price_cents == base_cents[r.o_orderkey]
