@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "expectations_report",
     "merge_upsert",
+    "lateness_report",
 ]
 
 

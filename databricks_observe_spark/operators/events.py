@@ -460,3 +460,107 @@ SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_date,
 FROM ev e JOIN first f ON e.user_id = f.user_id
 GROUP BY 1, 2
 """
+
+
+# Simulated ingest sequence: the driver fixtures generate events already
+# sorted by ts, so the stream's REAL disorder is zero; the report instead
+# measures a deterministic simulated arrival order (a local shuffle of up
+# to 160 positions: arrival = event_id + 40 * (event_id % 5)) — in
+# production, substitute the true ingest offset (Kafka offset / file
+# commit sequence). Blocks partition the prefix scan.
+LATENESS_BLOCK = 10000
+_LATENESS_EDGES_S = (0, 60, 3600, 86400)  # on-time, <1m, <1h, <1d, >=1d
+
+
+def _arrival(col):
+    return col + F.lit(40) * (col % 5)
+
+
+def lateness_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Event-time lateness histogram — the measurement that SIZES a
+    watermark: for each event, how far its event time lags the maximum
+    event time already seen in arrival order. A stream with p99 lateness
+    under 60 s can run ``withWatermark("ts", "1 minute")`` without
+    dropping data; this report is how you know.
+
+    Scale shape — distributed prefix scan, NO single-partition window:
+    arrival ids bucket into blocks; a block-partitioned window computes
+    the within-block running max; the per-block maxima (bounded by block
+    count, a metadata-sized frame) collect once and broadcast back as
+    each block's exclusive prefix, so the true running max is
+    ``greatest(block_prefix, within_block_running)``. DuckDB replays it
+    as one global window — same semantics, independent plan.
+    """
+    ev = t["events"].select(
+        "event_id",
+        "event_type",
+        "ts",
+        _arrival(F.col("event_id")).alias("arrival"),
+    ).withColumn("blk", (F.col("arrival") / LATENESS_BLOCK).cast("bigint"))
+    w = (
+        Window.partitionBy("blk")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = ev.withColumn("run_in_blk", F.max("ts").over(w))
+    blk_max = (
+        ev.groupBy("blk").agg(F.max("ts").alias("bmax")).collect()
+    )  # bounded: one row per 10k-arrival block
+    prefix: dict[int, object] = {}
+    best = None
+    for r in sorted(blk_max, key=lambda r: r.blk):
+        prefix[r.blk] = best
+        best = r.bmax if best is None or r.bmax > best else best
+    spark = ev.sparkSession
+    pref_df = spark.createDataFrame(
+        [(b, p) for b, p in prefix.items()], "blk bigint, prefix_ts timestamp"
+    )
+    lag_s = F.floor(
+        F.col("seen_max").cast("double") - F.col("ts").cast("double")
+    )
+    e0, e1, e2, e3 = _LATENESS_EDGES_S
+    bucket = (
+        F.when(F.col("seen_max").isNull() | (lag_s <= e0), "on_time")
+        .when(lag_s < e1, "lt_1m")
+        .when(lag_s < e2, "lt_1h")
+        .when(lag_s < e3, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return (
+        ev.join(F.broadcast(pref_df), on="blk")
+        .withColumn(
+            "seen_max",
+            F.greatest(
+                F.coalesce(F.col("run_in_blk"), F.col("prefix_ts")),
+                F.coalesce(F.col("prefix_ts"), F.col("run_in_blk")),
+            ),
+        )
+        .groupBy("event_type", bucket.alias("lateness_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+LATENESS_REPORT_SQL = f"""
+WITH arr AS (
+  SELECT event_id, event_type, ts,
+         event_id + 40 * (event_id % 5) AS arrival
+  FROM events
+), scanned AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY arrival, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+  FROM arr
+), lagged AS (
+  SELECT event_type,
+         CASE WHEN seen_max IS NULL
+                   OR FLOOR(epoch(seen_max) - epoch(ts)) <= {_LATENESS_EDGES_S[0]}
+              THEN 'on_time'
+              WHEN FLOOR(epoch(seen_max) - epoch(ts)) < {_LATENESS_EDGES_S[1]} THEN 'lt_1m'
+              WHEN FLOOR(epoch(seen_max) - epoch(ts)) < {_LATENESS_EDGES_S[2]} THEN 'lt_1h'
+              WHEN FLOOR(epoch(seen_max) - epoch(ts)) < {_LATENESS_EDGES_S[3]} THEN 'lt_1d'
+              ELSE 'ge_1d' END AS lateness_bucket
+  FROM scanned
+)
+SELECT event_type, lateness_bucket, COUNT(*) AS n_events
+FROM lagged GROUP BY 1, 2
+"""

@@ -168,6 +168,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "funnel_conversion": (events.funnel_conversion, events.FUNNEL_CONVERSION_SQL),
     # weekly cohort retention triangle (first-event cohorts, 7-day offsets)
     "retention_cohorts": (events.retention_cohorts, events.RETENTION_COHORTS_SQL),
+    # watermark-sizing lateness histogram via a distributed prefix scan
+    "lateness_report": (events.lateness_report, events.LATENESS_REPORT_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -407,6 +409,7 @@ _PRIORITY = [
     "retention_cohorts",
     "expectations_report",
     "merge_upsert",
+    "lateness_report",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",

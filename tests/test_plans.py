@@ -496,3 +496,13 @@ def test_merge_upsert_single_key_join(tables):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateness_report_avoids_single_partition_window(tables):
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.lateness_report(tables))
+    # the running max is block-partitioned + broadcast prefix — never a
+    # global (single-partition) window over the stream
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -184,3 +184,49 @@ def test_retention_cohorts_account_all_users(tables):
         assert 0 in offs  # every cohort is active in its own week
         # retention never exceeds the cohort's own size
         assert all(n <= offs[0] for n in offs.values())
+
+
+def test_lateness_report_covers_stream_and_detects_disorder(tables):
+    from databricks_observe_spark.operators import events as E
+
+    rows = E.lateness_report(tables).collect()
+    assert sum(r.n_events for r in rows) == tables["events"].count()
+    assert all(
+        r.lateness_bucket in ("on_time", "lt_1m", "lt_1h", "lt_1d", "ge_1d")
+        for r in rows
+    )
+    # the simulated ingest shuffle produces real disorder to measure
+    late = sum(r.n_events for r in rows if r.lateness_bucket != "on_time")
+    assert late > 0
+
+
+def test_lateness_prefix_scan_matches_global_window(tables, spark):
+    """The block prefix-scan must equal a naive single-window computation."""
+    from pyspark.sql import Window, functions as F
+
+    from databricks_observe_spark.operators import events as E
+
+    naive_w = (
+        Window.orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        tables["events"]
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            E._arrival(F.col("event_id")).alias("arrival"),
+        )
+        .withColumn("seen_max", F.max("ts").over(naive_w))
+        .withColumn(
+            "lag_s",
+            F.floor(F.col("seen_max").cast("double") - F.col("ts").cast("double")),
+        )
+    )
+    n_late_naive = naive.filter(F.col("lag_s") > 0).count()
+    dist = E.lateness_report(tables)
+    n_late_dist = sum(
+        r.n_events for r in dist.collect() if r.lateness_bucket != "on_time"
+    )
+    assert n_late_naive == n_late_dist
