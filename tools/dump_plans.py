@@ -239,6 +239,31 @@ COMMENTARY = {
         "re-aggregates integer contributions — the plan shown is the "
         "final iteration (earlier rounds are checkpoint-truncated)."
     ),
+    "funnel_conversion": (
+        "Ordered funnel: both running-min stage windows, the per-user "
+        "aggregate, and the final single-row rollup ride ONE hash "
+        "exchange of the events stream on user_id — strict temporal "
+        "sequencing costs no extra shuffle."
+    ),
+    "expectations_report": (
+        "DLT expectations: every declared constraint folds to a "
+        "SUM(CASE) inside one aggregate over one scan (map-side partials "
+        "collapse each task to a single row); the per-constraint rows "
+        "explode from that one result row, so constraint count never "
+        "multiplies the scan."
+    ),
+    "merge_upsert": (
+        "MERGE INTO shape: base and change batch exchange once on the "
+        "key for a single full-outer hash join; matched-update, "
+        "matched-delete, unmatched-insert, and carry all resolve in the "
+        "join's projection — the rewrite-on-merge physical form."
+    ),
+    "lateness_report": (
+        "Distributed prefix scan: within-block running max under a "
+        "block-partitioned window, block maxima collected (one row per "
+        "10k events) and broadcast back as exclusive prefixes — the "
+        "stream is never funneled through a single-partition window."
+    ),
 }
 
 
