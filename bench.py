@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "expectations_report",
     "merge_upsert",
     "lateness_report",
+    "event_type_pivot",
+    "balance_percent_rank",
+    "fuzzy_match_probe",
 ]
 
 

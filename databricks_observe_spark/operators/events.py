@@ -564,3 +564,37 @@ WITH arr AS (
 SELECT event_type, lateness_bucket, COUNT(*) AS n_events
 FROM lagged GROUP BY 1, 2
 """
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(t: dict[str, DataFrame]) -> DataFrame:
+    """PIVOT: the per-user activity matrix (one column per event type) —
+    the wide feature frame a personalization model trains on, and the
+    relational PIVOT operator class in one. The type list is declared
+    (``_PIVOT_TYPES``), not inferred, so the schema is stable and no
+    discovery pass runs.
+
+    Expressed as conditional aggregation rather than ``df.pivot()``:
+    with a known value list both are the same operator, but Spark's
+    pivot plans TWO exchanges (a (user, type) pre-aggregate feeding a
+    pivotfirst aggregate — checked), while the conditional form is one
+    hash aggregate with map-side partials — a single shuffle of the
+    events stream, which is the plan you want at 100 TB.
+    """
+    aggs = [
+        F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(et)
+        for et in _PIVOT_TYPES
+    ]
+    return t["events"].groupBy("user_id").agg(*aggs)
+
+
+EVENT_TYPE_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{et}' THEN 1 END), 0) AS BIGINT) AS {et}"
+           for et in _PIVOT_TYPES
+       )}
+FROM events GROUP BY user_id
+"""

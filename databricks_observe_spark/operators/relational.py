@@ -626,3 +626,42 @@ SELECT COALESCE(b.o_orderkey, ch.o_orderkey) AS o_orderkey,
 FROM base b FULL OUTER JOIN ch ON b.o_orderkey = ch.o_orderkey
 WHERE COALESCE(ch.op, '') <> 'delete'
 """
+
+
+def balance_percent_rank(t: dict[str, DataFrame]) -> DataFrame:
+    """Rank-family analytics: per-nation percent_rank and cume_dist of
+    customer account balances — the distributional position every scoring
+    pipeline attaches before thresholding (completes the window-function
+    family next to row_number/lag/ntile). One shuffle on the nation key;
+    both measures are exact rationals of rank counters, so the doubles
+    agree bit-for-bit cross-engine. Balances travel as integer cents.
+    """
+    w = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).alias("bal_cents"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "bal_cents",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+    )
+
+
+BALANCE_PERCENT_RANK_SQL = """
+SELECT c_custkey, c_nationkey, bal_cents,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
+FROM (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
+"""

@@ -1118,3 +1118,64 @@ SELECT tok AS token, r AS rank_micro FROM {prev}
 
 
 TEXTRANK_KEYWORDS_SQL = _textrank_sql()
+
+
+# --- fuzzy matching ----------------------------------------------------------
+
+FUZZY_PROBE_DOCS = 5  # doc_id < 5 prefixes serve as the probe set
+FUZZY_PREFIX_LEN = 24
+FUZZY_MAX_DIST = 12
+
+
+def fuzzy_match_probe(t: dict[str, DataFrame]) -> DataFrame:
+    """Edit-distance fuzzy matching: find documents whose text prefix is
+    within ``FUZZY_MAX_DIST`` Levenshtein edits of any probe string (the
+    prefixes of docs 0..4) — the fuzzy-lookup primitive behind title
+    matching, near-duplicate triage, and entity reconciliation.
+
+    The probe set is a bounded parameter (collected once, embedded as an
+    array literal), so the scan stays single-pass with the distance
+    computed per (doc, probe) inside whole-stage codegen — JVM
+    ``levenshtein``, no join operator, no UDF. At scale the probe side is
+    the broadcast side by construction.
+    """
+    docs = t["documents"]
+    probes = (
+        docs.filter(F.col("doc_id") < FUZZY_PROBE_DOCS)
+        .select("doc_id", F.substring("text", 1, FUZZY_PREFIX_LEN).alias("p"))
+        .collect()
+    )
+    probe_arr = F.array(
+        *[
+            F.struct(F.lit(int(r.doc_id)).alias("probe_id"), F.lit(r.p).alias("p"))
+            for r in sorted(probes, key=lambda r: r.doc_id)
+        ]
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("prefix"),
+        F.explode(probe_arr).alias("pr"),
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("pr.probe_id").alias("probe_id"),
+            F.levenshtein("prefix", F.col("pr.p")).alias("dist"),
+        )
+        .filter(
+            (F.col("dist") <= FUZZY_MAX_DIST) & (F.col("doc_id") != F.col("probe_id"))
+        )
+    )
+
+
+FUZZY_MATCH_PROBE_SQL = f"""
+WITH probes AS (
+  SELECT doc_id AS probe_id, substr(text, 1, {FUZZY_PREFIX_LEN}) AS p
+  FROM documents WHERE doc_id < {FUZZY_PROBE_DOCS}
+)
+SELECT d.doc_id, probes.probe_id,
+       CAST(levenshtein(substr(d.text, 1, {FUZZY_PREFIX_LEN}), probes.p) AS INT) AS dist
+FROM documents d CROSS JOIN probes
+WHERE levenshtein(substr(d.text, 1, {FUZZY_PREFIX_LEN}), probes.p) <= {FUZZY_MAX_DIST}
+  AND d.doc_id <> probes.probe_id
+"""

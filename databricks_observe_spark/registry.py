@@ -88,6 +88,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # MERGE INTO semantics batch-expressed: one full-outer pass applies a
     # CDC change batch (update/delete/insert) to the base
     "merge_upsert": (relational.merge_upsert, relational.MERGE_UPSERT_SQL),
+    # percent_rank / cume_dist rank-family analytics per nation
+    "balance_percent_rank": (
+        relational.balance_percent_rank,
+        relational.BALANCE_PERCENT_RANK_SQL,
+    ),
     # --- catalog introspection & profiling (§2.1-2.4) ---
     "discovered_objects": (catalog_ops.discovered_objects, catalog_ops.DISCOVERED_OBJECTS_SQL),
     "tables_enriched": (catalog_ops.tables_enriched, catalog_ops.TABLES_ENRICHED_SQL),
@@ -170,6 +175,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "retention_cohorts": (events.retention_cohorts, events.RETENTION_COHORTS_SQL),
     # watermark-sizing lateness histogram via a distributed prefix scan
     "lateness_report": (events.lateness_report, events.LATENESS_REPORT_SQL),
+    # PIVOT: per-user activity matrix with a declared column list
+    "event_type_pivot": (events.event_type_pivot, events.EVENT_TYPE_PIVOT_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -250,6 +257,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # TextRank keyword centrality: fixed-point PageRank over the token
     # co-occurrence graph, oracle replays the unrolled iterations
     "textrank_keywords": (text.textrank_keywords, text.TEXTRANK_KEYWORDS_SQL),
+    # Levenshtein fuzzy lookup against a broadcast probe set, no UDF
+    "fuzzy_match_probe": (text.fuzzy_match_probe, text.FUZZY_MATCH_PROBE_SQL),
     "unigram_kl": (text.unigram_kl, text.UNIGRAM_KL_SQL),
     # BPE tokenizer-training inner loop: weighted adjacent-pair counts
     "bpe_pair_counts": (text.bpe_pair_counts, text.BPE_PAIR_COUNTS_SQL),
@@ -412,6 +421,9 @@ _PRIORITY = [
     "expectations_report",
     "merge_upsert",
     "lateness_report",
+    "event_type_pivot",
+    "balance_percent_rank",
+    "fuzzy_match_probe",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",

@@ -506,3 +506,24 @@ def test_lateness_report_avoids_single_partition_window(tables):
     # global (single-partition) window over the stream
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pivot_single_aggregate_no_distinct_pass(tables):
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.event_type_pivot(tables))
+    # declared pivot values: one scan, one hash aggregate pair — no
+    # extra job to discover the column set
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fuzzy_probe_stays_codegen_no_join(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.fuzzy_match_probe(tables))
+    # the probe set is an embedded literal: no join operator, no Python
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    assert "PythonUDF" not in plan

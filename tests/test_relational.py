@@ -100,3 +100,19 @@ def test_merge_upsert_applies_cdc_semantics(tables):
             assert abs(r.price_cents - base_cents[r.o_orderkey] * 1.1) <= 2
         elif r.op == "keep":
             assert r.price_cents == base_cents[r.o_orderkey]
+
+
+def test_percent_rank_bounds_and_order(tables):
+    from databricks_observe_spark.operators import relational as R
+
+    rows = R.balance_percent_rank(tables).collect()
+    assert len(rows) == tables["customer"].count()
+    by_nation: dict = {}
+    for r in rows:
+        assert 0.0 <= r.pr <= 1.0 and 0.0 < r.cd <= 1.0
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    for rs in by_nation.values():
+        rs.sort(key=lambda r: (r.bal_cents, r.c_custkey))
+        assert rs[0].pr == 0.0 and rs[-1].pr == 1.0 or len(rs) == 1
+        prs = [r.pr for r in rs]
+        assert prs == sorted(prs)  # monotone with the balance order

@@ -230,3 +230,14 @@ def test_lateness_prefix_scan_matches_global_window(tables, spark):
         r.n_events for r in dist.collect() if r.lateness_bucket != "on_time"
     )
     assert n_late_naive == n_late_dist
+
+
+def test_event_type_pivot_matrix_totals(tables):
+    from databricks_observe_spark.operators import events as E
+
+    rows = E.event_type_pivot(tables).collect()
+    assert len(rows) == tables["events"].select("user_id").distinct().count()
+    total = sum(
+        r.click + r.error + r.purchase + r.signup + r.view for r in rows
+    )
+    assert total == tables["events"].count()

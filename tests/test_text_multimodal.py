@@ -328,3 +328,29 @@ def test_textrank_conserves_rank_mass(tables):
     assert all(r.rank_micro >= teleport for r in rows)
     # centrality signal: the max-rank token beats the uniform prior
     assert max(r.rank_micro for r in rows) > 1_000_000 // vocab
+
+
+def test_fuzzy_match_probe_is_reflexively_consistent(tables):
+    from databricks_observe_spark.operators import text as T
+
+    rows = T.fuzzy_match_probe(tables).collect()
+    for r in rows:
+        assert 0 <= r.dist <= T.FUZZY_MAX_DIST
+        assert r.doc_id != r.probe_id
+    # a probe's own prefix is distance 0 from itself, excluded by the
+    # self-filter; exact-duplicate docs of a probe must surface at 0
+    import collections
+
+    texts = {
+        r.doc_id: r.text[: T.FUZZY_PREFIX_LEN]
+        for r in tables["documents"].select("doc_id", "text").collect()
+    }
+    probes = {i: texts[i] for i in range(T.FUZZY_PROBE_DOCS)}
+    expected_zero = {
+        (d, p)
+        for d, txt in texts.items()
+        for p, ptxt in probes.items()
+        if txt == ptxt and d != p
+    }
+    got_zero = {(r.doc_id, r.probe_id) for r in rows if r.dist == 0}
+    assert expected_zero <= got_zero
