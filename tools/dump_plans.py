@@ -264,6 +264,18 @@ COMMENTARY = {
         "10k events) and broadcast back as exclusive prefixes — the "
         "stream is never funneled through a single-partition window."
     ),
+    "event_type_pivot": (
+        "PIVOT with declared values as conditional aggregation: one "
+        "hash-aggregate pair over one scan (Spark's native pivot() "
+        "plans a second exchange through pivotfirst — rejected, "
+        "measured)."
+    ),
+    "fuzzy_match_probe": (
+        "Fuzzy lookup: the probe set embeds as an array literal, so "
+        "the Levenshtein scoring runs per (doc, probe) inside "
+        "whole-stage codegen over a single scan — no join operator "
+        "in the plan at all."
+    ),
 }
 
 
