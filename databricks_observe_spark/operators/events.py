@@ -365,21 +365,24 @@ def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
     ev = t["events"].select("user_id", "ts", "event_id", "event_type")
     run_s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
     ev = ev.withColumn("prior_signup", run_s)
-    qual_click = F.when(
-        (F.col("event_type") == "click") & F.col("prior_signup").isNotNull(),
-        F.col("ts"),
+    # strictly-after check needs BOTH the rows-frame (excludes the current
+    # row) and the ts comparison (excludes same-timestamp earlier rows)
+    click_ok = (
+        (F.col("event_type") == "click")
+        & F.col("prior_signup").isNotNull()
+        & (F.col("prior_signup") < F.col("ts"))
     )
+    qual_click = F.when(click_ok, F.col("ts"))
     ev = ev.withColumn("prior_click", F.min(qual_click).over(w))
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & F.col("prior_click").isNotNull()
+        & (F.col("prior_click") < F.col("ts"))
+    )
     per_user = ev.groupBy("user_id").agg(
         F.max((F.col("event_type") == "signup").cast("int")).alias("did_signup"),
-        F.max(
-            ((F.col("event_type") == "click") & F.col("prior_signup").isNotNull())
-            .cast("int")
-        ).alias("did_click"),
-        F.max(
-            ((F.col("event_type") == "purchase") & F.col("prior_click").isNotNull())
-            .cast("int")
-        ).alias("did_purchase"),
+        F.max(click_ok.cast("int")).alias("did_click"),
+        F.max(purchase_ok.cast("int")).alias("did_purchase"),
     )
     return per_user.agg(
         F.sum("did_signup").alias("n_signup"),
@@ -398,16 +401,16 @@ WITH ev AS (
   FROM events
 ), ev2 AS (
   SELECT *,
-         MIN(CASE WHEN event_type = 'click' AND prior_signup IS NOT NULL THEN ts END)
+         MIN(CASE WHEN event_type = 'click' AND prior_signup < ts THEN ts END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
   FROM ev
 ), per_user AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS did_signup,
-         MAX(CASE WHEN event_type = 'click' AND prior_signup IS NOT NULL
+         MAX(CASE WHEN event_type = 'click' AND prior_signup < ts
                   THEN 1 ELSE 0 END) AS did_click,
-         MAX(CASE WHEN event_type = 'purchase' AND prior_click IS NOT NULL
+         MAX(CASE WHEN event_type = 'purchase' AND prior_click < ts
                   THEN 1 ELSE 0 END) AS did_purchase
   FROM ev2 GROUP BY user_id
 )
@@ -529,11 +532,10 @@ def lateness_report(t: dict[str, DataFrame]) -> DataFrame:
     return (
         ev.join(F.broadcast(pref_df), on="blk")
         .withColumn(
+            # greatest() skips nulls (returns the non-null side; null only
+            # when both are), which is exactly the prefix-merge semantics
             "seen_max",
-            F.greatest(
-                F.coalesce(F.col("run_in_blk"), F.col("prefix_ts")),
-                F.coalesce(F.col("prefix_ts"), F.col("run_in_blk")),
-            ),
+            F.greatest(F.col("run_in_blk"), F.col("prefix_ts")),
         )
         .groupBy("event_type", bucket.alias("lateness_bucket"))
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -1332,7 +1332,12 @@ def int8_quantize(t: dict[str, DataFrame]) -> DataFrame:
     df = e.select("vec_id", "v", maxabs.alias("maxabs"))
     scale = F.col("maxabs") / F.lit(float(INT8_LEVELS))
     df = df.withColumn("scale", scale)
-    code = lambda x: F.floor(x / F.col("scale") + F.lit(0.5))  # noqa: E731
+    # zero-vector guard: scale = 0 would make x/scale NaN, which Spark's
+    # floor coerces to 0 while DuckDB's BIGINT cast raises — pin the
+    # all-zero vector's codes to 0 explicitly (same CASE in the oracle)
+    code = lambda x: F.when(  # noqa: E731
+        F.col("scale") == 0.0, F.lit(0).cast("bigint")
+    ).otherwise(F.floor(x / F.col("scale") + F.lit(0.5)))
     sum_codes = F.aggregate("v", F.lit(0).cast("bigint"), lambda a, x: a + code(x))
     sum_abs = F.aggregate(
         "v", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(code(x))
@@ -1358,7 +1363,10 @@ def int8_quantize(t: dict[str, DataFrame]) -> DataFrame:
 def _int8_sql() -> str:
     v = "v"
     maxabs = "greatest(" + ", ".join(f"abs({v}[{i + 1}])" for i in range(DIM)) + ")"
-    code = lambda i: f"FLOOR({v}[{i + 1}] / scale + 0.5)"  # noqa: E731
+    # zero-vector guard mirrors the Spark-side CASE (scale = 0 -> code 0)
+    code = lambda i: (  # noqa: E731
+        f"(CASE WHEN scale = 0 THEN 0 ELSE FLOOR({v}[{i + 1}] / scale + 0.5) END)"
+    )
     sum_codes = " + ".join(code(i) for i in range(DIM))
     sum_abs = " + ".join(f"abs({code(i)})" for i in range(DIM))
     sq = " + ".join(

@@ -1036,7 +1036,9 @@ def textrank_keywords(t: dict[str, DataFrame]) -> DataFrame:
     the teleport mass via the left join.
     """
     nodes, edges, deg = _textrank_graph(t)
-    n = nodes.count()  # scalar graph parameter (vocab size), bounded
+    if "_textrank_n" not in t:  # scalar graph parameter (vocab size),
+        t["_textrank_n"] = nodes.count()  # bounded; one job, memoized
+    n = t["_textrank_n"]
     # same IEEE expression the oracle floors: 0.15 * 1e6 / n, then +0.5
     teleport = int(0.15 * 1000000.0 / n + 0.5)
     r = nodes.select(

@@ -469,3 +469,21 @@ def test_int8_quantize_error_within_half_step(tables):
         # so MSE <= (scale/2)^2 (+1 nano for the two quantizations)
         scale = r.scale_micro / 1e6
         assert 0 <= r.mse_nano <= (scale / 2) ** 2 * 1e9 + 1
+
+
+def test_int8_oracle_survives_zero_vector():
+    """The scale=0 CASE guard: a zero vector must quantize to all-zero
+    codes in the oracle SQL rather than raising on CAST(NaN AS BIGINT)."""
+    import duckdb
+
+    con = duckdb.connect()
+    zeros = "[" + ", ".join(["0.0"] * S.DIM) + "]"
+    ones = "[" + ", ".join(["1.0"] * S.DIM) + "]"
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        f"(0, {zeros}::FLOAT[], 0), (1, {ones}::FLOAT[], 0)"
+        f") AS t(vec_id, embedding, label)"
+    )
+    rows = {r[0]: r for r in con.execute(S.INT8_QUANTIZE_SQL).fetchall()}
+    assert rows[0][1] == 0 and rows[0][2] == 0 and rows[0][3] == 0  # zero vec
+    assert rows[1][3] == S.DIM * S.INT8_LEVELS  # ones vec: every code 127
