@@ -665,3 +665,69 @@ FROM (
 )
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
 """
+
+
+INCR_DELTA_MOD = 50  # l_orderkey % 50 == 0 rows arrive as the "new batch"
+
+
+def incremental_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental view maintenance of the pricing summary: the base
+    corpus's PARTIAL aggregates (exact decimal sums + counts — the state
+    a materialized view stores) merge with the partials of a newly
+    arrived batch, then finalize — no rescan of the base at update time.
+
+    This is the algebra behind every incrementally-maintained aggregate
+    at 100 TB: sums/counts are commutative monoids, so merge-of-partials
+    is EXACTLY lossless — which the oracle proves by recomputing the
+    summary from scratch over all rows and hash-matching. Averages
+    finalize from merged sums/counts (never averaged averages). The
+    base/batch split is deterministic (l_orderkey % 50).
+    """
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    ).cast("decimal(38,4)")
+    charge = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(D) - _dec("l_discount"))
+        * (F.lit(1).cast(D) + _dec("l_tax"))
+    ).cast("decimal(38,6)")
+
+    def partials(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(_dec("l_quantity")).alias("p_qty"),
+            F.sum(_dec("l_extendedprice")).alias("p_price"),
+            F.sum(disc_price).alias("p_disc"),
+            F.sum(charge).alias("p_charge"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    base = partials(li.filter(F.col("l_orderkey") % INCR_DELTA_MOD != 0))
+    batch = partials(li.filter(F.col("l_orderkey") % INCR_DELTA_MOD == 0))
+    merged = (
+        base.unionByName(batch)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").alias("m_qty"),
+            F.sum("p_price").alias("m_price"),
+            F.sum("p_disc").alias("m_disc"),
+            F.sum("p_charge").alias("m_charge"),
+            F.sum("p_n").alias("m_n"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("m_qty").cast("double").alias("sum_qty"),
+        F.col("m_price").cast("double").alias("sum_base_price"),
+        F.col("m_disc").cast("double").alias("sum_disc_price"),
+        F.col("m_charge").cast("double").alias("sum_charge"),
+        (F.col("m_qty").cast("double") / F.col("m_n")).alias("avg_qty"),
+        (F.col("m_price").cast("double") / F.col("m_n")).alias("avg_price"),
+        F.col("m_n").alias("count_order"),
+    )
+
+
+# the oracle is the FULL recompute: a hash match proves the partial-merge
+# is lossless
+INCREMENTAL_PRICING_SUMMARY_SQL = PRICING_SUMMARY_SQL

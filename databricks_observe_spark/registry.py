@@ -36,6 +36,12 @@ from databricks_observe_spark.operators import (
 _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "flagship_us_customers": (flagship.america_customers, flagship.FLAGSHIP_ORACLE_SQL),
     "pricing_summary": (relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
+    # incremental view maintenance: base partials + batch partials merged,
+    # hash-proven lossless against the oracle's full recompute
+    "incremental_pricing_summary": (
+        relational.incremental_pricing_summary,
+        relational.INCREMENTAL_PRICING_SUMMARY_SQL,
+    ),
     "shipping_priority": (relational.shipping_priority, relational.SHIPPING_PRIORITY_SQL),
     "local_supplier_revenue": (
         relational.local_supplier_revenue,
@@ -425,6 +431,7 @@ _PRIORITY = [
     "event_type_pivot",
     "balance_percent_rank",
     "fuzzy_match_probe",
+    "incremental_pricing_summary",
     # changed this round — need fresh driver rows
     "semantic_dedup",
     "column_histograms",

@@ -116,3 +116,24 @@ def test_percent_rank_bounds_and_order(tables):
         assert rs[0].pr == 0.0 and rs[-1].pr == 1.0 or len(rs) == 1
         prs = [r.pr for r in rs]
         assert prs == sorted(prs)  # monotone with the balance order
+
+
+def test_incremental_summary_equals_full_recompute(tables):
+    from databricks_observe_spark.operators import relational as R
+
+    full = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in R.pricing_summary(tables).collect()
+    }
+    incr = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in R.incremental_pricing_summary(tables).collect()
+    }
+    assert set(full) == set(incr)
+    for k, f in full.items():
+        i = incr[k]
+        # decimal partial-merge must be EXACTLY lossless, bit-for-bit
+        assert (f.sum_qty, f.sum_base_price, f.sum_disc_price, f.sum_charge,
+                f.avg_qty, f.avg_price, f.count_order) == (
+            i.sum_qty, i.sum_base_price, i.sum_disc_price, i.sum_charge,
+            i.avg_qty, i.avg_price, i.count_order)
