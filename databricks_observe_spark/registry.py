@@ -387,13 +387,14 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
 # the first ~50 registry entries (budget cutoff observed every round), so
 # order = verification priority. Round-5 plan: (a) the smoke anchor, (b)
-# the twenty-two NEW round-5 queries (compaction_plan / schema_drift /
+# the twenty-three NEW round-5 queries (compaction_plan / schema_drift /
 # zorder_key / streaming_corpus_dedup / normalized_dedup / bpe_pair_counts
 # / skew_report / scd2_history / per_source_dedup_rate / epoch_shuffle /
 # value_deciles / ann_recall / int8_quantize / textrank_keywords /
 # funnel_conversion / retention_cohorts / expectations_report /
 # merge_upsert / lateness_report / event_type_pivot /
-# balance_percent_rank / fuzzy_match_probe — first-ever driver rows),
+# balance_percent_rank / fuzzy_match_probe / incremental_pricing_summary
+# — first-ever driver rows),
 # (c) the queries whose CODE or ORACLE changed this round (semantic_dedup's
 # memoized assignment; column_histograms' materialized one-scan rewrite;
 # describe_detail / table_files_meta's shared file-stats aggregate;
