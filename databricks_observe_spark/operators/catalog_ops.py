@@ -787,10 +787,16 @@ def schema_drift(t: dict[str, DataFrame]) -> DataFrame:
     TESTDATA.md documents a REAL historical drift this would have caught
     (events.ts re-materialized from ns-as-BIGINT to TIMESTAMP).
 
-    The actual side is driver-collected footer METADATA (10 pyarrow
-    ``read_schema`` calls — pure footer reads, no Spark file-index build,
-    bounded by table count: the same catalog-sized collect as the
-    reference's schema probes), then diffed distributively.
+    Both sides are catalog-sized METADATA (bounded by table count x
+    column count, never data size): the actual side is 10 pyarrow
+    ``read_schema`` footer reads — the same catalog-sized probe the
+    reference runs — and the declared side is the information_schema
+    model (tens of rows). The full-outer diff is therefore computed
+    driver-side and emitted as ONE local relation: a single tiny Spark
+    job instead of the several createDataFrame + map-literal-join jobs
+    a distributed diff of two driver-resident frames would plan. At
+    100 TB the bound is unchanged — catalogs grow with table count,
+    not data size.
     """
     import os
 
@@ -816,58 +822,52 @@ def schema_drift(t: dict[str, DataFrame]) -> DataFrame:
 
     spark = t["lineitem"].sparkSession
     sf_dir = t["_sf_dir"]
-    actual_rows = []
+    actual: dict[tuple[str, str], tuple[int, str]] = {}
     for tbl in TABLE_NAMES:
         sch = pq.read_schema(os.path.join(sf_dir, f"{tbl}.parquet"))
         for i, name in enumerate(sch.names, start=1):
-            actual_rows.append((tbl, name, i, _arrow_class(sch.field(i - 1).type)))
-    actual = spark.createDataFrame(
-        actual_rows, "table string, column string, ordinal int, actual_type string"
-    )
-    declared = t["information_schema_columns"].select(
-        F.col("table_name").alias("table"),
-        F.col("column_name").alias("column"),
-        F.col("data_type").alias("declared_raw"),
-    ).withColumn(
-        "declared_type",
-        F.coalesce(
-            F.element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in _TYPE_CLASS.items() for x in kv]
-                ),
-                F.col("declared_raw"),
-            ),
-            F.col("declared_raw"),
-        ),
-    ).drop("declared_raw")
-    status = (
-        F.when(F.col("declared_type").isNull(), "missing_in_catalog")
-        .when(F.col("actual_type").isNull(), "missing_in_storage")
-        .when(F.col("declared_type") == F.col("actual_type"), "match")
-        .otherwise("type_drift")
-    )
-    return (
-        actual.join(declared, on=["table", "column"], how="full_outer")
-        .select(
-            "table",
-            "column",
-            "ordinal",
-            "declared_type",
-            "actual_type",
-            status.alias("status"),
+            actual[(tbl, name)] = (i, _arrow_class(sch.field(i - 1).type))
+    declared = {
+        (r["table_name"], r["column_name"]): _TYPE_CLASS.get(
+            r["data_type"], r["data_type"]
         )
+        for r in t["information_schema_columns"]
+        .select("table_name", "column_name", "data_type")
+        .collect()
+    }
+    out = []
+    for key in sorted(set(actual) | set(declared)):
+        ordinal, actual_type = actual.get(key, (None, None))
+        declared_type = declared.get(key)
+        if declared_type is None:
+            status = "missing_in_catalog"
+        elif actual_type is None:
+            status = "missing_in_storage"
+        elif declared_type == actual_type:
+            status = "match"
+        else:
+            status = "type_drift"
+        out.append((key[0], key[1], ordinal, declared_type, actual_type, status))
+    return spark.createDataFrame(
+        out,
+        "table string, column string, ordinal int,"
+        " declared_type string, actual_type string, status string",
     )
 
 
 def _schema_drift_sql() -> str:
+    # The "actual" side DESCRIBEs the registered VIEWS themselves: the
+    # driver (and every local runner) registers each table as a view over
+    # the same parquet the Spark side footer-reads, so DESCRIBE <view> IS
+    # the storage schema of the elected fixture dir — no filesystem path
+    # in the SQL, and the oracle follows sf_dir wherever the views point.
     type_case = " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in _TYPE_CLASS.items()
     )
     actual_unions = " UNION ALL ".join(
         f"SELECT '{tbl}' AS \"table\", column_name AS \"column\","
         f" CAST(ROW_NUMBER() OVER () AS INT) AS ordinal, column_type"
-        f" FROM (DESCRIBE SELECT * FROM"
-        f" read_parquet('/root/testdata/sf0.001/{tbl}.parquet'))"
+        f" FROM (DESCRIBE SELECT * FROM {tbl})"
         for tbl in (
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",

@@ -313,9 +313,14 @@ def value_deciles(t: dict[str, DataFrame]) -> DataFrame:
     sorted partition with event_id as the total-order tiebreak so bin
     membership is reproducible under any partitioning. Values aggregate
     as exact micro-unit integers (doubles summed in arbitrary order would
-    not be engine-stable).
+    not be engine-stable). Null placement is EXPLICIT on both sides
+    (NULLS LAST): Spark's ASC default is nulls-first, DuckDB's is
+    nulls-last, so an implicit ordering would silently shift decile
+    membership the day a NULL value enters the table.
     """
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     return (
         t["events"]
@@ -337,7 +342,8 @@ SELECT event_type, CAST(decile AS INT) AS decile, COUNT(*) AS n_events,
        CAST(SUM(v_micro) AS BIGINT) AS sum_micro
 FROM (
   SELECT event_type,
-         NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value ASC NULLS LAST, event_id) AS decile,
          CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
   FROM events
 )
@@ -470,8 +476,10 @@ GROUP BY 1, 2
 # measures a deterministic simulated arrival order (a local shuffle of up
 # to 160 positions: arrival = event_id + 40 * (event_id % 5)) — in
 # production, substitute the true ingest offset (Kafka offset / file
-# commit sequence). Blocks partition the prefix scan.
-LATENESS_BLOCK = 10000
+# commit sequence). A FIXED number of blocks partitions the prefix scan
+# (block size adapts to the data, so the block-maxima frame stays
+# constant-sized at any event count — never O(n) through one partition).
+LATENESS_NBLOCKS = 1024
 _LATENESS_EDGES_S = (0, 60, 3600, 86400)  # on-time, <1m, <1h, <1d, >=1d
 
 
@@ -486,37 +494,45 @@ def lateness_report(t: dict[str, DataFrame]) -> DataFrame:
     under 60 s can run ``withWatermark("ts", "1 minute")`` without
     dropping data; this report is how you know.
 
-    Scale shape — distributed prefix scan, NO single-partition window:
-    arrival ids bucket into blocks; a block-partitioned window computes
-    the within-block running max; the per-block maxima (bounded by block
-    count, a metadata-sized frame) collect once and broadcast back as
-    each block's exclusive prefix, so the true running max is
-    ``greatest(block_prefix, within_block_running)``. DuckDB replays it
-    as one global window — same semantics, independent plan.
+    Scale shape — distributed prefix scan, NO data-sized single-partition
+    window: arrival ids bucket into a FIXED count of blocks (size adapts
+    via the max arrival — one column-pruned scalar agg); a
+    block-partitioned window computes the within-block running max; the
+    per-block maxima (a constant-sized <=``LATENESS_NBLOCKS``-row frame
+    at ANY event count) take their exclusive prefix max through a second
+    tiny window and broadcast back, so the true running max is
+    ``greatest(block_prefix, within_block_running)``. No driver fold
+    anywhere — the only collect is the 1-row max-arrival scalar. DuckDB
+    replays it as one global window — same semantics, independent plan.
     """
-    ev = t["events"].select(
+    base = t["events"].select(
         "event_id",
         "event_type",
         "ts",
         _arrival(F.col("event_id")).alias("arrival"),
-    ).withColumn("blk", (F.col("arrival") / LATENESS_BLOCK).cast("bigint"))
+    )
+    max_arrival = base.agg(F.max("arrival")).collect()[0][0]  # 1-row scalar
+    ev = base.withColumn(
+        # exact integer arithmetic (no double rounding at scale); DIV is
+        # Spark's integral division
+        "blk",
+        F.expr(
+            f"(arrival * {LATENESS_NBLOCKS}) DIV {int(max_arrival) + 1}"
+        ),
+    )
     w = (
         Window.partitionBy("blk")
         .orderBy("arrival", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ev = ev.withColumn("run_in_blk", F.max("ts").over(w))
-    blk_max = (
-        ev.groupBy("blk").agg(F.max("ts").alias("bmax")).collect()
-    )  # bounded: one row per 10k-arrival block
-    prefix: dict[int, object] = {}
-    best = None
-    for r in sorted(blk_max, key=lambda r: r.blk):
-        prefix[r.blk] = best
-        best = r.bmax if best is None or r.bmax > best else best
-    spark = ev.sparkSession
-    pref_df = spark.createDataFrame(
-        [(b, p) for b, p in prefix.items()], "blk bigint, prefix_ts timestamp"
+    # exclusive prefix max over the block maxima: a single-partition
+    # window, but over a frame bounded by the constant LATENESS_NBLOCKS
+    wp = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    pref_df = (
+        ev.groupBy("blk")
+        .agg(F.max("ts").alias("bmax"))
+        .select("blk", F.max("bmax").over(wp).alias("prefix_ts"))
     )
     lag_s = F.floor(
         F.col("seen_max").cast("double") - F.col("ts").cast("double")

@@ -502,10 +502,16 @@ def test_lateness_report_avoids_single_partition_window(tables):
     from databricks_observe_spark.operators import events as E
 
     plan = _plan(E.lateness_report(tables))
-    # the running max is block-partitioned + broadcast prefix — never a
-    # global (single-partition) window over the stream
-    assert "SinglePartition" not in plan
+    # the data-sized running max must be block-partitioned (a window spec
+    # keyed on blk), and the prefix comes back via broadcast; the ONLY
+    # single-partition window allowed is the exclusive prefix max over
+    # the block maxima — a frame bounded by the LATENESS_NBLOCKS constant
+    assert "windowspecdefinition(blk" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the stream-sized window (the one ordered by arrival) is never global
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "arrival" in line:
+            assert "blk" in line
 
 
 def test_pivot_single_aggregate_no_distinct_pass(tables):

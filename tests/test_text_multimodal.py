@@ -296,6 +296,68 @@ def test_unigram_logprob_monotone_in_token_rarity(tables):
         assert r.n_tokens >= 1
 
 
+def test_unigram_log_rounding_margins_verified(tables):
+    """The quantize-before-log guard's no-flake claim, CHECKED: every
+    grid point the fixtures attain must round with a margin far wider
+    than a 1-ulp cross-engine ``ln`` divergence could move it.
+
+    logprob: lp_micro = floor(ln(r_nano/1e9)*1e6 + 0.5); a 1-ulp log
+    error moves the argument by ~|ln|*1.1e-16*1e6 < 1e-8, so a 1e-3
+    floor-boundary distance is a >1e5x margin. kl: the 12-decimal term
+    round; margin asserted relative to the propagated error bound.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from databricks_observe_spark.functions.textfns import doc_tokens
+
+    toks = doc_tokens(tables).select(
+        "doc_id", F.size("w").alias("n"), F.explode("w").alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "n", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    total = toks.count()
+
+    # --- unigram_logprob grid points (vocab-sized), via the operator's
+    # own tf frame so the attained set is exactly what it quantizes ---
+    from databricks_observe_spark.operators.text import _tfidf_tf_frame
+
+    tf_op = _tfidf_tf_frame(tables)
+    ctf_rows = tf_op.groupBy("tok").agg(F.sum("tf").alias("ctf")).collect()
+    lp_total = float(sum(r.ctf for r in ctf_rows))
+    pts = {max(math.floor(r.ctf / lp_total * 1e9 + 0.5), 1) for r in ctf_rows}
+    for rn in pts:
+        v = (math.log(rn / 1e9) * 1e6 + 0.5) % 1.0
+        assert min(v, 1.0 - v) > 1e-3, rn
+
+    # --- unigram_kl (p, r_nano) combos ---
+    combos = (
+        tf.join(cf, on="tok")
+        .select(
+            (F.col("tf").cast("double") / F.col("n")).alias("p"),
+            F.greatest(
+                F.floor(
+                    (F.col("tf").cast("double") / F.col("n"))
+                    / (F.col("cf").cast("double") / F.lit(float(total)))
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                ),
+                F.lit(1),
+            ).alias("rn"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert combos
+    for r in combos:
+        v = r.p * math.log(r.rn / 1e9) * 1e12
+        fr = v - math.floor(v)
+        dist = min(fr, 1.0 - fr, abs(fr - 0.5))
+        err = max(abs(v) * 1.2e-16, 1e-12)  # 1-ulp ln, propagated
+        assert dist > 2.0 * err, (r.p, r.rn, dist, err)
+
+
 def test_bpe_pair_counts_weighted_by_word_frequency(tables, spark):
     from databricks_observe_spark.operators import text as T
 
