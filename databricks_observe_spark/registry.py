@@ -26,6 +26,7 @@ from databricks_observe_spark.operators import (
     layout,
     lineage,
     multimodal,
+    pipeline,
     relational,
     runs,
     similarity,
@@ -198,6 +199,12 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     "curated_corpus": (dedup.curated_corpus, dedup.CURATED_CORPUS_SQL),
+    # the composed curation DAG: normalize -> dedup -> quality ->
+    # decontaminate -> stratify -> pack as ONE job (operators/pipeline.py)
+    "curation_pipeline_e2e": (
+        pipeline.curation_pipeline_e2e,
+        pipeline.CURATION_PIPELINE_E2E_SQL,
+    ),
     "deterministic_sample": (dedup.deterministic_sample, dedup.DETERMINISTIC_SAMPLE_SQL),
     # per-source duplicate-rate health report (basis points, integer)
     "per_source_dedup_rate": (

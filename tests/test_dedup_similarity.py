@@ -493,3 +493,28 @@ def test_int8_oracle_survives_zero_vector():
     rows = {r[0]: r for r in con.execute(S.INT8_QUANTIZE_SQL).fetchall()}
     assert rows[0][1] == 0 and rows[0][2] == 0 and rows[0][3] == 0  # zero vec
     assert rows[1][3] == S.DIM * S.INT8_LEVELS  # ones vec: every code 127
+
+
+def test_curation_pipeline_e2e_stage_invariants(tables):
+    """The composed pipeline's output must be consistent with the
+    component operators' own decisions (composition, not reinvention)."""
+    from pyspark.sql import functions as F
+
+    from databricks_observe_spark.operators import text as T
+    from databricks_observe_spark.operators.pipeline import curation_pipeline_e2e
+
+    rows = curation_pipeline_e2e(tables).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= 1 and r.total_tokens >= 1
+        assert r.first_doc <= r.last_doc
+        # no eval doc may survive into the packed corpus
+        assert r.first_doc % 13 != 0 and r.last_doc % 13 != 0
+    # the packed token total can never exceed the quality-pass corpus
+    q = T.quality_filter(tables)
+    cap = (
+        q.filter(F.col("keep") == 1)
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    assert sum(r.total_tokens for r in rows) <= cap

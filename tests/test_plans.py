@@ -533,3 +533,36 @@ def test_fuzzy_probe_stays_codegen_no_join(tables):
               "BroadcastNestedLoopJoin"):
         assert j not in plan
     assert "PythonUDF" not in plan
+
+
+def test_curation_pipeline_e2e_composes_without_redundant_shuffles(tables):
+    import re
+
+    from databricks_observe_spark.operators.pipeline import curation_pipeline_e2e
+
+    # (a) the shipped form: stage-4 materialized once, downstream plan is
+    # three exchanges (lang counts, single-partition min over the
+    # language-cardinality frame, packing lang window) and broadcasts only
+    plan = _plan(curation_pipeline_e2e(tables))
+    assert len(re.findall(r"\bExchange\b", plan)) <= 4
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+    # (b) the full un-truncated DAG: every join in the six-stage
+    # composition is a broadcast hash join — nothing falls back to a
+    # sort-merge or nested-loop shape anywhere
+    full = _plan(curation_pipeline_e2e(tables, checkpoint=False))
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in full
+    assert "BroadcastHashJoin" in full
+    # the DISTINCT shuffle keys of the composition are the declared stage
+    # set — normalized digest, contamination shingle/doc aggregates, the
+    # language counts (+ bounded single-partition min), packing window —
+    # and nothing else (the un-truncated tree replays the stage-4 subtree
+    # per consumer, which is what the shipped checkpoint avoids, so count
+    # distinct KEYS here, not occurrences)
+    keys = {
+        m.split(",")[0].split("#")[0]
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", full)
+    }
+    assert keys <= {"norm_hash", "s", "doc_id", "lang"}, keys
