@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "event_type_pivot",
     "balance_percent_rank",
     "fuzzy_match_probe",
+    "curation_pipeline_e2e",
+    "lineage_closure_deep",
 ]
 
 

@@ -135,6 +135,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     # --- lineage graph (§2.10) ---
     "lineage_closure": (lineage.lineage_closure, lineage.LINEAGE_CLOSURE_SQL),
+    # G1 stress at depth ~100: path-doubling closure, O(log d) rounds
+    "lineage_closure_deep": (
+        lineage.lineage_closure_deep,
+        lineage.LINEAGE_CLOSURE_DEEP_SQL,
+    ),
     "asset_specs": (lineage.asset_specs, lineage.ASSET_SPECS_SQL),
     "topo_levels": (lineage.topo_levels, lineage.TOPO_LEVELS_SQL),
     # --- run/update streams: windows, transitions, as-of/range (§2.5, §2.7) ---

@@ -155,6 +155,32 @@ JOBS = [
 ]
 JOBS_COLS = ("job_id", "name")
 
+# --- deep lineage stress fixture --------------------------------------------
+# A synthetic graph whose upstream chain is ~100 edges deep — far beyond
+# the 3-4 hops of LINEAGE_EDGES — so the closure's iteration cadence is
+# PROVEN at depth, not assumed (a real warehouse's dbt DAG can be this
+# deep). Deterministically generated: one 100-edge chain, a side input
+# every 10th node, and a 3-cycle upstream of the chain tail to prove
+# cycle tolerance survives depth (transitive self-pairs through the
+# cycle are part of the defined closure; only DIRECT self-edges drop).
+DEEP_CHAIN_LEN = 100
+LINEAGE_EDGES_DEEP = (
+    [
+        ("testdata", "main", f"d{i:03d}", "testdata", "main", f"d{i + 1:03d}")
+        for i in range(DEEP_CHAIN_LEN)
+    ]
+    + [
+        ("testdata", "main", f"d{i:03d}", "testdata", "main", f"side{i:03d}")
+        for i in range(0, DEEP_CHAIN_LEN, 10)
+    ]
+    + [
+        ("testdata", "main", f"d{DEEP_CHAIN_LEN:03d}", "testdata", "main", "cyc_x"),
+        ("testdata", "main", "cyc_x", "testdata", "main", "cyc_y"),
+        ("testdata", "main", "cyc_y", "testdata", "main", "cyc_z"),
+        ("testdata", "main", "cyc_z", "testdata", "main", "cyc_x"),
+    ]
+)
+
 # discovered by SHOW TABLES but missing from information_schema.tables:
 # exercises the J1 left-outer defaults (kind='table', format='')
 EXTRA_SHOW_OBJECTS = [("testdata", "main", "ad_hoc_view")]
@@ -163,6 +189,7 @@ _LITERALS = {
     "information_schema_tables": (INFORMATION_SCHEMA_TABLES, INFORMATION_SCHEMA_TABLES_COLS),
     "information_schema_columns": (INFORMATION_SCHEMA_COLUMNS, INFORMATION_SCHEMA_COLUMNS_COLS),
     "lineage_edges": (LINEAGE_EDGES, LINEAGE_EDGES_COLS),
+    "lineage_edges_deep": (LINEAGE_EDGES_DEEP, LINEAGE_EDGES_COLS),
     "pipelines": (PIPELINES, PIPELINES_COLS),
     "jobs": (JOBS, JOBS_COLS),
 }
@@ -177,6 +204,10 @@ _SPARK_DDL = {
         "column_name string, data_type string, comment string, ordinal_position int"
     ),
     "lineage_edges": (
+        "dst_catalog string, dst_schema string, dst_table string, "
+        "src_catalog string, src_schema string, src_table string"
+    ),
+    "lineage_edges_deep": (
         "dst_catalog string, dst_schema string, dst_table string, "
         "src_catalog string, src_schema string, src_table string"
     ),

@@ -83,3 +83,34 @@ def test_topo_levels_dag_semantics(tables):
     assert rows[("testdata", "main", "lineitem")] == 4
     # us_customers sits above customer (level 2) -> 3
     assert rows[("testdata", "main", "us_customers")] == 3
+
+
+def test_deep_closure_converges_logarithmically(tables):
+    """The path-doubling closure must prove its cadence at depth: the
+    ~100-deep chain converges in <= 8 doubling rounds (2^7 > 103), and
+    the closure matches first-principles expectations for the chain,
+    the side inputs, and the cycle."""
+    import math
+
+    from databricks_observe_spark.operators.lineage import lineage_closure_deep
+    from databricks_observe_spark.sources.catalog_model import DEEP_CHAIN_LEN
+
+    rows = lineage_closure_deep(tables).collect()
+    rounds = tables["_deep_closure_rounds"]
+    assert rounds <= math.ceil(math.log2(DEEP_CHAIN_LEN + 4)) + 1, rounds
+
+    up = {}
+    for r in rows:
+        up.setdefault(r.dst_table, set()).add(r.src_table)
+    # d000's upstream closure: the whole chain, every side input, the cycle
+    assert {f"d{i:03d}" for i in range(1, DEEP_CHAIN_LEN + 1)} <= up["d000"]
+    assert {f"side{i:03d}" for i in range(0, DEEP_CHAIN_LEN, 10)} <= up["d000"]
+    assert {"cyc_x", "cyc_y", "cyc_z"} <= up["d000"]
+    # depth respected: d090 cannot reach below itself in the chain
+    assert up["d090"] == (
+        {f"d{i:03d}" for i in range(91, DEEP_CHAIN_LEN + 1)}
+        | {"side090"}
+        | {"cyc_x", "cyc_y", "cyc_z"}
+    )
+    # cycle members reach themselves transitively (only DIRECT self-edges drop)
+    assert "cyc_x" in up["cyc_x"]
