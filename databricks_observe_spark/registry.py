@@ -398,85 +398,33 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
 # the first ~50 registry entries (budget cutoff observed every round), so
-# order = verification priority. Round-5 plan: (a) the smoke anchor, (b)
-# the twenty-three NEW round-5 queries (compaction_plan / schema_drift /
-# zorder_key / streaming_corpus_dedup / normalized_dedup / bpe_pair_counts
-# / skew_report / scd2_history / per_source_dedup_rate / epoch_shuffle /
-# value_deciles / ann_recall / int8_quantize / textrank_keywords /
-# funnel_conversion / retention_cohorts / expectations_report /
-# merge_upsert / lateness_report / event_type_pivot /
-# balance_percent_rank / fuzzy_match_probe / incremental_pricing_summary
-# — first-ever driver rows),
-# (c) the queries whose CODE or ORACLE changed this round (semantic_dedup's
-# memoized assignment; column_histograms' materialized one-scan rewrite;
-# describe_detail / table_files_meta's shared file-stats aggregate;
-# run_output_lookup's raw-ts ORDER BY subquery; dedup_retention's
-# setup-accounted labels; streaming_click_attribution's dead-batch cut),
-# then (d) the queries whose newest driver row is r03. kmeans_clusters
-# dropped out (unchanged since its r04 hash-green row). The ~50-row cap
-# forces a choice: the unchanged, pytest-covered r03 tail that no longer
-# fits (the multimodal trio — media_features' r04 hash-green row covers
-# the same Arrow path — lang_profile, length_outliers, doc_fingerprints,
-# and whatever falls below the cap line among the r03 refreshes) MUST
-# head round 6's rotation.
+# order = verification priority. Round-6 plan, per the round-5 verdict's
+# freshness rule (no query's newest green driver row may age past two
+# rounds): (a) the smoke anchor; (b) the TWENTY-TWO queries whose newest
+# green row is r03 — the mandatory head of this rotation; (c) the two
+# queries NEW this round (curation_pipeline_e2e, lineage_closure_deep);
+# (d) the queries whose CODE or ORACLE changed this round (schema_drift's
+# path-free DESCRIBE-view oracle + one-job diff; normalized_dedup's fused
+# regex; unigram_logprob's quantize-before-log — unigram_kl's twin change
+# is already in the r03 set; value_deciles' explicit NULLS LAST;
+# lateness_report's fixed-block-count prefix scan; textrank_keywords'
+# setup-accounted vocab count; the five streaming harnesses' partition
+# pin — three are in the r03 set, corpus_dedup and click_attribution are
+# not); (e) the oldest r04 rows that fit under the cap, so the r07 debt
+# shrinks. The r04 rows that do NOT fit (~26, all unchanged since their
+# r04 hash-green rows) are the mandatory head of round 7's rotation.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # new this round — first driver rows
-    "compaction_plan",
-    "schema_drift",
-    "zorder_key",
-    "streaming_corpus_dedup",
-    "normalized_dedup",
-    "bpe_pair_counts",
-    "skew_report",
-    "scd2_history",
-    "per_source_dedup_rate",
-    "epoch_shuffle",
-    "value_deciles",
-    "ann_recall",
-    "int8_quantize",
-    "textrank_keywords",
-    "funnel_conversion",
-    "retention_cohorts",
-    "expectations_report",
-    "merge_upsert",
-    "lateness_report",
-    "event_type_pivot",
-    "balance_percent_rank",
-    "fuzzy_match_probe",
-    "incremental_pricing_summary",
-    # changed this round — need fresh driver rows
-    "semantic_dedup",
-    "column_histograms",
-    "describe_detail",
-    "table_files_meta",
-    "run_output_lookup",
-    "dedup_retention",
-    # newest driver row is r03 — refresh as many as fit under the cap
-    "streaming_click_attribution",  # also changed: dead-batch cut
-    "user_count_accuracy",
-    "percentile_sketch_accuracy",
-    "lineage_closure",
-    "asset_specs",
-    "topo_levels",
-    "latest_update_per_entity",
-    "sensor_cursor_roundtrip",
-    "event_type_stats",
-    "event_dedup_windowed",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped",
-    "near_dup_clusters",
-    "curated_corpus",
-    "simhash_near_dup_pairs",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "chunk_dedup",
-    "incremental_dedup",
-    "contamination_check",
-    "kmeans_assign",
+    # (b) r03-stale — mandatory refresh this round
+    "lang_profile",
     "langid_trigram",
+    "doc_fingerprints",
     "token_count_regex",
     "heavy_hitter_tokens",
+    "multimodal_meta",
+    "frame_sample",
+    "image_resize",
+    "length_outliers",
     "quality_filter",
     "vocab_coverage",
     "repetition_signals",
@@ -485,10 +433,41 @@ _PRIORITY = [
     "mixture_weights",
     "stratified_sample",
     "unigram_kl",
+    "kmeans_assign",
     "discovered_objects_live",
     "streaming_first_completed",
     "streaming_tumbling_hourly",
     "streaming_sessionize",
+    # (c) new this round — first driver rows
+    "curation_pipeline_e2e",
+    "lineage_closure_deep",
+    # (d) code or oracle changed this round
+    "schema_drift",
+    "normalized_dedup",
+    "unigram_logprob",
+    "value_deciles",
+    "lateness_report",
+    "textrank_keywords",
+    "streaming_corpus_dedup",
+    "streaming_click_attribution",
+    # (e) oldest r04 rows that fit under the cap
+    "pricing_summary",
+    "table_profiles",
+    "columns_schema",
+    "tables_enriched",
+    "discovered_objects",
+    "named_assets",
+    "object_count_rollup",
+    "shipping_priority",
+    "top_orders_per_customer",
+    "state_transitions",
+    "first_completed",
+    "tumbling_hourly",
+    "user_sessions",
+    "exact_dedup",
+    "kmeans_clusters",
+    "media_features",
+    "text_stats",
 ]
 
 
