@@ -155,11 +155,14 @@ COMMENTARY = {
         "is never scanned, so the plan costs what a metadata query costs."
     ),
     "schema_drift": (
-        "Catalog-vs-storage diff: the actual side is driver-collected "
-        "parquet FOOTER metadata (bounded by table count, the same "
-        "catalog-sized collect the reference's schema probes make), the "
-        "declared side is the information_schema fixture; the full-outer "
-        "diff and status derivation run distributed."
+        "Catalog-vs-storage diff: BOTH sides are catalog-sized metadata "
+        "(parquet footer reads bounded by table count — the same probe "
+        "the reference makes — and the information_schema model), so the "
+        "full-outer diff computes driver-side and emits ONE local "
+        "relation: a single tiny job, where a distributed diff of two "
+        "driver-resident frames planned several. The oracle DESCRIBEs "
+        "the registered views — no filesystem path in the SQL, valid at "
+        "any sf dir."
     ),
     "zorder_key": (
         "Z-order layout: the Morton key is 32 pure-integer bit terms "
@@ -259,10 +262,13 @@ COMMENTARY = {
         "join's projection — the rewrite-on-merge physical form."
     ),
     "lateness_report": (
-        "Distributed prefix scan: within-block running max under a "
-        "block-partitioned window, block maxima collected (one row per "
-        "10k events) and broadcast back as exclusive prefixes — the "
-        "stream is never funneled through a single-partition window."
+        "Distributed prefix scan with a FIXED block count: block size "
+        "adapts via a 1-row max-arrival scalar, the within-block running "
+        "max runs under a blk-partitioned window, and the exclusive "
+        "block-prefix max is a second window over the constant-sized "
+        "(<=1024-row) maxima frame, broadcast back — no driver fold, and "
+        "the stream is never funneled through a data-sized "
+        "single-partition window at any event count."
     ),
     "event_type_pivot": (
         "PIVOT with declared values as conditional aggregation: one "
@@ -275,6 +281,26 @@ COMMENTARY = {
         "the Levenshtein scoring runs per (doc, probe) inside "
         "whole-stage codegen over a single scan — no join operator "
         "in the plan at all."
+    ),
+    "curation_pipeline_e2e": (
+        "The six-stage curation DAG as ONE job: a single projection "
+        "derives every per-row signal (normalized digest, token stats, "
+        "sample bucket) from one scan; the corpus-sized path is linear "
+        "through the digest window, broadcast anti-joins (cluster tails, "
+        "contaminated ids), the quality predicate, the broadcast "
+        "lang-counts join, and the packing window; the contamination id "
+        "set is a side branch off the raw scan. The clean survivor frame "
+        "(ids + stats, no text) materializes once so no consumer replays "
+        "the curation subtree — plan-gated to <=4 exchanges in this "
+        "shipped form and broadcast-only joins throughout."
+    ),
+    "lineage_closure_deep": (
+        "Path-doubling closure over the ~100-deep stress graph: each "
+        "round composes the checkpointed closure with its broadcast self "
+        "and dedups through one exchange — 8 rounds for depth 103 "
+        "(O(log d), asserted), where single-hop BFS needs ~100. The plan "
+        "shown is the final round; earlier rounds are "
+        "checkpoint-truncated by design."
     ),
 }
 
