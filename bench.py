@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "fuzzy_match_probe",
     "curation_pipeline_e2e",
     "lineage_closure_deep",
+    "observability_report",
 ]
 
 

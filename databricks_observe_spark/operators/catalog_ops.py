@@ -855,12 +855,16 @@ def schema_drift(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _schema_drift_sql() -> str:
-    # The "actual" side DESCRIBEs the registered VIEWS themselves: the
-    # driver (and every local runner) registers each table as a view over
-    # the same parquet the Spark side footer-reads, so DESCRIBE <view> IS
-    # the storage schema of the elected fixture dir — no filesystem path
-    # in the SQL, and the oracle follows sf_dir wherever the views point.
+def _schema_drift_ctes() -> str:
+    """The drift diff as CTE bodies (shared by SCHEMA_DRIFT_SQL and the
+    composed OBSERVABILITY_REPORT_SQL).
+
+    The "actual" side DESCRIBEs the registered VIEWS themselves: the
+    driver (and every local runner) registers each table as a view over
+    the same parquet the Spark side footer-reads, so DESCRIBE <view> IS
+    the storage schema of the elected fixture dir — no filesystem path
+    in the SQL, and the oracle follows sf_dir wherever the views point.
+    """
     type_case = " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in _TYPE_CLASS.items()
     )
@@ -873,9 +877,7 @@ def _schema_drift_sql() -> str:
             "orders", "lineitem", "events", "documents", "embeddings",
         )
     )
-    return (
-        oracle_with_clause("information_schema_columns")
-        + f""",
+    return f"""
 actual AS (
   SELECT "table", "column", ordinal,
          CASE column_type {type_case} ELSE column_type END AS actual_type
@@ -885,17 +887,26 @@ declared AS (
   SELECT table_name AS "table", column_name AS "column",
          CASE data_type {type_case} ELSE data_type END AS declared_type
   FROM information_schema_columns
-)
-SELECT COALESCE(a."table", d."table") AS "table",
-       COALESCE(a."column", d."column") AS "column",
-       a.ordinal, d.declared_type, a.actual_type,
-       CASE WHEN d.declared_type IS NULL THEN 'missing_in_catalog'
-            WHEN a.actual_type IS NULL THEN 'missing_in_storage'
-            WHEN d.declared_type = a.actual_type THEN 'match'
-            ELSE 'type_drift' END AS status
-FROM actual a FULL OUTER JOIN declared d
-  ON a."table" = d."table" AND a."column" = d."column"
-"""
+),
+drift_rows AS (
+  SELECT COALESCE(a."table", d."table") AS "table",
+         COALESCE(a."column", d."column") AS "column",
+         a.ordinal, d.declared_type, a.actual_type,
+         CASE WHEN d.declared_type IS NULL THEN 'missing_in_catalog'
+              WHEN a.actual_type IS NULL THEN 'missing_in_storage'
+              WHEN d.declared_type = a.actual_type THEN 'match'
+              ELSE 'type_drift' END AS status
+  FROM actual a FULL OUTER JOIN declared d
+    ON a."table" = d."table" AND a."column" = d."column"
+)"""
+
+
+def _schema_drift_sql() -> str:
+    return (
+        oracle_with_clause("information_schema_columns")
+        + ","
+        + _schema_drift_ctes()
+        + "\nSELECT * FROM drift_rows\n"
     )
 
 
@@ -988,3 +999,119 @@ FROM m CROSS JOIN agg
 
 
 EXPECTATIONS_REPORT_SQL = _expectations_sql()
+
+
+# --- the composed observation tick ------------------------------------------
+
+
+def observability_report(t: dict[str, DataFrame]) -> DataFrame:
+    """The reference's ENTIRE observation tick as one job: discovery +
+    catalog enrichment + profiling counts + schema strings + storage
+    stats + schema-drift status + compaction pressure, one health row
+    per profiled table.
+
+    Reference anchor: the observe schedule fires every 15 minutes with
+    ``selection="*"`` (``schedules/observe_schedule.py:10``) and the
+    hourly profiler then issues 3 remote queries PER TABLE in a serial
+    loop plus N+1 lineage calls (``assets/dlt_assets.py:150-166,243``).
+    This operator is that whole tick composed: the only data-proportional
+    work is the per-table COUNT(*) union (row-group-metadata-cheap);
+    every other side — catalog rows, schema aggregate, the memoized
+    10-row file stats, the driver-side drift diff, the file-index
+    compaction bins — is catalog-sized and broadcasts. One job instead
+    of 3N+1 remote round-trips, which is exactly the rebuild rule the
+    per-component queries each prove in isolation; this row proves they
+    compose without re-scanning anything.
+
+    ``health`` triage: ``schema_drift`` when any column diverges from
+    the declared catalog (drift dominates — queries may silently read
+    wrong types), else ``compact`` when the table has more backing files
+    than its OPTIMIZE bin target (small-file pressure), else ``ok``.
+    """
+    profiles = table_profiles(t)
+    files = _file_stats(t).select("table", "n_files", "total_bytes")
+    drift = (
+        schema_drift(t)
+        .groupBy("table")
+        .agg(
+            F.sum((F.col("status") != "match").cast("int")).alias("n_drift")
+        )
+    )
+    bins = (
+        compaction_plan(t)
+        .groupBy("table")
+        .agg((F.max("bin_id") + F.lit(1)).alias("n_bins"))
+    )
+    health = (
+        F.when(F.col("n_drift") > 0, "schema_drift")
+        .when(F.col("n_files") > F.col("n_bins"), "compact")
+        .otherwise("ok")
+    )
+    return (
+        profiles.join(F.broadcast(files), on="table")
+        .join(F.broadcast(drift), on="table")
+        .join(F.broadcast(bins), on="table")
+        .select(
+            "catalog",
+            "schema",
+            "table",
+            "kind",
+            "format",
+            "row_count",
+            "n_columns",
+            "n_files",
+            "total_bytes",
+            health.alias("health"),
+        )
+    )
+
+
+def _observability_report_sql() -> str:
+    return (
+        oracle_with_clause("catalog_objects", "information_schema_columns")
+        + f""",
+counts AS ({_profile_counts_union_sql()}),
+enriched AS (
+  {_enriched_select_sql(chr(10) + "  WHERE d.catalog = 'testdata' AND d.schema = 'main'")}
+),
+schemas AS (
+  SELECT table_name AS "table", COUNT(*) AS n_columns
+  FROM information_schema_columns GROUP BY 1
+),
+{_VIEW_FILES_SQL.strip().rstrip()},
+fstats AS (
+  SELECT "table", COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_bytes
+  FROM view_files GROUP BY 1
+),
+bins AS (
+  SELECT "table", MAX(bin_id) + 1 AS n_bins FROM (
+    SELECT "table",
+           CAST(FLOOR((SUM(size) OVER (PARTITION BY "table" ORDER BY path
+                                       ROWS UNBOUNDED PRECEDING) - size)
+                      / {float(COMPACTION_TARGET_BYTES)}) AS INT) AS bin_id
+    FROM view_files
+  ) GROUP BY 1
+),
+{_schema_drift_ctes().strip()},
+drift AS (
+  SELECT "table",
+         CAST(SUM(CASE WHEN status <> 'match' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_drift
+  FROM drift_rows GROUP BY 1
+)
+SELECT e.catalog, e.schema, e."table", e.kind, e.format,
+       c.row_count, s.n_columns, f.n_files, f.total_bytes,
+       CASE WHEN d.n_drift > 0 THEN 'schema_drift'
+            WHEN f.n_files > b.n_bins THEN 'compact'
+            ELSE 'ok' END AS health
+FROM counts c
+JOIN enriched e ON c."table" = e."table"
+JOIN schemas s ON e."table" = s."table"
+JOIN fstats f ON e."table" = f."table"
+JOIN bins b ON e."table" = b."table"
+JOIN drift d ON e."table" = d."table"
+"""
+    )
+
+
+OBSERVABILITY_REPORT_SQL = _observability_report_sql()

@@ -117,6 +117,12 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     # OPTIMIZE-style small-file compaction plan from the file INDEX
     "compaction_plan": (catalog_ops.compaction_plan, catalog_ops.COMPACTION_PLAN_SQL),
+    # the reference's WHOLE observe tick composed: discovery + profiling
+    # + storage stats + drift + compaction pressure, one row per table
+    "observability_report": (
+        catalog_ops.observability_report,
+        catalog_ops.OBSERVABILITY_REPORT_SQL,
+    ),
     # catalog-vs-parquet-footer schema drift report (S5 extension)
     "schema_drift": (catalog_ops.schema_drift, catalog_ops.SCHEMA_DRIFT_SQL),
     # Z-order clustering key + range-partitioned file assignment
@@ -441,6 +447,7 @@ _PRIORITY = [
     # (c) new this round — first driver rows
     "curation_pipeline_e2e",
     "lineage_closure_deep",
+    "observability_report",
     # (d) code or oracle changed this round
     "schema_drift",
     "normalized_dedup",
@@ -467,7 +474,6 @@ _PRIORITY = [
     "exact_dedup",
     "kmeans_clusters",
     "media_features",
-    "text_stats",
 ]
 
 

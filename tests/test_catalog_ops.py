@@ -172,3 +172,53 @@ def test_expectations_report_counts_partition_rows(tables):
     by_name = {r.constraint: r for r in rows}
     assert by_name["returnflag_domain"].n_fail == 0
     assert by_name["shipdate_not_null"].n_fail == 0
+
+
+def test_observability_report_composes_component_truths(tables):
+    """The composed observe tick must agree with each component operator
+    it embeds — row counts, schema sizes, file stats, drift triage."""
+    from databricks_observe_spark.operators import catalog_ops as C
+
+    rows = {r.table: r for r in C.observability_report(tables).collect()}
+    profiled = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert set(rows) == profiled
+    counts = {r.table: r.row_count for r in C.table_profiles(tables).collect()}
+    files = {r.table: r for r in C.table_files_meta(tables).collect()}
+    drift = [r for r in C.schema_drift(tables).collect() if r.status != "match"]
+    for name, r in rows.items():
+        assert r.row_count == counts[name]
+        assert r.n_files == files[name].n_files
+        assert r.total_bytes == files[name].total_bytes
+        assert r.n_columns >= 2
+        # clean fixture: no drift anywhere, so triage is compact/ok only
+        assert r.health in ("ok", "compact")
+    assert not drift
+
+
+def test_observability_report_flags_drift_first(tables, spark):
+    """Drift dominates the health triage: a doctored catalog must flip
+    the affected table to 'schema_drift' regardless of file pressure."""
+    from databricks_observe_spark.operators import catalog_ops as C
+    from databricks_observe_spark.sources.catalog_model import (
+        INFORMATION_SCHEMA_COLUMNS,
+        INFORMATION_SCHEMA_COLUMNS_COLS,
+    )
+
+    doctored = [
+        ("testdata", "main", tbl, col, "string" if (tbl, col) == ("region", "r_regionkey") else typ, cm, o)
+        for (_, _, tbl, col, typ, cm, o) in [
+            (r[0], r[1], r[2], r[3], r[4], r[5], r[6])
+            for r in INFORMATION_SCHEMA_COLUMNS
+        ]
+    ]
+    t2 = dict(tables)
+    t2["information_schema_columns"] = spark.createDataFrame(
+        doctored, ", ".join(f"{c} string" if c != "ordinal_position" else f"{c} int"
+                            for c in INFORMATION_SCHEMA_COLUMNS_COLS)
+    )
+    rows = {r.table: r.health for r in C.observability_report(t2).collect()}
+    assert rows["region"] == "schema_drift"
+    assert all(h in ("ok", "compact") for tbl, h in rows.items() if tbl != "region")

@@ -294,6 +294,15 @@ COMMENTARY = {
         "the curation subtree — plan-gated to <=4 exchanges in this "
         "shipped form and broadcast-only joins throughout."
     ),
+    "observability_report": (
+        "The reference's whole 15-minute observe tick in one job: the "
+        "per-table COUNT(*) union is the only data-proportional work "
+        "(row-group-metadata-cheap, scheduled concurrently); catalog "
+        "enrichment, schema sizes, the memoized 10-row file stats, the "
+        "driver-side drift diff, and the file-index compaction bins all "
+        "broadcast onto it — one job replaces the reference's 3N+1 "
+        "serial remote round-trips."
+    ),
     "lineage_closure_deep": (
         "Path-doubling closure over the ~100-deep stress graph: each "
         "round composes the checkpointed closure with its broadcast self "
