@@ -512,6 +512,8 @@ def lateness_report(t: dict[str, DataFrame]) -> DataFrame:
         _arrival(F.col("event_id")).alias("arrival"),
     )
     max_arrival = base.agg(F.max("arrival")).collect()[0][0]  # 1-row scalar
+    if max_arrival is None:  # empty stream: report is empty, any blocking works
+        max_arrival = 0
     ev = base.withColumn(
         # exact integer arithmetic (no double rounding at scale); DIV is
         # Spark's integral division

@@ -407,8 +407,9 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # order = verification priority. Round-6 plan, per the round-5 verdict's
 # freshness rule (no query's newest green driver row may age past two
 # rounds): (a) the smoke anchor; (b) the TWENTY-TWO queries whose newest
-# green row is r03 — the mandatory head of this rotation; (c) the two
-# queries NEW this round (curation_pipeline_e2e, lineage_closure_deep);
+# green row is r03 — the mandatory head of this rotation; (c) the three
+# queries NEW this round (curation_pipeline_e2e, lineage_closure_deep,
+# observability_report);
 # (d) the queries whose CODE or ORACLE changed this round (schema_drift's
 # path-free DESCRIBE-view oracle + one-job diff; normalized_dedup's fused
 # regex; unigram_logprob's quantize-before-log — unigram_kl's twin change
