@@ -58,3 +58,28 @@ def test_closure_matches_python_reference(spark, edges):
     )
     got = {(r.dst_table, r.src_table) for r in transitive_closure(df).collect()}
     assert got == python_closure(edges)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_doubling_closure_equals_bfs_closure(spark, edges):
+    """Path doubling and single-hop BFS must reach the identical fixpoint
+    on arbitrary digraphs (cycles, self-edges, diamonds, disconnected) —
+    the deep variant is an optimization, never a semantic fork."""
+    from databricks_observe_spark.operators.lineage import (
+        transitive_closure_doubling,
+    )
+
+    df = spark.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"('c','s','{d}','c','s','{s}')" for d, s in edges)
+        + ") AS t(dst_catalog,dst_schema,dst_table,src_catalog,src_schema,src_table)"
+    )
+    closure, rounds = transitive_closure_doubling(df)
+    got = {(r.dst_table, r.src_table) for r in closure.collect()}
+    assert got == python_closure(edges)
+    assert rounds <= 5  # 7-node graph: depth <= 6 < 2^3, plus confirm rounds

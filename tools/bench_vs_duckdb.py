@@ -71,6 +71,31 @@ def main() -> int:
     ctx["documents"].select("doc_id").limit(32).mapInPandas(
         lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
     ).count()
+    # warm the Structured Streaming runtime the same way (StreamExecution
+    # threads, checkpoint manager, streaming codegen paths are long-lived
+    # on a real cluster): run one empty availableNow stream to exhaustion
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import functions as _F
+
+    from databricks_observe_spark.streaming.state import (
+        _stream_confs,
+        stream_events,
+    )
+
+    _wname = f"warm_{_uuid.uuid4().hex[:6]}"
+    with _stream_confs(spark):
+        _wq = (
+            stream_events(spark, args.sf)
+            .where(_F.lit(False))
+            .writeStream.format("memory")
+            .queryName(_wname)
+            .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_warm_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    _wq.awaitTermination(60)
     setup_s = time.time() - t0
 
     tot_s = tot_d = 0.0
