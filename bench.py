@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "curation_pipeline_e2e",
     "lineage_closure_deep",
     "observability_report",
+    "bm25_scores",
+    "lsh_dedup_recall",
 ]
 
 

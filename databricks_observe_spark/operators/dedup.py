@@ -1340,3 +1340,61 @@ FROM (
   )
 )
 """
+
+
+# --- LSH index-quality eval (the ann_recall twin for text dedup) ------------
+
+
+def lsh_dedup_recall(t: dict[str, DataFrame]) -> DataFrame:
+    """Recall/precision of the MinHash-LSH banded candidate pairs against
+    the exact n-gram-Jaccard ground truth — the index-quality gate a
+    pipeline runs before trusting the bucketed (production) dedup path
+    at scale, exactly as :func:`similarity.ann_recall` gates the vector
+    index. One row: pair counts and integer basis-point recall/precision
+    (a true pair counts as found when LSH banding surfaced it at all).
+
+    Both sides are the memoized indexes (shingle table, signatures) —
+    the eval costs two tiny pair-set aggregates and a semi join, never a
+    corpus re-scan. Empty ground truth reads as vacuous recall 10000.
+    """
+    exact = ngram_jaccard_pairs(t).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(t).select("doc_a", "doc_b")
+    hit = exact.join(cand, on=["doc_a", "doc_b"], how="left_semi")
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.join(F.broadcast(n_cand))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN CAST(10000 AS BIGINT)"
+                " ELSE (n_hit * 10000) DIV n_true_pairs END"
+            ).alias("recall_bp"),
+            F.expr(
+                "CASE WHEN n_candidate_pairs = 0 THEN CAST(10000 AS BIGINT)"
+                " ELSE (n_hit * 10000) DIV n_candidate_pairs END"
+            ).alias("precision_bp"),
+        )
+    )
+
+
+LSH_DEDUP_RECALL_SQL = f"""
+WITH exact AS ({NGRAM_JACCARD_PAIRS_SQL}),
+cand AS ({MINHASH_LSH_PAIRS_SQL}),
+n AS (
+  SELECT (SELECT COUNT(*) FROM exact) AS n_true_pairs,
+         (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+         (SELECT COUNT(*) FROM exact e JOIN cand c
+            ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS n_hit
+)
+SELECT n_true_pairs, n_candidate_pairs, n_hit,
+       CASE WHEN n_true_pairs = 0 THEN CAST(10000 AS BIGINT)
+            ELSE n_hit * 10000 // n_true_pairs END AS recall_bp,
+       CASE WHEN n_candidate_pairs = 0 THEN CAST(10000 AS BIGINT)
+            ELSE n_hit * 10000 // n_candidate_pairs END AS precision_bp
+FROM n
+"""

@@ -1195,3 +1195,131 @@ FROM documents d CROSS JOIN probes
 WHERE levenshtein(substr(d.text, 1, {FUZZY_PREFIX_LEN}), probes.p) <= {FUZZY_MAX_DIST}
   AND d.doc_id <> probes.probe_id
 """
+
+
+# --- BM25 probe retrieval (extension: retrieval-quality data selection) -----
+
+# Okapi parameters (standard defaults) and an embedded probe query set —
+# the fixed "information needs" a curation pipeline scores the corpus
+# against (retrieval-aware data selection / dedup triage). Tokens are
+# drawn from the fixture vocabulary so every query matches documents.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERIES = (
+    ("q_engine", ("spark", "join", "merge")),
+    ("q_business", ("customer", "order", "query")),
+    ("q_vector", ("vector", "hash", "stream")),
+)
+
+
+def bm25_scores(t: dict[str, DataFrame]) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOPK} per probe query over the corpus — the
+    retrieval primitive behind retrieval-aware data selection (score a
+    training corpus against a set of target information needs, keep /
+    up-weight what ranks). Lucene's positive-idf form:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Cross-engine determinism (the unigram_logprob recipe): the idf ratio
+    quantizes to the 1e-9 grid BEFORE ``ln`` (clamped >= 1 nano), idf
+    lives in integer micro-units, each (term, doc) contribution floors
+    to integer micro-units after the tf-normalization product, and the
+    per-doc score is an exact INTEGER sum — order-independent under any
+    partitioning. Ranking ties break on doc_id.
+
+    Plan: the memoized tf index joins the broadcast probe terms (tiny),
+    document length and corpus stats ride along via vocab-sized /
+    single-row broadcasts, one (query, doc) aggregate, then a per-query
+    rank window over candidate docs only. Nothing corpus-squared; the
+    one corpus-sized shuffle is the (query_id, doc_id) aggregate.
+    """
+    tf = _tfidf_tf_frame(t)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_frame = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    spark = tf.sparkSession
+    terms = spark.createDataFrame(
+        [(qid, tok) for qid, toks in BM25_QUERIES for tok in toks],
+        "query_id string, tok string",
+    )
+    r_nano = F.greatest(
+        F.floor(
+            (
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ),
+        F.lit(1),
+    )
+    idf_micro = F.floor(
+        F.log(r_nano / F.lit(1e9)) * F.lit(1000000.0) + F.lit(0.5)
+    )
+    tfnorm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(terms), on="tok")
+        .join(F.broadcast(df_frame), on="tok")
+        .join(F.broadcast(dl), on="doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("contrib", F.floor(idf_micro * tfnorm + F.lit(0.5)))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(
+        f"('{qid}', '{tok}')" for qid, toks in BM25_QUERIES for tok in toks
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+terms AS (SELECT * FROM (VALUES {terms}) AS v(query_id, tok)),
+scored AS (
+  SELECT t.query_id, tf.doc_id,
+         CAST(SUM(FLOOR(
+           FLOOR(ln(GREATEST(FLOOR((1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                                   * 1000000000.0 + 0.5), 1)
+                     / 1000000000.0) * 1000000.0 + 0.5)
+           * ((tf.tf * {BM25_K1 + 1.0}) /
+              (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * l.dl / s.avgdl)))
+           + 0.5)) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN terms t ON tf.tok = t.tok
+  JOIN dfr d ON tf.tok = d.tok
+  JOIN dl l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score_micro, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK}
+"""
+
+
+BM25_SCORES_SQL = _bm25_sql()

@@ -210,6 +210,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     "curated_corpus": (dedup.curated_corpus, dedup.CURATED_CORPUS_SQL),
+    # MinHash-LSH index-quality gate: banded candidates vs exact Jaccard
+    "lsh_dedup_recall": (dedup.lsh_dedup_recall, dedup.LSH_DEDUP_RECALL_SQL),
     # the composed curation DAG: normalize -> dedup -> quality ->
     # decontaminate -> stratify -> pack as ONE job (operators/pipeline.py)
     "curation_pipeline_e2e": (
@@ -271,6 +273,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "token_count_regex": (text.token_count_regex, text.TOKEN_COUNT_REGEX_SQL),
     "heavy_hitter_tokens": (text.heavy_hitter_tokens, text.HEAVY_HITTER_TOKENS_SQL),
     "tfidf_keywords": (text.tfidf_keywords, text.TFIDF_KEYWORDS_SQL),
+    # Okapi BM25 probe retrieval over the corpus (integer micro-unit
+    # scores, quantize-before-log idf)
+    "bm25_scores": (text.bm25_scores, text.BM25_SCORES_SQL),
     "quality_filter": (text.quality_filter, text.QUALITY_FILTER_SQL),
     "vocab_coverage": (text.vocab_coverage, text.VOCAB_COVERAGE_SQL),
     "repetition_signals": (text.repetition_signals, text.REPETITION_SIGNALS_SQL),
@@ -418,8 +423,23 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # setup-accounted vocab count; the five streaming harnesses' partition
 # pin — three are in the r03 set, corpus_dedup and click_attribution are
 # not); (e) the oldest r04 rows that fit under the cap, so the r07 debt
-# shrinks. The r04 rows that do NOT fit (~26, all unchanged since their
-# r04 hash-green rows) are the mandatory head of round 7's rotation.
+# shrinks.
+#
+# ROUND-7 ROTATION DEBT (computed from CORRECTNESS_r0{3,4,5}.json newest-
+# green-row set differences, assuming the 50 rows above go green in r06):
+# 27 queries whose newest green row is r04 MUST head round 7's _PRIORITY
+# (they would be three rounds stale otherwise): ann_bruteforce_topk,
+# ann_lsh_topk, asof_last_error_before_purchase, deterministic_sample,
+# dormant_customers, events_cube, hash_split, high_value_events,
+# ivf_ann_topk, kmeans_clusters, local_supplier_revenue, lsh_bucket_stats,
+# media_features, minhash_lsh_pairs, nation_market_share,
+# order_priority_rollup, order_value_percentiles, returned_item_revenue,
+# segment_order_stats, signup_purchase_window, simhash_fingerprints,
+# sliding_daily, text_stats, tfidf_keywords, top_balance_per_nation,
+# urgent_order_customers, user_value_zscores. The remaining ~23 cap slots
+# take the oldest of the 42 r05-green rows, so the r08 head (19 leftover
+# r05 rows + that round's new/changed) still fits under the cap — the
+# two-round rule stays satisfiable at 120 registered queries.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
     # (b) r03-stale — mandatory refresh this round
@@ -449,6 +469,8 @@ _PRIORITY = [
     "curation_pipeline_e2e",
     "lineage_closure_deep",
     "observability_report",
+    "bm25_scores",
+    "lsh_dedup_recall",
     # (d) code or oracle changed this round
     "schema_drift",
     "normalized_dedup",
@@ -473,8 +495,6 @@ _PRIORITY = [
     "tumbling_hourly",
     "user_sessions",
     "exact_dedup",
-    "kmeans_clusters",
-    "media_features",
 ]
 
 

@@ -518,3 +518,15 @@ def test_curation_pipeline_e2e_stage_invariants(tables):
         .collect()[0][0]
     )
     assert sum(r.total_tokens for r in rows) <= cap
+
+
+def test_lsh_dedup_recall_counts_are_consistent(tables):
+    (r,) = D.lsh_dedup_recall(tables).collect()
+    exact = {(x.doc_a, x.doc_b) for x in D.ngram_jaccard_pairs(tables).collect()}
+    cand = {(x.doc_a, x.doc_b) for x in D.minhash_lsh_pairs(tables).collect()}
+    assert r.n_true_pairs == len(exact)
+    assert r.n_candidate_pairs == len(cand)
+    assert r.n_hit == len(exact & cand)
+    assert 0 <= r.recall_bp <= 10000 and 0 <= r.precision_bp <= 10000
+    # banding at these parameters keeps high recall on the fixtures
+    assert r.recall_bp >= 8000

@@ -566,3 +566,34 @@ def test_curation_pipeline_e2e_composes_without_redundant_shuffles(tables):
         for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", full)
     }
     assert keys <= {"norm_hash", "s", "doc_id", "lang"}, keys
+
+
+def test_bm25_broadcasts_index_sides_and_pushes_topk(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.bm25_scores(tables))
+    # probe terms, df and dl frames all broadcast onto the memoized tf
+    # index; the only BNLJ is the single-row corpus-stats append
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the top-k rank is pushed below the exchange as a partial group
+    # limit — each map task ships at most k rows per query, not every
+    # candidate doc
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "PythonUDF" not in plan
+
+
+def test_lsh_dedup_recall_probes_indexes_only(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.lsh_dedup_recall(tables))
+    # both pair sets come from the memoized shingle/signature indexes —
+    # the eval NEVER re-scans the documents parquet
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    # the two 1-row count appends are the only nested-loop shapes; the
+    # truth|x|candidate semi join may legitimately sort-merge (both pair
+    # sets scale with the corpus)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

@@ -416,3 +416,46 @@ def test_fuzzy_match_probe_is_reflexively_consistent(tables):
     }
     got_zero = {(r.doc_id, r.probe_id) for r in rows if r.dist == 0}
     assert expected_zero <= got_zero
+
+
+def test_bm25_ranks_are_contract_shaped(tables):
+    from databricks_observe_spark.operators import text as T
+
+    rows = T.bm25_scores(tables).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {q for q, _ in T.BM25_QUERIES}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= T.BM25_TOPK
+        # scores descend; ties break on doc_id ascending
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score_micro, -a.doc_id) >= (b.score_micro, -b.doc_id)
+
+
+def test_bm25_favors_term_density(spark, tables):
+    """A doc that is nothing but the query terms must outrank a doc that
+    mentions them once among filler, under the same corpus stats."""
+    from databricks_observe_spark.operators import text as T
+
+    t2 = dict(tables)
+    # drop every memoized corpus index the tf frame chain could reuse —
+    # they point at the REAL corpus, not the synthetic one below
+    t2.pop("_tfidf_tf", None)
+    t2.pop("_doc_tokens", None)
+    filler = "alpha beta gamma delta " * 10
+    t2["documents"] = spark.createDataFrame(
+        [
+            (1, "spark join merge spark join merge", "en", "s", 10),
+            (2, filler + "spark join merge", "en", "s", 10),
+            (3, filler.strip(), "en", "s", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = {
+        (r.query_id, r.doc_id): r.rank for r in T.bm25_scores(t2).collect()
+    }
+    assert rows[("q_engine", 1)] < rows[("q_engine", 2)]
+    assert ("q_engine", 3) not in rows  # no query term at all -> no score row

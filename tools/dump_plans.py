@@ -303,6 +303,20 @@ COMMENTARY = {
         "broadcast onto it — one job replaces the reference's 3N+1 "
         "serial remote round-trips."
     ),
+    "bm25_scores": (
+        "BM25 probe retrieval: the memoized tf index joins the broadcast "
+        "probe terms, df/length/corpus-stat frames ride along as "
+        "vocab-sized or single-row broadcasts, one (query, doc) "
+        "aggregate, then a rank window over candidate docs only — "
+        "integer micro-unit scores, quantize-before-log idf, nothing "
+        "corpus-squared."
+    ),
+    "lsh_dedup_recall": (
+        "Index-quality gate: exact-Jaccard truth and LSH candidates are "
+        "both memoized pair sets; the eval is a semi join plus three "
+        "1-row aggregates cross-joined by broadcast — two index probes, "
+        "never a corpus re-scan."
+    ),
     "lineage_closure_deep": (
         "Path-doubling closure over the ~100-deep stress graph: each "
         "round composes the checkpointed closure with its broadcast self "
