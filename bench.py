@@ -136,6 +136,7 @@ def main() -> None:
         _semdedup_assigned,
     )
     from databricks_observe_spark.operators.text import (
+        _bm25_index,
         _char_trigrams,
         _textrank_graph,
         _tfidf_tf_frame,
@@ -149,7 +150,7 @@ def main() -> None:
         "tfidf_tf", "vector_norms", "ivf_assignment", "kmeans_fixed_point",
         "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
         "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
-        "textrank_cooccurrence_graph",
+        "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
     ]
     doc_tokens(ctx)
     _shingled(ctx)
@@ -160,6 +161,7 @@ def main() -> None:
     _bucketed(ctx)
     _char_trigrams(ctx)
     _tfidf_tf_frame(ctx)
+    _bm25_index(ctx)
     _textrank_graph(ctx)
     _doubled(ctx)
     _centroids_bc(ctx)

@@ -445,6 +445,7 @@ def test_bm25_favors_term_density(spark, tables):
     # they point at the REAL corpus, not the synthetic one below
     t2.pop("_tfidf_tf", None)
     t2.pop("_doc_tokens", None)
+    t2.pop("_bm25_index", None)
     filler = "alpha beta gamma delta " * 10
     t2["documents"] = spark.createDataFrame(
         [
