@@ -138,6 +138,7 @@ def main() -> None:
     from databricks_observe_spark.operators.text import (
         _bm25_index,
         _char_trigrams,
+        _langid_profiles,
         _textrank_graph,
         _tfidf_tf_frame,
     )
@@ -151,6 +152,7 @@ def main() -> None:
         "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
         "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
         "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
+        "langid_trained_profiles",
     ]
     doc_tokens(ctx)
     _shingled(ctx)
@@ -162,6 +164,7 @@ def main() -> None:
     _char_trigrams(ctx)
     _tfidf_tf_frame(ctx)
     _bm25_index(ctx)
+    _langid_profiles(ctx)
     _textrank_graph(ctx)
     _doubled(ctx)
     _centroids_bc(ctx)
