@@ -116,102 +116,16 @@ def main() -> None:
     # memoized by earlier queries in the same ctx (e.g. near_dup_clusters
     # reuses the pair table ngram_jaccard_pairs materialized); the
     # setup+queries total is the honest cross-query wall figure.
-    from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.catalog_ops import _file_stats
-    from databricks_observe_spark.operators.dedup import (
-        _cluster_labels,
-        _shingle_df,
-        _shingle_sizes,
-        _shingled,
-        _simhash_fps,
-        minhash_signatures,
-    )
-    from databricks_observe_spark.operators.similarity import (
-        _bucketed,
-        _centroids_bc,
-        _doubled,
-        _ivf_assigned,
-        _quantized,
-        _query_set_bc,
-        _semdedup_assigned,
-    )
-    from databricks_observe_spark.operators.text import (
-        _bm25_index,
-        _char_trigrams,
-        _langid_profiles,
-        _textrank_graph,
-        _tfidf_tf_frame,
-    )
     from databricks_observe_spark.registry import _ctx
+    from databricks_observe_spark.setup_phase import (
+        SETUP_INDEX_NAMES,
+        build_setup_indexes,
+    )
 
     t_setup = time.time()
     ctx = _ctx(spark, SF_DIR)
-    setup_built = [
-        "doc_tokens", "shingle_index", "lsh_buckets", "char_trigrams",
-        "tfidf_tf", "vector_norms", "ivf_assignment", "kmeans_fixed_point",
-        "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
-        "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
-        "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
-        "langid_trained_profiles",
-    ]
-    doc_tokens(ctx)
-    _shingled(ctx)
-    _shingle_df(ctx)
-    _shingle_sizes(ctx)
-    _simhash_fps(ctx)
-    minhash_signatures(ctx)
-    _bucketed(ctx)
-    _char_trigrams(ctx)
-    _tfidf_tf_frame(ctx)
-    _bm25_index(ctx)
-    _langid_profiles(ctx)
-    _textrank_graph(ctx)
-    _doubled(ctx)
-    _centroids_bc(ctx)
-    _query_set_bc(ctx)
-    _ivf_assigned(ctx)
-    _quantized(ctx)
-    # the near-dup cluster-label fixpoint: exactly as build-once as the
-    # LSH/IVF indexes above — at scale a written table maintained by
-    # ingest; dedup_retention / curated_corpus query it, not build it
-    _cluster_labels(ctx)
-    # the binaryFile file index + its 10-row per-table stats aggregate
-    # (describe_detail / table_files_meta)
-    _file_stats(ctx)
-    # the SemDeDup k-means assignment table (written alongside the corpus)
-    _semdedup_assigned(ctx)
-    # warm the Arrow python workers (long-lived on a real cluster) so
-    # mapInPandas/cogroup timings measure execution, not process spawn
-    import pandas as _pd
-
-    ctx["documents"].select("doc_id").limit(32).mapInPandas(
-        lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
-    ).count()
-    # warm the Structured Streaming runtime the same way (StreamExecution
-    # threads, checkpoint manager, streaming codegen paths are long-lived
-    # on a real cluster): run one empty availableNow stream to exhaustion
-    import tempfile as _tf
-    import uuid as _uuid
-
-    from pyspark.sql import functions as _F
-
-    from databricks_observe_spark.streaming.state import (
-        _stream_confs,
-        stream_events,
-    )
-
-    _wname = f"warm_{_uuid.uuid4().hex[:6]}"
-    with _stream_confs(spark):
-        _wq = (
-            stream_events(spark, SF_DIR)
-            .where(_F.lit(False))
-            .writeStream.format("memory")
-            .queryName(_wname)
-            .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_warm_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-    _wq.awaitTermination(60)
+    setup_built = list(SETUP_INDEX_NAMES)
+    build_setup_indexes(spark, ctx, SF_DIR)
     setup_sec = round(time.time() - t_setup, 3)
 
     # Per-query time = MIN of two full plan+materialize passes — the

@@ -530,3 +530,24 @@ def test_lsh_dedup_recall_counts_are_consistent(tables):
     assert 0 <= r.recall_bp <= 10000 and 0 <= r.precision_bp <= 10000
     # banding at these parameters keeps high recall on the fixtures
     assert r.recall_bp >= 8000
+
+
+def test_lsh_dedup_recall_vacuous_on_pairless_corpus(spark, tables):
+    """Empty ground truth (no doc pair shares a single shingle) must read
+    as vacuous recall 10000, not a divide-by-zero or a 0."""
+    t2 = dict(tables)
+    for k in ("_doc_shingles", "_shingle_df", "_shingle_sizes",
+              "_jaccard_pairs", "_minhash_sig", "_doc_tokens"):
+        t2.pop(k, None)
+    t2["documents"] = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s", 10),
+            (2, "zeta eta theta iota kappa", "en", "s", 10),
+            (3, "mu nu xi omicron pi rho", "en", "s", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    (r,) = D.lsh_dedup_recall(t2).collect()
+    assert r.n_true_pairs == 0
+    assert r.n_hit == 0
+    assert r.recall_bp == 10000  # vacuously perfect

@@ -35,67 +35,15 @@ def main() -> int:
 
     # setup phase (timed separately, emitted as its own row): build the
     # shared derived indexes — written tables at scale — so per-query
-    # numbers measure steady-state execution (mirrors bench.py)
-    from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.catalog_ops import _file_stats
-    from databricks_observe_spark.operators.dedup import (
-        _cluster_labels,
-        _shingle_df,
-        _shingle_sizes,
-        _shingled,
-        _simhash_fps,
-        minhash_signatures,
-    )
-    from databricks_observe_spark.operators.similarity import (
-        _bucketed, _centroids_bc, _doubled, _ivf_assigned, _quantized,
-        _query_set_bc, _semdedup_assigned,
-    )
-    from databricks_observe_spark.operators.text import (
-        _char_trigrams, _textrank_graph, _tfidf_tf_frame,
-    )
+    # numbers measure steady-state execution. The builder list is the
+    # SAME function bench.py runs (setup_phase.py), so the two harnesses
+    # cannot drift apart.
     from databricks_observe_spark.registry import _ctx
+    from databricks_observe_spark.setup_phase import build_setup_indexes
 
     t0 = time.time()
     ctx = _ctx(spark, args.sf)
-    for build in (doc_tokens, _shingled, _shingle_df, _shingle_sizes,
-                  _simhash_fps, minhash_signatures, _bucketed,
-                  _char_trigrams, _tfidf_tf_frame, _textrank_graph,
-                  _doubled, _centroids_bc,
-                  _query_set_bc, _ivf_assigned, _quantized, _cluster_labels,
-                  _file_stats, _semdedup_assigned):
-        build(ctx)
-    # warm the Arrow python workers (long-lived on a real cluster) so
-    # mapInPandas/cogroup timings measure execution, not process spawn
-    import pandas as _pd
-
-    ctx["documents"].select("doc_id").limit(32).mapInPandas(
-        lambda it: (_pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
-    ).count()
-    # warm the Structured Streaming runtime the same way (StreamExecution
-    # threads, checkpoint manager, streaming codegen paths are long-lived
-    # on a real cluster): run one empty availableNow stream to exhaustion
-    import tempfile as _tf
-    import uuid as _uuid
-
-    from pyspark.sql import functions as _F
-
-    from databricks_observe_spark.streaming.state import (
-        _stream_confs,
-        stream_events,
-    )
-
-    _wname = f"warm_{_uuid.uuid4().hex[:6]}"
-    with _stream_confs(spark):
-        _wq = (
-            stream_events(spark, args.sf)
-            .where(_F.lit(False))
-            .writeStream.format("memory")
-            .queryName(_wname)
-            .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_warm_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-    _wq.awaitTermination(60)
+    build_setup_indexes(spark, ctx, args.sf)
     setup_s = time.time() - t0
 
     tot_s = tot_d = 0.0
