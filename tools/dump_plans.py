@@ -305,11 +305,13 @@ COMMENTARY = {
     ),
     "bm25_scores": (
         "BM25 probe retrieval: the memoized tf index joins the broadcast "
-        "probe terms, df/length/corpus-stat frames ride along as "
-        "vocab-sized or single-row broadcasts, one (query, doc) "
-        "aggregate, then a rank window over candidate docs only — "
-        "integer micro-unit scores, quantize-before-log idf, nothing "
-        "corpus-squared."
+        "probe terms; df/doc-length/corpus-stats are STORED index "
+        "statistics (built in setup, like any BM25 index persists them) "
+        "riding along as vocab-sized or single-row broadcasts; one "
+        "(query, doc) aggregate, then a rank window the optimizer "
+        "converts to a partial WindowGroupLimit — each map task ships "
+        "at most k rows per query. Integer micro-unit scores, "
+        "quantize-before-log idf, nothing corpus-squared."
     ),
     "lsh_dedup_recall": (
         "Index-quality gate: exact-Jaccard truth and LSH candidates are "
