@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "observability_report",
     "bm25_scores",
     "lsh_dedup_recall",
+    "duplicated_spans",
 ]
 
 

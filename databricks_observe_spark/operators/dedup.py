@@ -1398,3 +1398,102 @@ SELECT n_true_pairs, n_candidate_pairs, n_hit,
             ELSE n_hit * 10000 // n_candidate_pairs END AS precision_bp
 FROM n
 """
+
+
+# --- Exact duplicated-span triage (ExactSubstr-class dedup) -----------------
+
+SPAN_K = 15  # tokens per exact-match window
+
+
+def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document exact duplicated-span coverage: the triage report of
+    ExactSubstr-class dedup (flag verbatim {SPAN_K}-token runs that
+    appear in MORE THAN ONE document — boilerplate, licenses, templated
+    intros — the duplication mode shingle-Jaccard under-weights because
+    one long shared run is only a handful of distinct shingles).
+
+    For every document with at least one cross-document duplicated
+    window: total {SPAN_K}-token windows, windows whose exact token run
+    occurs in >= 2 distinct documents, and coverage in integer basis
+    points. A downstream pass would cut or down-weight the flagged
+    spans; this report is the gate that says where.
+
+    Scale plan — three natural-key shuffles, nothing quadratic:
+    (1) rolling windows from the memoized token index via ONE doc-keyed
+    window pass (collect_list over an ordered {SPAN_K}-row frame — per
+    task the frame is a bounded ring buffer, never the whole doc);
+    (2) the cross-document distinct count per gram via the dense_rank /
+    max trick over ONE gram-hash exchange — no per-gram document list is
+    ever materialized, so a hot boilerplate gram shared by millions of
+    documents costs a counter, not a collect_set blowup;
+    (3) the per-doc rollup. Only 16-byte md5 digests shuffle — the gram
+    TEXT never leaves its map task.
+    """
+    toks = doc_tokens(t)
+    pos = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, SPAN_K - 1)
+    )
+    grams = (
+        pos.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.collect_list("tok").over(frame))).alias("h"),
+            F.count(F.lit(1)).over(frame).alias("klen"),
+        )
+        .filter(F.col("klen") == SPAN_K)
+        .select("doc_id", "h")
+    )
+    # distinct-doc count per gram without materializing doc lists: both
+    # windows share the single gram-hash exchange
+    w_ord = Window.partitionBy("h").orderBy("doc_id")
+    w_all = Window.partitionBy("h")
+    marked = grams.withColumn(
+        "nd", F.max(F.dense_rank().over(w_ord)).over(w_all)
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("nd") >= 2).cast("bigint")).alias("n_dup_grams"),
+        )
+        .filter(F.col("n_dup_grams") >= 1)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            # integer DIV: exact on both engines, no double rounding
+            F.expr("(n_dup_grams * 10000) DIV n_grams").alias("dup_span_bp"),
+        )
+    )
+
+
+DUPLICATED_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         md5(string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {SPAN_K - 1} FOLLOWING)) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {SPAN_K - 1} FOLLOWING) AS klen
+  FROM toks
+),
+grams AS (SELECT doc_id, h FROM g WHERE klen = {SPAN_K}),
+shared AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS dup_span_bp
+FROM grams LEFT JOIN shared s USING (h)
+GROUP BY doc_id
+HAVING SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) >= 1
+"""

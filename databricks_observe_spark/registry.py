@@ -210,6 +210,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     ),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     "curated_corpus": (dedup.curated_corpus, dedup.CURATED_CORPUS_SQL),
+    # ExactSubstr-class triage: verbatim 15-token runs shared across docs
+    "duplicated_spans": (dedup.duplicated_spans, dedup.DUPLICATED_SPANS_SQL),
     # MinHash-LSH index-quality gate: banded candidates vs exact Jaccard
     "lsh_dedup_recall": (dedup.lsh_dedup_recall, dedup.LSH_DEDUP_RECALL_SQL),
     # the composed curation DAG: normalize -> dedup -> quality ->
@@ -427,19 +429,21 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #
 # ROUND-7 ROTATION DEBT (computed from CORRECTNESS_r0{3,4,5}.json newest-
 # green-row set differences, assuming the 50 rows above go green in r06):
-# 27 queries whose newest green row is r04 MUST head round 7's _PRIORITY
+# 28 queries whose newest green row is r04 MUST head round 7's _PRIORITY
 # (they would be three rounds stale otherwise): ann_bruteforce_topk,
 # ann_lsh_topk, asof_last_error_before_purchase, deterministic_sample,
-# dormant_customers, events_cube, hash_split, high_value_events,
-# ivf_ann_topk, kmeans_clusters, local_supplier_revenue, lsh_bucket_stats,
-# media_features, minhash_lsh_pairs, nation_market_share,
-# order_priority_rollup, order_value_percentiles, returned_item_revenue,
-# segment_order_stats, signup_purchase_window, simhash_fingerprints,
-# sliding_daily, text_stats, tfidf_keywords, top_balance_per_nation,
-# urgent_order_customers, user_value_zscores. The remaining ~23 cap slots
-# take the oldest of the 42 r05-green rows, so the r08 head (19 leftover
+# dormant_customers, events_cube, exact_dedup, hash_split,
+# high_value_events, ivf_ann_topk, kmeans_clusters,
+# local_supplier_revenue, lsh_bucket_stats, media_features,
+# minhash_lsh_pairs, nation_market_share, order_priority_rollup,
+# order_value_percentiles, returned_item_revenue, segment_order_stats,
+# signup_purchase_window, simhash_fingerprints, sliding_daily,
+# text_stats, tfidf_keywords, top_balance_per_nation,
+# urgent_order_customers, user_value_zscores. The remaining ~22 cap slots
+# take the oldest of the 42 r05-green rows, so the r08 head (20 leftover
 # r05 rows + that round's new/changed) still fits under the cap — the
-# two-round rule stays satisfiable at 120 registered queries.
+# two-round rule stays satisfiable at 121 registered queries (needs ~41
+# refreshes/round against the 50-row budget).
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
     # (b) r03-stale — mandatory refresh this round
@@ -471,6 +475,7 @@ _PRIORITY = [
     "observability_report",
     "bm25_scores",
     "lsh_dedup_recall",
+    "duplicated_spans",
     # (d) code or oracle changed this round
     "schema_drift",
     "normalized_dedup",
@@ -494,7 +499,6 @@ _PRIORITY = [
     "first_completed",
     "tumbling_hourly",
     "user_sessions",
-    "exact_dedup",
 ]
 
 

@@ -551,3 +551,27 @@ def test_lsh_dedup_recall_vacuous_on_pairless_corpus(spark, tables):
     assert r.n_true_pairs == 0
     assert r.n_hit == 0
     assert r.recall_bp == 10000  # vacuously perfect
+
+
+def test_duplicated_spans_flags_verbatim_runs_only(spark, tables):
+    """A 15-token run copied verbatim across two docs is flagged in both;
+    a doc sharing vocabulary but no 15-token run is not flagged."""
+    t2 = dict(tables)
+    for k in ("_doc_tokens",):
+        t2.pop(k, None)
+    span = " ".join(f"tok{i}" for i in range(15))
+    t2["documents"] = spark.createDataFrame(
+        [
+            (1, "intro one two three " + span, "en", "s", 10),
+            (2, span + " outro four five six", "en", "s", 10),
+            (3, "tok0 tok1 unrelated tok5 tok9 filler " * 4, "en", "s", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = {r.doc_id: r for r in D.duplicated_spans(t2).collect()}
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d].n_dup_grams >= 1
+        assert 0 < rows[d].dup_span_bp <= 10000
+        # the shared run is 15 tokens = exactly one window per doc
+        assert rows[d].n_dup_grams == 1

@@ -597,3 +597,23 @@ def test_lsh_dedup_recall_probes_indexes_only(tables):
     # truth|x|candidate semi join may legitimately sort-merge (both pair
     # sets scale with the corpus)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_duplicated_spans_three_natural_shuffles_no_joins(tables):
+    import re
+
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.duplicated_spans(tables))
+    # doc-window -> gram-hash count -> doc rollup; digests only, no doc
+    # lists, no joins, and the token index is memoized (no parquet scan)
+    keys = [
+        m.group(1).split("#")[0]
+        for m in re.finditer(r"Exchange hashpartitioning\(([^,]*)", plan)
+    ]
+    assert sorted(keys) == ["doc_id", "doc_id", "h"]
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan
+    assert "Scan parquet" not in plan
+    assert "PythonUDF" not in plan

@@ -313,6 +313,15 @@ COMMENTARY = {
         "at most k rows per query. Integer micro-unit scores, "
         "quantize-before-log idf, nothing corpus-squared."
     ),
+    "duplicated_spans": (
+        "ExactSubstr-class triage: rolling 15-token windows from the "
+        "memoized token index via one doc-keyed window pass (bounded "
+        "ring-buffer frame), cross-doc distinct counts via the "
+        "dense_rank/max trick over one gram-hash exchange (no per-gram "
+        "doc lists — a boilerplate gram shared by millions of docs "
+        "costs a counter), then the doc rollup. Three natural-key "
+        "shuffles, no joins, only 16-byte digests move."
+    ),
     "lsh_dedup_recall": (
         "Index-quality gate: exact-Jaccard truth and LSH candidates are "
         "both memoized pair sets; the eval is a semi join plus three "
