@@ -460,3 +460,36 @@ def test_bm25_favors_term_density(spark, tables):
     }
     assert rows[("q_engine", 1)] < rows[("q_engine", 2)]
     assert ("q_engine", 3) not in rows  # no query term at all -> no score row
+
+
+def test_bm25_idf_log_rounding_margins_verified(tables):
+    """bm25's quantize-before-log guard, CHECKED like the unigram one:
+    every idf grid point the probe terms attain must round to integer
+    micro-units with a margin far wider than a 1-ulp cross-engine ``ln``
+    divergence could move it (~1e-8 in the floored argument). The rest
+    of the score is immune by construction: idf_micro is an exact
+    integer on both engines once this holds, and the tf-normalization
+    arithmetic is the same IEEE operation sequence in both SQL texts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from databricks_observe_spark.operators.text import (
+        BM25_QUERIES,
+        _bm25_index,
+    )
+
+    dl, df_frame, stats = _bm25_index(tables)
+    n_docs = stats.collect()[0].n_docs
+    probe_toks = {tok for _, toks in BM25_QUERIES for tok in toks}
+    dfs = {
+        r.df
+        for r in df_frame.filter(F.col("tok").isin(*probe_toks)).collect()
+    }
+    assert dfs, "probe terms must hit the fixture vocabulary"
+    for df in dfs:
+        r_nano = max(
+            math.floor((1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e9 + 0.5), 1
+        )
+        v = (math.log(r_nano / 1e9) * 1e6 + 0.5) % 1.0
+        assert min(v, 1.0 - v) > 1e-3, (df, r_nano)
