@@ -1418,16 +1418,23 @@ def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
     points. A downstream pass would cut or down-weight the flagged
     spans; this report is the gate that says where.
 
-    Scale plan — three natural-key shuffles, nothing quadratic:
+    Scale plan — natural-key shuffles only, nothing quadratic, and the
+    hot-gram case handled by AGGREGATION, not a window:
     (1) rolling windows from the memoized token index via ONE doc-keyed
     window pass (collect_list over an ordered {SPAN_K}-row frame — per
     task the frame is a bounded ring buffer, never the whole doc);
-    (2) the cross-document distinct count per gram via the dense_rank /
-    max trick over ONE gram-hash exchange — no per-gram document list is
-    ever materialized, so a hot boilerplate gram shared by millions of
-    documents costs a counter, not a collect_set blowup;
-    (3) the per-doc rollup. Only 16-byte md5 digests shuffle — the gram
-    TEXT never leaves its map task.
+    (2) cross-document flag per gram as ``min(doc_id) < max(doc_id)``
+    — exactly the >= 2-distinct-docs predicate (within-doc repeats give
+    min == max), and min/max partial-aggregate MAP-SIDE, so a
+    boilerplate gram shared by millions of documents collapses to one
+    row per map task before it ever shuffles. (A window formulation —
+    dense_rank/max over partitionBy(h) — was rejected: window
+    partitions cannot be split, so the hot gram would serialize into
+    one task; the aggregate+join form is AQE-skew-splittable.)
+    (3) the flag joins back onto the gram rows on the SAME gram-hash
+    partitioning the aggregate produced, then the per-doc rollup. Only
+    16-byte md5 digests shuffle — the gram TEXT never leaves its map
+    task.
     """
     toks = doc_tokens(t)
     pos = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
@@ -1445,18 +1452,15 @@ def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
         .filter(F.col("klen") == SPAN_K)
         .select("doc_id", "h")
     )
-    # distinct-doc count per gram without materializing doc lists: both
-    # windows share the single gram-hash exchange
-    w_ord = Window.partitionBy("h").orderBy("doc_id")
-    w_all = Window.partitionBy("h")
-    marked = grams.withColumn(
-        "nd", F.max(F.dense_rank().over(w_ord)).over(w_all)
+    flags = grams.groupBy("h").agg(
+        (F.min("doc_id") < F.max("doc_id")).alias("is_dup")
     )
+    marked = grams.join(flags, on="h")
     return (
         marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("nd") >= 2).cast("bigint")).alias("n_dup_grams"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_dup_grams"),
         )
         .filter(F.col("n_dup_grams") >= 1)
         .select(

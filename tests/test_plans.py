@@ -599,21 +599,33 @@ def test_lsh_dedup_recall_probes_indexes_only(tables):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
-def test_duplicated_spans_three_natural_shuffles_no_joins(tables):
+def test_duplicated_spans_natural_shuffles_skew_splittable(tables):
     import re
 
     from databricks_observe_spark.operators import dedup as D
 
     plan = _plan(D.duplicated_spans(tables))
-    # doc-window -> gram-hash count -> doc rollup; digests only, no doc
-    # lists, no joins, and the token index is memoized (no parquet scan)
+    # doc-window -> map-side-combined min/max flag aggregate -> flag
+    # JOIN (a join, not a window, so AQE can split a hot-gram
+    # partition) -> doc rollup; digests only, token index memoized
     keys = [
         m.group(1).split("#")[0]
         for m in re.finditer(r"Exchange hashpartitioning\(([^,]*)", plan)
     ]
-    assert sorted(keys) == ["doc_id", "doc_id", "h"]
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
-              "BroadcastNestedLoopJoin"):
+    # flags broadcast at fixture scale (gram rows never shuffle on h);
+    # at production scale the join shuffles both sides on h — both
+    # shapes are natural-key-only
+    assert sorted(keys) in (
+        ["doc_id", "doc_id", "h"],
+        ["doc_id", "doc_id", "h", "h"],
+    ), keys
+    # the flag aggregate partial-combines before its shuffle (the
+    # hot-gram collapse the docstring claims)
+    assert "partial_min" in plan and "partial_max" in plan
+    for j in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert j not in plan
+    # crucially NOT a window over the gram hash — window partitions
+    # cannot be skew-split
+    assert re.search(r"Window \[[^\]]*\], \[h#", plan) is None
     assert "Scan parquet" not in plan
     assert "PythonUDF" not in plan

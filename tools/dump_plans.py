@@ -316,11 +316,13 @@ COMMENTARY = {
     "duplicated_spans": (
         "ExactSubstr-class triage: rolling 15-token windows from the "
         "memoized token index via one doc-keyed window pass (bounded "
-        "ring-buffer frame), cross-doc distinct counts via the "
-        "dense_rank/max trick over one gram-hash exchange (no per-gram "
-        "doc lists — a boilerplate gram shared by millions of docs "
-        "costs a counter), then the doc rollup. Three natural-key "
-        "shuffles, no joins, only 16-byte digests move."
+        "ring-buffer frame); the cross-doc flag is min(doc_id) < "
+        "max(doc_id) per gram — partial-aggregated MAP-SIDE, so a hot "
+        "boilerplate gram collapses to one row per task before "
+        "shuffling, and the flag joins back as a JOIN (AQE-skew-"
+        "splittable; a window over the gram hash would serialize the "
+        "hot gram into one unsplittable task). Natural-key shuffles "
+        "only; 16-byte digests move, never gram text."
     ),
     "lsh_dedup_recall": (
         "Index-quality gate: exact-Jaccard truth and LSH candidates are "
