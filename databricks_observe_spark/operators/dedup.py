@@ -1407,7 +1407,7 @@ SPAN_K = 15  # tokens per exact-match window
 
 def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
     """Per-document exact duplicated-span coverage: the triage report of
-    ExactSubstr-class dedup (flag verbatim {SPAN_K}-token runs that
+    ExactSubstr-class dedup (flag verbatim 15-token runs that
     appear in MORE THAN ONE document — boilerplate, licenses, templated
     intros — the duplication mode shingle-Jaccard under-weights because
     one long shared run is only a handful of distinct shingles).
@@ -1421,7 +1421,7 @@ def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
     Scale plan — natural-key shuffles only, nothing quadratic, and the
     hot-gram case handled by AGGREGATION, not a window:
     (1) rolling windows from the memoized token index via ONE doc-keyed
-    window pass (collect_list over an ordered {SPAN_K}-row frame — per
+    window pass (collect_list over an ordered SPAN_K-row frame — per
     task the frame is a bounded ring buffer, never the whole doc);
     (2) cross-document flag per gram as ``min(doc_id) < max(doc_id)``
     — exactly the >= 2-distinct-docs predicate (within-doc repeats give
