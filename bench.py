@@ -101,7 +101,13 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = queries()
-    names = [n for n in BENCH_QUERIES if n in qs]
+    # --all (or SPARK_GRAFT_BENCH_ALL=1): sweep EVERY registered query
+    # instead of the headline set — used by tools/scale_sweep.py for the
+    # full-surface growth audit. Default driver behavior is unchanged.
+    if "--all" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names = list(qs)
+    else:
+        names = [n for n in BENCH_QUERIES if n in qs]
 
     # warmup: JVM + parquet footer reads
     qs[names[0]](spark, SF_DIR).count()

@@ -31,7 +31,11 @@ SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
 
 def run_bench(sf: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
+        SPARK_GRAFT_BENCH_ALL="1",  # full registered surface, not headline
+    )
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         env=env,
