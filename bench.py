@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "bm25_scores",
     "lsh_dedup_recall",
     "duplicated_spans",
+    "zone_map_plan",
 ]
 
 

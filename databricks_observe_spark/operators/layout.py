@@ -226,3 +226,133 @@ SELECT rnk, user_id, cnt,
        CAST(CEIL(cnt / median_cnt) AS INT) AS suggested_salt
 FROM top CROSS JOIN stats
 """
+
+
+# --- Zone-map pruning audit (data-skipping planner) -------------------------
+
+# Declared probe predicates on the shipdate clustering column: a wide
+# year, an open-ended tail, and a narrow month — the query shapes a
+# range layout is built for.
+ZONE_PREDICATES = (
+    ("year_1996", "1996-01-01 00:00:00", "1996-12-31 23:59:59"),
+    ("tail_2000h2_on", "2000-07-01 00:00:00", "2101-01-01 00:00:00"),
+    ("month_1997_03", "1997-03-01 00:00:00", "1997-03-31 23:59:59"),
+)
+
+
+def zone_map_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """Data-skipping audit: how much scan would a shipdate range layout
+    prune for the declared predicate shapes? The planning companion to
+    ``zorder_key``/``compaction_plan`` — quantify the win BEFORE paying
+    for the layout rewrite, from one pass over the column.
+
+    Blocks are VALUE-RANGE defined (half-year buckets of ``l_shipdate``
+    — what a range-partitioned write would produce), NOT equal-count
+    ntile: value blocks need no global sort, so the whole audit is one
+    projection scan, a broadcast of the 3-row predicate table, and one
+    tiny (predicate, block) aggregate — no single-task window anywhere
+    (the lateness_report lesson). Per predicate: block prune rate from
+    the block min/max zone maps, rows actually scanned vs matching in
+    the surviving blocks, everything in exact integers / basis points.
+
+    At 100 TB the same plan reads the real per-file footer min/max
+    instead of computing them — this operator is the sizing for that
+    layout, run on the column the files would be clustered by. The
+    cross join multiplies the scan by the predicate count (3x here) —
+    stated, bounded, and embarrassingly parallel.
+    """
+    spark = t["lineitem"].sparkSession
+    preds = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in ZONE_PREDICATES],
+        "predicate string, lo_s string, hi_s string",
+    ).select(
+        "predicate",
+        F.col("lo_s").cast("timestamp").alias("lo"),
+        F.col("hi_s").cast("timestamp").alias("hi"),
+    )
+    d = t["lineitem"].select(F.col("l_shipdate").alias("d"))
+    block = (F.year("d") * 2 + (F.month("d") > 6).cast("int")).alias("block")
+    per_block = (
+        d.crossJoin(F.broadcast(preds))
+        .groupBy("predicate", block)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d").alias("mn"),
+            F.max("d").alias("mx"),
+            F.sum(
+                ((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+                .cast("bigint")
+            ).alias("matching"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    pruned = (F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi"))
+    return (
+        per_block.groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(pruned.cast("bigint")).alias("n_pruned"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.when(pruned, 0).otherwise(F.col("n_rows"))).alias(
+                "rows_scanned"
+            ),
+            F.sum("matching").alias("rows_matching"),
+        )
+        .select(
+            "predicate",
+            "n_blocks",
+            "n_pruned",
+            F.expr("n_pruned * 10000 DIV n_blocks").alias("prune_bp"),
+            "rows_total",
+            "rows_scanned",
+            "rows_matching",
+            F.expr(
+                "CASE WHEN rows_scanned = 0 THEN CAST(10000 AS BIGINT)"
+                " ELSE rows_matching * 10000 DIV rows_scanned END"
+            ).alias("scan_efficiency_bp"),
+        )
+    )
+
+
+def _zone_map_sql() -> str:
+    values = ", ".join(
+        f"('{n}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for n, lo, hi in ZONE_PREDICATES
+    )
+    return f"""
+WITH preds AS (SELECT * FROM (VALUES {values}) AS v(predicate, lo, hi)),
+per_block AS (
+  SELECT p.predicate,
+         year(l.l_shipdate) * 2
+           + CASE WHEN month(l.l_shipdate) > 6 THEN 1 ELSE 0 END AS block,
+         COUNT(*) AS n_rows,
+         MIN(l.l_shipdate) AS mn,
+         MAX(l.l_shipdate) AS mx,
+         SUM(CASE WHEN l.l_shipdate >= p.lo AND l.l_shipdate <= p.hi
+                  THEN 1 ELSE 0 END) AS matching,
+         MIN(p.lo) AS lo, MAX(p.hi) AS hi
+  FROM lineitem l CROSS JOIN preds p
+  GROUP BY 1, 2
+)
+SELECT predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS prune_bp,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN 0 ELSE n_rows END)
+            AS BIGINT) AS rows_scanned,
+       CAST(SUM(matching) AS BIGINT) AS rows_matching,
+       CAST(CASE WHEN SUM(CASE WHEN mx < lo OR mn > hi THEN 0 ELSE n_rows END) = 0
+                 THEN 10000
+                 ELSE SUM(matching) * 10000
+                      // SUM(CASE WHEN mx < lo OR mn > hi THEN 0 ELSE n_rows END)
+            END AS BIGINT) AS scan_efficiency_bp
+FROM per_block
+GROUP BY predicate
+"""
+
+
+ZONE_MAP_PLAN_SQL = _zone_map_sql()

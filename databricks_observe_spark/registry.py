@@ -129,6 +129,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "zorder_key": (layout.zorder_key, layout.ZORDER_KEY_SQL),
     # join-key skew diagnosis: hottest keys, share, salt sizing
     "skew_report": (layout.skew_report, layout.SKEW_REPORT_SQL),
+    # data-skipping audit: zone-map prune rates for declared predicates
+    "zone_map_plan": (layout.zone_map_plan, layout.ZONE_MAP_PLAN_SQL),
     # DLT-expectations data-quality gate: per-constraint pass/fail in one scan
     "expectations_report": (
         catalog_ops.expectations_report,
@@ -429,8 +431,9 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #
 # ROUND-7 ROTATION DEBT (computed from CORRECTNESS_r0{3,4,5}.json newest-
 # green-row set differences, assuming the 50 rows above go green in r06):
-# 28 queries whose newest green row is r04 MUST head round 7's _PRIORITY
-# (they would be three rounds stale otherwise): ann_bruteforce_topk,
+# 29 queries whose newest green row is r04 MUST head round 7's _PRIORITY
+# (they would be three rounds stale otherwise): user_sessions,
+# ann_bruteforce_topk,
 # ann_lsh_topk, asof_last_error_before_purchase, deterministic_sample,
 # dormant_customers, events_cube, exact_dedup, hash_split,
 # high_value_events, ivf_ann_topk, kmeans_clusters,
@@ -439,10 +442,10 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # order_value_percentiles, returned_item_revenue, segment_order_stats,
 # signup_purchase_window, simhash_fingerprints, sliding_daily,
 # text_stats, tfidf_keywords, top_balance_per_nation,
-# urgent_order_customers, user_value_zscores. The remaining ~22 cap slots
+# urgent_order_customers, user_value_zscores. The remaining ~21 cap slots
 # take the oldest of the 42 r05-green rows, so the r08 head (20 leftover
 # r05 rows + that round's new/changed) still fits under the cap — the
-# two-round rule stays satisfiable at 121 registered queries (needs ~41
+# two-round rule stays satisfiable at 122 registered queries (needs ~41
 # refreshes/round against the 50-row budget).
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
@@ -476,6 +479,7 @@ _PRIORITY = [
     "bm25_scores",
     "lsh_dedup_recall",
     "duplicated_spans",
+    "zone_map_plan",
     # (d) code or oracle changed this round
     "schema_drift",
     "normalized_dedup",
@@ -498,7 +502,6 @@ _PRIORITY = [
     "state_transitions",
     "first_completed",
     "tumbling_hourly",
-    "user_sessions",
 ]
 
 

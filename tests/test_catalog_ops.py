@@ -222,3 +222,26 @@ def test_observability_report_flags_drift_first(tables, spark):
     rows = {r.table: r.health for r in C.observability_report(t2).collect()}
     assert rows["region"] == "schema_drift"
     assert all(h in ("ok", "compact") for tbl, h in rows.items() if tbl != "region")
+
+
+def test_zone_map_plan_semantics(tables):
+    from databricks_observe_spark.operators import layout as L
+
+    rows = {r.predicate: r for r in L.zone_map_plan(tables).collect()}
+    assert set(rows) == {n for n, _, _ in L.ZONE_PREDICATES}
+    total = tables["lineitem"].count()
+    for r in rows.values():
+        assert r.rows_total == total
+        assert 0 <= r.n_pruned < r.n_blocks
+        assert r.rows_scanned + 0 <= r.rows_total
+        assert r.rows_matching <= r.rows_scanned  # matches survive pruning
+        assert 0 <= r.prune_bp < 10000
+        assert 0 < r.scan_efficiency_bp <= 10000
+    # the wide year predicate must prune most half-year blocks and scan
+    # with perfect efficiency (year ranges align with block boundaries)
+    y = rows["year_1996"]
+    assert y.prune_bp >= 7000
+    assert y.scan_efficiency_bp == 10000
+    # the narrow month scans a superset of its matches
+    m = rows["month_1997_03"]
+    assert m.rows_matching < m.rows_scanned

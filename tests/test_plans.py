@@ -629,3 +629,23 @@ def test_duplicated_spans_natural_shuffles_skew_splittable(tables):
     assert re.search(r"Window \[[^\]]*\], \[h#", plan) is None
     assert "Scan parquet" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_zone_map_plan_single_column_scan_two_exchanges(tables):
+    import re
+
+    from databricks_observe_spark.operators import layout as L
+
+    plan = _plan(L.zone_map_plan(tables))
+    # the audit reads ONLY the clustering column
+    assert "ReadSchema: struct<l_shipdate:timestamp" in plan
+    # one (predicate, block) aggregate + the final per-predicate rollup;
+    # the only nested-loop shape is the 3-row predicate broadcast
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # map-side combine before the block shuffle
+    assert "partial_min" in plan and "partial_count" in plan
+    # no global-sort ntile anywhere: blocks are value-defined
+    assert re.search(r"Window \[", plan) is None

@@ -313,6 +313,15 @@ COMMENTARY = {
         "at most k rows per query. Integer micro-unit scores, "
         "quantize-before-log idf, nothing corpus-squared."
     ),
+    "zone_map_plan": (
+        "Data-skipping audit: one projection scan of ONLY the clustering "
+        "column (ReadSchema is the single shipdate field), the 3-row "
+        "predicate table broadcast onto it, one (predicate, block) "
+        "aggregate with map-side combine, one per-predicate rollup. "
+        "Blocks are value-range defined — no global-sort ntile, no "
+        "single-task window. At 100 TB the same plan reads per-file "
+        "footer min/max instead of computing them."
+    ),
     "duplicated_spans": (
         "ExactSubstr-class triage: rolling 15-token windows from the "
         "memoized token index via one doc-keyed window pass (bounded "
