@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "lsh_dedup_recall",
     "duplicated_spans",
     "zone_map_plan",
+    "range_join_incidents",
 ]
 
 

@@ -618,3 +618,84 @@ SELECT user_id,
        )}
 FROM events GROUP BY user_id
 """
+
+
+def range_join_incidents(t: dict[str, DataFrame]) -> DataFrame:
+    """Range (interval-containment) join, done without a nested-loop plan:
+    every event is attributed to each 2-hour "incident window" it falls
+    inside, where a window opens at the start of any hour containing a
+    severe error (``event_type = 'error' AND value > 95``).
+
+    Spark has no native range-join operator — a raw
+    ``probe.join(windows, BETWEEN-predicate)`` plans a
+    BroadcastNestedLoopJoin, O(|probe| x |windows|) comparisons. This
+    rebuilds it as the standard interval-bucketing decomposition: because
+    every window is exactly 2 aligned hours, ``ts IN [w_start, w_start+2h)``
+    iff ``date_trunc('hour', ts) IN {w_start, w_start+1h}`` — so the window
+    side explodes into its (at most 2) covering hour buckets and the join
+    becomes a plain equi hash join on the bucket, with the residual
+    containment predicate kept for semantic clarity (Catalyst folds it).
+
+    100 TB stance: the interval side is bounded by calendar hours (~9k/year
+    regardless of data volume) — broadcast it; the event stream is joined
+    map-side with zero shuffle, and the only exchange is the final
+    tens-of-rows per-window aggregate. For an interval side too large to
+    broadcast, the same decomposition degrades gracefully to a shuffled
+    hash join on the bucket key — never a nested loop. Arbitrary-length
+    intervals use the identical shape with ``sequence(start, end)``
+    generating the covering buckets.
+
+    Reference anchor: SURVEY.md §2.7 (the reference's cadence/monitoring
+    machinery rebuilt as declarative time-window operators); the
+    incident-window attribution mirrors the reference's poll-loop
+    "what ran while this was failing" triage question.
+    """
+    ev = t["events"]
+    windows = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 95))
+        .select(F.date_trunc("hour", "ts").alias("w_start"))
+        .distinct()
+    )
+    buckets = windows.select(
+        "w_start",
+        F.explode(
+            F.array(F.col("w_start"), F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    probe = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "ts", "user_id", "value"
+    )
+    hits = probe.join(F.broadcast(buckets), "bucket").where(
+        (F.col("ts") >= F.col("w_start"))
+        & (F.col("ts") < F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    return (
+        hits.groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w_start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+RANGE_JOIN_INCIDENTS_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS w_start
+  FROM events
+  WHERE event_type = 'error' AND value > 95
+)
+SELECT strftime(w.w_start, '{_TS_FMT_DUCK}') AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w JOIN events e
+  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 2 HOUR
+GROUP BY w.w_start
+"""

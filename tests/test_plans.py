@@ -649,3 +649,23 @@ def test_zone_map_plan_single_column_scan_two_exchanges(tables):
     assert "partial_min" in plan and "partial_count" in plan
     # no global-sort ntile anywhere: blocks are value-defined
     assert re.search(r"Window \[", plan) is None
+
+
+def test_range_join_incidents_bucketed_never_nested_loop(tables):
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.range_join_incidents(tables))
+    # the interval-containment join is decomposed into an equi hash join
+    # on the covering hour bucket — the raw BETWEEN predicate would plan
+    # a BroadcastNestedLoopJoin, O(|probe| x |windows|)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # severe-error window predicate pushed to the interval-side scan
+    assert "EqualTo(event_type,error)" in plan
+    assert "GreaterThan(value,95.0)" in plan
+    # probe scan pruned to the three referenced columns
+    assert "ReadSchema: struct<ts:timestamp" in plan
+    # map-side combine on the final per-window aggregate
+    assert "partial_count" in plan
