@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "duplicated_spans",
     "zone_map_plan",
     "range_join_incidents",
+    "time_rollup_multigrain",
 ]
 
 

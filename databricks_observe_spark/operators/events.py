@@ -699,3 +699,54 @@ FROM w JOIN events e
   ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 2 HOUR
 GROUP BY w.w_start
 """
+
+
+def time_rollup_multigrain(t: dict[str, DataFrame]) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour -> day -> grand-total
+    grains computed in ONE pass via ROLLUP, not one job per grain.
+
+    The timeseries-database pattern (continuous aggregates / hypertable
+    rollups) maintains the same measure at several time granularities.
+    Running N separate GROUP BYs scans the events stream N times; ROLLUP
+    plans a single scan with an Expand (one input row fans into its three
+    grain rows map-side) feeding ONE hash aggregate with partial combine —
+    the scan and the shuffle are shared across every grain. ``grain`` is
+    the grouping_id bitmask (0 = hour, 1 = day, 3 = grand total), the
+    standard disambiguator for NULL-vs-rolled-up grouping columns.
+
+    100 TB stance: input-proportional work is the single events scan; the
+    Expand triples map-side rows BEFORE partial aggregation collapses them
+    to (day x hour) cardinality, so the shuffle stays output-sized. The
+    distinct-user count shares the same Expand pass (Spark plans the
+    two-phase distinct aggregate inside it).
+
+    Reference anchor: SURVEY.md §2.4/§2.7 — the reference reads per-grain
+    metrics from precomputed service tables; the rebuild computes every
+    grain declaratively from the raw stream.
+    """
+    ev = t["events"].select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), _TS_FMT).alias("hour"),
+        "user_id",
+        "value",
+    )
+    return ev.rollup("day", "hour").agg(
+        F.grouping_id().alias("grain"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+TIME_ROLLUP_MULTIGRAIN_SQL = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS hour,
+       CAST(GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                     strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}')) AS BIGINT)
+         AS grain,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (day, hour)
+"""

@@ -203,6 +203,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         events.range_join_incidents,
         events.RANGE_JOIN_INCIDENTS_SQL,
     ),
+    # hypertable-style multi-grain rollup: every grain from one Expand scan
+    "time_rollup_multigrain": (
+        events.time_rollup_multigrain,
+        events.TIME_ROLLUP_MULTIGRAIN_SQL,
+    ),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -437,9 +442,10 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #
 # ROUND-7 ROTATION DEBT (computed from CORRECTNESS_r0{3,4,5}.json newest-
 # green-row set differences, assuming the 50 rows above go green in r06):
-# 30 queries whose newest green row is r04 MUST head round 7's _PRIORITY
-# (they would be three rounds stale otherwise): tumbling_hourly (displaced
-# from the r06 cap by range_join_incidents), user_sessions,
+# 31 queries whose newest green row is r04 MUST head round 7's _PRIORITY
+# (they would be three rounds stale otherwise): tumbling_hourly and
+# first_completed (displaced from the r06 cap by range_join_incidents and
+# time_rollup_multigrain), user_sessions,
 # ann_bruteforce_topk,
 # ann_lsh_topk, asof_last_error_before_purchase, deterministic_sample,
 # dormant_customers, events_cube, exact_dedup, hash_split,
@@ -452,7 +458,7 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # urgent_order_customers, user_value_zscores. The remaining ~21 cap slots
 # take the oldest of the 42 r05-green rows, so the r08 head (20 leftover
 # r05 rows + that round's new/changed) still fits under the cap — the
-# two-round rule stays satisfiable at 123 registered queries (needs ~41
+# two-round rule stays satisfiable at 124 registered queries (needs ~42
 # refreshes/round against the 50-row budget).
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
@@ -507,10 +513,11 @@ _PRIORITY = [
     "shipping_priority",
     "top_orders_per_customer",
     "state_transitions",
-    "first_completed",
-    # new late in the round: the range-join operator class (first driver row
-    # takes the last cap slot; tumbling_hourly moves to the r07 head)
+    # new late in the round: the range-join and multi-grain-rollup operator
+    # classes (first driver rows take the last cap slots; tumbling_hourly
+    # and first_completed move to the r07 head)
     "range_join_incidents",
+    "time_rollup_multigrain",
 ]
 
 

@@ -669,3 +669,19 @@ def test_range_join_incidents_bucketed_never_nested_loop(tables):
     assert "ReadSchema: struct<ts:timestamp" in plan
     # map-side combine on the final per-window aggregate
     assert "partial_count" in plan
+
+
+def test_time_rollup_multigrain_one_scan_one_expand(tables):
+    import re
+
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.time_rollup_multigrain(tables))
+    # every grain from ONE scan: the Expand fans rows into grain tuples
+    # map-side instead of one job per granularity
+    assert plan.count("FileScan") == 1
+    assert plan.count("Expand") == 1
+    # two-phase distinct aggregate only — no extra shuffles, no joins
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2
+    assert "partial_count" in plan
+    assert "Join" not in plan
