@@ -347,6 +347,24 @@ COMMENTARY = {
         "shown is the final round; earlier rounds are "
         "checkpoint-truncated by design."
     ),
+    "range_join_incidents": (
+        "Interval-containment join WITHOUT a nested loop: the raw "
+        "BETWEEN predicate would plan BroadcastNestedLoopJoin "
+        "(O(|probe| x |windows|)); instead each fixed-width window "
+        "explodes into its covering hour buckets and the join is one "
+        "BroadcastHashJoin on the bucket with the containment predicate "
+        "as a residual. Severe-error filters are pushed into the "
+        "window-side scan; the probe scan is pruned to three columns "
+        "and never shuffles — the only exchange is the tens-of-rows "
+        "per-window aggregate."
+    ),
+    "time_rollup_multigrain": (
+        "Hypertable-style continuous aggregate: ONE events scan feeds "
+        "an Expand that fans each row into its hour/day/grand-total "
+        "grain tuples map-side, collapsed by a single two-phase "
+        "distinct aggregate — every grain from one scan and at most "
+        "two exchanges, where per-grain jobs would scan N times."
+    ),
 }
 
 
