@@ -241,3 +241,75 @@ def test_event_type_pivot_matrix_totals(tables):
         r.click + r.error + r.purchase + r.signup + r.view for r in rows
     )
     assert total == tables["events"].count()
+
+
+def test_range_join_matches_naive_interval_join(tables):
+    """The bucket-decomposed range join must equal the naive BETWEEN
+    formulation (which Spark would plan as a nested loop) row for row."""
+    got = {
+        (r.window_start, r.n_events, r.n_users, r.sum_value)
+        for r in E.range_join_incidents(tables).collect()
+    }
+    ev = tables["events"]
+    windows = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 95))
+        .select(F.date_trunc("hour", "ts").alias("w_start"))
+        .distinct()
+    )
+    naive = (
+        ev.join(
+            windows,
+            (F.col("ts") >= F.col("w_start"))
+            & (F.col("ts") < F.col("w_start") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("window_start"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+    want = {
+        (r.window_start, r.n_events, r.n_users, r.sum_value) for r in naive.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_time_rollup_grains_consistent(tables):
+    """Each ROLLUP grain must equal the equivalent standalone GROUP BY,
+    and finer grains must sum exactly to coarser ones."""
+    rows = E.time_rollup_multigrain(tables).collect()
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r.grain, []).append(r)
+    assert set(by_grain) == {0, 1, 3}
+    # grand total equals the raw count
+    total = by_grain[3][0]
+    assert total.day is None and total.hour is None
+    assert total.n_events == tables["events"].count()
+    # hour rows sum to their day row; day rows sum to the grand total
+    day_from_hours = {}
+    for r in by_grain[0]:
+        day_from_hours[r.day] = day_from_hours.get(r.day, 0) + r.n_events
+    day_rows = {r.day: r.n_events for r in by_grain[1]}
+    assert day_from_hours == day_rows
+    assert sum(day_rows.values()) == total.n_events
+    # a day's standalone aggregate matches the rollup's day grain
+    some_day = by_grain[1][0].day
+    standalone = (
+        tables["events"]
+        .where(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == some_day)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .collect()[0]
+    )
+    got_day = next(r for r in by_grain[1] if r.day == some_day)
+    assert (got_day.n_events, got_day.n_users) == (standalone.n, standalone.u)
