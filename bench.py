@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "zone_map_plan",
     "range_join_incidents",
     "time_rollup_multigrain",
+    "weighted_sample_topk",
 ]
 
 

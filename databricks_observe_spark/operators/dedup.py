@@ -1501,3 +1501,74 @@ FROM grams LEFT JOIN shared s USING (h)
 GROUP BY doc_id
 HAVING SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) >= 1
 """
+
+
+# A-ES weighted sampling: winners kept per source stratum, and the exact
+# double u = (h52 + 1) / (2^52 + 1) in (0, 1) — both the 52-bit hash
+# integer and the denominator are exactly representable, so the division
+# is a single correctly-rounded IEEE op with identical bits on every
+# engine.
+AES_K = 10
+_AES_U_DENOM = 4503599627370497.0  # 2^52 + 1
+
+
+def weighted_sample_topk(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): the
+    top-``AES_K`` documents per source, selected with probability
+    proportional to weight (``n_chars``) — the quality/length-weighted
+    sampler a curation pipeline uses where ``deterministic_sample`` is
+    its uniform cousin, with the same content-stable reproducibility
+    guarantee: no RNG, no row positions, identical winners on every
+    engine, run, and partitioning.
+
+    A-ES keeps the k largest ``u^(1/w)`` (u uniform per row); ordering by
+    ``u^(1/w)`` is ordering by ``ln(u)/w``, which avoids the pow. The
+    cross-engine determinism ladder, every step bit-exact except one:
+    u is an exact IEEE division of two exactly-representable integers;
+    ``ln(u)`` — the ONE libm step engines may round differently by an
+    ulp — is immediately floored to integer micro-units, with the floor
+    margin VERIFIED at the fixtures (`test_aes_ln_floor_margin`, the
+    same guard as the unigram/bm25 quantize-before-log path: an ulp of
+    slack ~4e-9 micro vs an asserted boundary distance > 1e-3); the
+    final key is fl(int)/fl(int), correctly rounded and identical.
+
+    100 TB stance: one projection over the documents scan (no joins, the
+    md5/ln arithmetic is whole-stage-codegen JVM), one shuffle on the
+    stratum key, and Spark pushes the rank<=k predicate into the sort as
+    WindowGroupLimit, so each task retains k rows per stratum — never a
+    global sort, never a driver-side collect. Skewed strata split via
+    AQE exactly like any per-key top-k.
+
+    Reference anchor: SURVEY.md §2.6 (top-k per key) x BASELINE.json's
+    curation north star; complements ``stratified_sample`` (per-language
+    fractions) and ``hash_split`` (stable partitions).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(_AES_U_DENOM)
+    lnu_micro = F.floor(F.log(u) * F.lit(1000000.0)).cast("bigint")
+    key = lnu_micro.cast("double") / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("aes_key").desc(), "doc_id")
+    return (
+        t["documents"]
+        .select("source", "doc_id", "n_chars", key.alias("aes_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= AES_K)
+    )
+
+
+WEIGHTED_SAMPLE_TOPK_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(CAST(FLOOR(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                              AS BIGINT) + 1) / {_AES_U_DENOM!r}) * 1000000.0) AS BIGINT)
+              AS DOUBLE) / CAST(n_chars AS DOUBLE) AS aes_key
+  FROM documents
+)
+SELECT source, doc_id, n_chars, aes_key, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY aes_key DESC, doc_id)
+            AS rank
+  FROM keyed
+) WHERE rank <= {AES_K}
+"""

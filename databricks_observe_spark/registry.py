@@ -234,6 +234,11 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         pipeline.CURATION_PIPELINE_E2E_SQL,
     ),
     "deterministic_sample": (dedup.deterministic_sample, dedup.DETERMINISTIC_SAMPLE_SQL),
+    # A-ES weighted sampling: content-stable, weight-proportional winners
+    "weighted_sample_topk": (
+        dedup.weighted_sample_topk,
+        dedup.WEIGHTED_SAMPLE_TOPK_SQL,
+    ),
     # per-source duplicate-rate health report (basis points, integer)
     "per_source_dedup_rate": (
         dedup.per_source_dedup_rate,
@@ -442,10 +447,11 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #
 # ROUND-7 ROTATION DEBT (computed from CORRECTNESS_r0{3,4,5}.json newest-
 # green-row set differences, assuming the 50 rows above go green in r06):
-# 31 queries whose newest green row is r04 MUST head round 7's _PRIORITY
-# (they would be three rounds stale otherwise): tumbling_hourly and
-# first_completed (displaced from the r06 cap by range_join_incidents and
-# time_rollup_multigrain), user_sessions,
+# 32 queries whose newest green row is r04 MUST head round 7's _PRIORITY
+# (they would be three rounds stale otherwise): tumbling_hourly,
+# first_completed and state_transitions (displaced from the r06 cap by
+# range_join_incidents, time_rollup_multigrain and weighted_sample_topk),
+# user_sessions,
 # ann_bruteforce_topk,
 # ann_lsh_topk, asof_last_error_before_purchase, deterministic_sample,
 # dormant_customers, events_cube, exact_dedup, hash_split,
@@ -458,7 +464,7 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # urgent_order_customers, user_value_zscores. The remaining ~21 cap slots
 # take the oldest of the 42 r05-green rows, so the r08 head (20 leftover
 # r05 rows + that round's new/changed) still fits under the cap — the
-# two-round rule stays satisfiable at 124 registered queries (needs ~42
+# two-round rule stays satisfiable at 125 registered queries (needs ~42
 # refreshes/round against the 50-row budget).
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
@@ -512,12 +518,13 @@ _PRIORITY = [
     "object_count_rollup",
     "shipping_priority",
     "top_orders_per_customer",
-    "state_transitions",
-    # new late in the round: the range-join and multi-grain-rollup operator
-    # classes (first driver rows take the last cap slots; tumbling_hourly
-    # and first_completed move to the r07 head)
+    # new late in the round: the range-join, multi-grain-rollup and A-ES
+    # weighted-sampling operator classes (first driver rows take the last
+    # cap slots; tumbling_hourly, first_completed and state_transitions
+    # move to the r07 head)
     "range_join_incidents",
     "time_rollup_multigrain",
+    "weighted_sample_topk",
 ]
 
 

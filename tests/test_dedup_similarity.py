@@ -575,3 +575,36 @@ def test_duplicated_spans_flags_verbatim_runs_only(spark, tables):
         assert 0 < rows[d].dup_span_bp <= 10000
         # the shared run is 15 tokens = exactly one window per doc
         assert rows[d].n_dup_grams == 1
+
+
+def test_aes_ln_floor_margin(tables):
+    """The ONE non-bit-exact step in weighted_sample_topk is ln(u); its
+    output is floored to integer micro-units. Verify at the fixtures that
+    no ln(u)*1e6 value sits near a floor boundary (ulp-scale cross-engine
+    divergence is ~4e-9 micro-units; require > 1e-3 of slack)."""
+    from databricks_observe_spark.operators.dedup import _AES_U_DENOM
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    lnu = F.log((h + F.lit(1)).cast("double") / F.lit(_AES_U_DENOM)) * F.lit(1e6)
+    frac = lnu - F.floor(lnu)
+    row = (
+        tables["documents"]
+        .select(F.min(frac).alias("lo"), F.max(frac).alias("hi"))
+        .collect()[0]
+    )
+    assert row.lo > 1e-3 and row.hi < 1 - 1e-3
+
+
+def test_weighted_sample_favors_heavy_documents(tables):
+    """A-ES with weight = n_chars must bias winners toward longer docs:
+    the winners' mean length exceeds the corpus mean."""
+    from databricks_observe_spark.operators.dedup import AES_K, weighted_sample_topk
+
+    out = weighted_sample_topk(tables)
+    per_source = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(c == AES_K for c in per_source.values())
+    win_mean = out.agg(F.avg("n_chars")).collect()[0][0]
+    corpus_mean = tables["documents"].agg(F.avg("n_chars")).collect()[0][0]
+    assert win_mean > corpus_mean

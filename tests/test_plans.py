@@ -685,3 +685,19 @@ def test_time_rollup_multigrain_one_scan_one_expand(tables):
     assert len(re.findall(r"\bExchange\b", plan)) <= 2
     assert "partial_count" in plan
     assert "Join" not in plan
+
+
+def test_weighted_sample_topk_windowgrouplimit_no_joins(tables):
+    import re
+
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.weighted_sample_topk(tables))
+    # rank<=k pushed into the sort: partial + final WindowGroupLimit keep
+    # k rows per stratum per task — never a global sort or full-stratum sort
+    assert plan.count("WindowGroupLimit") == 2
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    # the scan never reads the text column — weights come from n_chars
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
