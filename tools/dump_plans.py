@@ -365,6 +365,14 @@ COMMENTARY = {
         "distinct aggregate — every grain from one scan and at most "
         "two exchanges, where per-grain jobs would scan N times."
     ),
+    "weighted_sample_topk": (
+        "Deterministic A-ES weighted sampling: one 3-column scan (the "
+        "text column is never read), whole-stage-codegen md5/ln key "
+        "arithmetic, one stratum shuffle, and the rank<=k predicate "
+        "pushed into the sort as partial + final WindowGroupLimit — "
+        "each task retains k rows per stratum, so there is no global "
+        "sort and no full-stratum materialization at any scale."
+    ),
 }
 
 
