@@ -216,7 +216,15 @@ def ngram_jaccard_pairs_capped(
     measured ~2x SLOWER here — transform/filter lambdas run interpreted
     per element, losing to the whole-stage-codegen hash self-join even
     though it saves a shuffle. The join form stays.
+
+    Memoized + materialized exactly like the exact twin's
+    ``_jaccard_pairs`` (default cap only — a caller-supplied cap returns
+    an unmemoized plan): at 100 TB this IS the candidate-pair table the
+    curation pipeline writes per corpus snapshot (the exact form is the
+    oracle anchor; this is the production artifact).
     """
+    if max_df == MAX_SHINGLE_DF and "_jaccard_pairs_capped" in t:
+        return t["_jaccard_pairs_capped"]
     sh = _shingled(t)
     sizes = _shingle_sizes(t)
     kept = _shingle_df(t).filter(
@@ -233,7 +241,7 @@ def ngram_jaccard_pairs_capped(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
+    out = (
         inter.join(sa, on="doc_a")
         .join(sb, on="doc_b")
         .withColumn(
@@ -243,6 +251,10 @@ def ngram_jaccard_pairs_capped(
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+    if max_df != MAX_SHINGLE_DF:
+        return out
+    t["_jaccard_pairs_capped"] = out.localCheckpoint()
+    return t["_jaccard_pairs_capped"]
 
 
 NGRAM_JACCARD_PAIRS_CAPPED_SQL = f"""
