@@ -20,7 +20,7 @@ SETUP_INDEX_NAMES = [
     "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
     "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
     "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
-    "langid_trained_profiles",
+    "langid_trained_profiles", "jaccard_pairs_capped",
 ]
 
 
@@ -37,6 +37,7 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _shingled,
         _simhash_fps,
         minhash_signatures,
+        ngram_jaccard_pairs_capped,
     )
     from databricks_observe_spark.operators.similarity import (
         _bucketed,
@@ -61,6 +62,7 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _bm25_index, _langid_profiles, _textrank_graph, _doubled,
         _centroids_bc, _query_set_bc, _ivf_assigned, _quantized,
         _cluster_labels, _file_stats, _semdedup_assigned,
+        ngram_jaccard_pairs_capped,
     ):
         build(ctx)
 
