@@ -1524,6 +1524,19 @@ AES_K = 10
 _AES_U_DENOM = 4503599627370497.0  # 2^52 + 1
 
 
+def _aes_lnu_scaled():
+    """``ln(u) * 1e6`` for the A-ES key, PRE-floor — the one libm step in
+    the pipeline. Shared by the operator (which floors it to micro-units)
+    and the floor-margin guard ``test_aes_ln_floor_margin`` (which checks
+    the boundary distance of exactly this expression), so the guard can
+    never silently drift from the operator's actual arithmetic."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(_AES_U_DENOM)
+    return F.log(u) * F.lit(1000000.0)
+
+
 def weighted_sample_topk(t: dict[str, DataFrame]) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): the
     top-``AES_K`` documents per source, selected with probability
@@ -1555,11 +1568,7 @@ def weighted_sample_topk(t: dict[str, DataFrame]) -> DataFrame:
     curation north star; complements ``stratified_sample`` (per-language
     fractions) and ``hash_split`` (stable partitions).
     """
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
-    ).cast("bigint")
-    u = (h + F.lit(1)).cast("double") / F.lit(_AES_U_DENOM)
-    lnu_micro = F.floor(F.log(u) * F.lit(1000000.0)).cast("bigint")
+    lnu_micro = F.floor(_aes_lnu_scaled()).cast("bigint")
     key = lnu_micro.cast("double") / F.col("n_chars").cast("double")
     w = Window.partitionBy("source").orderBy(F.col("aes_key").desc(), "doc_id")
     return (

@@ -633,17 +633,25 @@ def range_join_incidents(t: dict[str, DataFrame]) -> DataFrame:
     every window is exactly 2 aligned hours, ``ts IN [w_start, w_start+2h)``
     iff ``date_trunc('hour', ts) IN {w_start, w_start+1h}`` — so the window
     side explodes into its (at most 2) covering hour buckets and the join
-    becomes a plain equi hash join on the bucket, with the residual
-    containment predicate kept for semantic clarity (Catalyst folds it).
+    becomes a plain equi hash join on the bucket. The containment
+    predicate is kept as the join's non-equi residual (evaluated per
+    joined row — cheap, and redundant only because the windows are
+    bucket-aligned; it becomes load-bearing the moment window width
+    stops being a whole number of buckets).
 
     100 TB stance: the interval side is bounded by calendar hours (~9k/year
-    regardless of data volume) — broadcast it; the event stream is joined
-    map-side with zero shuffle, and the only exchange is the final
-    tens-of-rows per-window aggregate. For an interval side too large to
-    broadcast, the same decomposition degrades gracefully to a shuffled
-    hash join on the bucket key — never a nested loop. Arbitrary-length
-    intervals use the identical shape with ``sequence(start, end)``
-    generating the covering buckets.
+    regardless of data volume) — broadcast it, so the JOIN itself is
+    map-side with no shuffle of the event stream. What DOES shuffle is
+    the output aggregate: per-window n_users is an exact COUNT DISTINCT,
+    planned as the standard two-phase distinct aggregate whose first hop
+    is keyed on (window, user) — distinct window-x-user cardinality, the
+    honest price of an exact distinct (swap in approx_count_distinct to
+    make that hop partial-aggregated HLL sketches when windows are hot);
+    the window-side DISTINCT adds one hours-sized exchange. For an
+    interval side too large to broadcast, the same decomposition degrades
+    gracefully to a shuffled hash join on the bucket key — never a nested
+    loop. Arbitrary-length intervals use the identical shape with
+    ``sequence(start, end)`` generating the covering buckets.
 
     Reference anchor: SURVEY.md §2.7 (the reference's cadence/monitoring
     machinery rebuilt as declarative time-window operators); the

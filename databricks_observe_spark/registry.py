@@ -461,11 +461,12 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # order_value_percentiles, returned_item_revenue, segment_order_stats,
 # signup_purchase_window, simhash_fingerprints, sliding_daily,
 # text_stats, tfidf_keywords, top_balance_per_nation,
-# urgent_order_customers, user_value_zscores. The remaining ~21 cap slots
-# take the oldest of the 42 r05-green rows, so the r08 head (20 leftover
-# r05 rows + that round's new/changed) still fits under the cap — the
-# two-round rule stays satisfiable at 125 registered queries (needs ~42
-# refreshes/round against the 50-row budget).
+# urgent_order_customers, user_value_zscores. With 32 mandatory head
+# entries the remaining ~18 cap slots take the oldest of the 42
+# r05-green rows, so the r08 head (~24 leftover r05 rows + that round's
+# new/changed) still fits under the cap — the two-round rule stays
+# satisfiable at 125 registered queries (needs ~42 refreshes/round
+# against the 50-row budget).
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
     # (b) r03-stale — mandatory refresh this round

@@ -582,12 +582,9 @@ def test_aes_ln_floor_margin(tables):
     output is floored to integer micro-units. Verify at the fixtures that
     no ln(u)*1e6 value sits near a floor boundary (ulp-scale cross-engine
     divergence is ~4e-9 micro-units; require > 1e-3 of slack)."""
-    from databricks_observe_spark.operators.dedup import _AES_U_DENOM
+    from databricks_observe_spark.operators.dedup import _aes_lnu_scaled
 
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
-    ).cast("bigint")
-    lnu = F.log((h + F.lit(1)).cast("double") / F.lit(_AES_U_DENOM)) * F.lit(1e6)
+    lnu = _aes_lnu_scaled()
     frac = lnu - F.floor(lnu)
     row = (
         tables["documents"]

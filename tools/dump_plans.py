@@ -353,10 +353,13 @@ COMMENTARY = {
         "(O(|probe| x |windows|)); instead each fixed-width window "
         "explodes into its covering hour buckets and the join is one "
         "BroadcastHashJoin on the bucket with the containment predicate "
-        "as a residual. Severe-error filters are pushed into the "
-        "window-side scan; the probe scan is pruned to three columns "
-        "and never shuffles — the only exchange is the tens-of-rows "
-        "per-window aggregate."
+        "as its non-equi residual. Severe-error filters are pushed into "
+        "the window-side scan; the probe scan is pruned to three "
+        "columns and the JOIN shuffles nothing. The exchanges are the "
+        "output aggregate's: the window-side DISTINCT (hours-sized) and "
+        "the two-phase exact COUNT DISTINCT of users whose first hop is "
+        "keyed (window, user) — swap in approx_count_distinct when "
+        "window-x-user cardinality is hot."
     ),
     "time_rollup_multigrain": (
         "Hypertable-style continuous aggregate: ONE events scan feeds "
