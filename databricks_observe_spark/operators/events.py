@@ -200,6 +200,21 @@ def user_value_zscores(t: dict[str, DataFrame]) -> DataFrame:
     variance is computed from order-independent quantities — `stddev_samp`
     over doubles would drift with aggregation order. Flags |z| > 3
     outliers, the classic observability signal over a metric stream.
+
+    Degenerate-moment guard, exercised by
+    ``test_zscore_constant_user_agrees_across_engines``:
+
+    - The variance NUMERATOR is clamped at zero: ``s2 - s1*s1/n`` comes
+      from two independently rounded decimal->double casts, so a
+      constant-value user can yield a tiny negative double (e.g. -1e-19
+      for five events of 0.01) — unclamped, Spark emits ``sqrt(neg) =
+      NaN`` (flagging every event a spurious outlier) while DuckDB
+      *raises* on a negative sqrt, crashing the oracle.
+    - The variance and zscore divisions use ``try_divide``: under
+      Spark's default ANSI mode a zero divisor (constant-value user ->
+      sqrt(0); single-event user -> n-1 = 0) RAISES, where DuckDB's
+      float division returns NULL. ``try_divide`` restores the NULL,
+      so both engines agree: degenerate user -> NULL zscore/is_outlier.
     """
     w = Window.partitionBy("user_id")
     vdec = F.col("value").cast("decimal(18,2)")
@@ -207,8 +222,8 @@ def user_value_zscores(t: dict[str, DataFrame]) -> DataFrame:
     s2 = F.sum((vdec * vdec).cast("decimal(38,4)")).over(w).cast("double")
     n = F.count(F.lit(1)).over(w)
     mean = s1 / n
-    var = (s2 - s1 * s1 / n) / (n - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
+    var = F.try_divide(F.greatest(s2 - s1 * s1 / n, F.lit(0.0)), n - 1)
+    z = F.try_divide(F.col("value") - mean, F.sqrt(var))
     return (
         t["events"]
         .select(
@@ -225,8 +240,8 @@ def user_value_zscores(t: dict[str, DataFrame]) -> DataFrame:
 USER_VALUE_ZSCORES_SQL = """
 SELECT event_id, user_id, value,
        round(s1 / n, 6) AS user_mean,
-       round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore,
-       CAST(abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3 AS INT) AS is_outlier
+       round((value - s1 / n) / sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1)), 6) AS zscore,
+       CAST(abs((value - s1 / n) / sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1))) > 3 AS INT) AS is_outlier
 FROM (
   SELECT event_id, user_id, value,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,

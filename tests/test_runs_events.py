@@ -313,3 +313,52 @@ def test_time_rollup_grains_consistent(tables):
     )
     got_day = next(r for r in by_grain[1] if r.day == some_day)
     assert (got_day.n_events, got_day.n_users) == (standalone.n, standalone.u)
+
+
+def test_zscore_constant_user_agrees_across_engines(spark):
+    """The variance-clamp guard: a constant-value user's variance
+    numerator rounds to a tiny NEGATIVE double (independent decimal->
+    double casts), which unclamped makes Spark emit NaN zscores (every
+    event a spurious outlier) and makes DuckDB RAISE on sqrt(negative).
+    Clamped, both engines agree: NULL zscore / NULL is_outlier, and the
+    single-event user stays NULL too (0/0, not greatest-coerced 0)."""
+    import math
+
+    import duckdb
+
+    rows = [
+        (i, "2024-01-01 00:00:00", 7, "click", 0.01, "{}") for i in range(5)
+    ] + [
+        (10, "2024-01-01 01:00:00", 8, "click", 5.0, "{}"),  # n=1 user
+        (11, "2024-01-01 02:00:00", 9, "click", 1.0, "{}"),  # varying user
+        (12, "2024-01-01 03:00:00", 9, "click", 2.0, "{}"),
+        (13, "2024-01-01 04:00:00", 9, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(e, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+         for e, ts, u, et, v, p in rows],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_id: r for r in E.user_value_zscores({"events": df}).collect()}
+    # constant-value user: zero variance -> NULL, never NaN
+    for e in range(5):
+        assert got[e].zscore is None and got[e].is_outlier is None
+    assert got[10].zscore is None  # n=1: 0/0 stays NULL
+    assert got[11].zscore is not None and not math.isnan(got[11].zscore)
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({e}, TIMESTAMP '{ts}', {u}, '{et}', {v}, '{{}}')"
+        for e, ts, u, et, v, _p in rows
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM (VALUES {vals})"
+        f" AS t(event_id, ts, user_id, event_type, value, props)"
+    )
+    want = {r[0]: r for r in con.execute(E.USER_VALUE_ZSCORES_SQL).fetchall()}
+    for e, g in got.items():
+        w = want[e]
+        assert (g.zscore is None) == (w[4] is None)
+        assert g.zscore == w[4] or (g.zscore is None and w[4] is None)
+        assert (g.is_outlier is None) == (w[5] is None)
