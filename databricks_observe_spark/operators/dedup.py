@@ -458,23 +458,27 @@ def _cluster_labels(t: dict[str, DataFrame]) -> DataFrame:
         # no broadcast hint on prop: it is one row per node whose label
         # changed this round — corpus-sized in early rounds at scale. AQE
         # picks a broadcast join at runtime when it actually fits.
+        # The convergence flag rides IN the materialized frame: comparing
+        # the new label to the old one inside the same select means the
+        # convergence test is a filter over the checkpoint just written —
+        # not a separate labels-x-labels join job per round. Reassigning
+        # ``labels`` drops the only reference to the prior round's
+        # checkpoint, so its blocks are collectable rather than pinned
+        # for all <= max_iters rounds.
+        upd = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+        )
         new_labels = (
             labels.join(prop, on=labels.doc_id == prop.doc_a, how="left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                upd.alias("cluster_id"),
+                (upd < F.col("cluster_id")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .isEmpty()
-        )
-        labels = new_labels
+        converged = new_labels.filter(F.col("_changed")).isEmpty()
+        labels = new_labels.drop("_changed")
         if converged:
             break
     else:
@@ -554,9 +558,13 @@ def curated_corpus(t: dict[str, DataFrame]) -> DataFrame:
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
+    # no broadcast hint on the dropped side: it holds every non-canonical
+    # near-dup member, which on a heavily duplicated corpus (the exact
+    # case a dedup pipeline targets) is corpus-scale. AQE broadcasts the
+    # anti-join side at runtime when it actually fits.
     return (
         docs.join(exact_canon, on="doc_id", how="left_semi")
-        .join(F.broadcast(dropped), on="doc_id", how="left_anti")
+        .join(dropped, on="doc_id", how="left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
 
@@ -1059,6 +1067,10 @@ def chunk_dedup(t: dict[str, DataFrame]) -> DataFrame:
     intermediate you'd write per corpus snapshot.
     """
     toks = doc_tokens(t)
+    # materialized once: three plan branches consume this frame (shared,
+    # flagged, per_doc) and Catalyst does not CSE across branches — the
+    # chunk explode + per-chunk md5 is the operator's dominant cost and
+    # would otherwise run three times (same rule as _shingled's memo).
     chunks = toks.select(
         "doc_id",
         F.explode(
@@ -1068,7 +1080,7 @@ def chunk_dedup(t: dict[str, DataFrame]) -> DataFrame:
                 f" slice(w, (j - 1) * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}))))"
             )
         ).alias("h"),
-    )
+    ).localCheckpoint()
     shared = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1124,8 +1136,13 @@ def contamination_check(t: dict[str, DataFrame]) -> DataFrame:
     """
     from databricks_observe_spark.sources.tables import fan_out
 
-    sh = fan_out(t["documents"]).select(
-        "doc_id", F.explode(shingle_regex_expr(CONTAM_K)).alias("s")
+    # materialized once: three plan branches consume this frame (ev,
+    # sizes, hits) and Catalyst does not CSE across branches — the
+    # 4-gram shingle explode would otherwise run three times.
+    sh = (
+        fan_out(t["documents"])
+        .select("doc_id", F.explode(shingle_regex_expr(CONTAM_K)).alias("s"))
+        .localCheckpoint()
     )
     ev = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
@@ -1455,6 +1472,10 @@ def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, SPAN_K - 1)
     )
+    # materialized once: both the flag aggregate and the join-back
+    # consume this frame, and Catalyst does not CSE across branches —
+    # without the checkpoint the rolling-window pass (the operator's
+    # dominant cost) runs twice.
     grams = (
         pos.select(
             "doc_id",
@@ -1463,6 +1484,7 @@ def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
         )
         .filter(F.col("klen") == SPAN_K)
         .select("doc_id", "h")
+        .localCheckpoint()
     )
     flags = grams.groupBy("h").agg(
         (F.min("doc_id") < F.max("doc_id")).alias("is_dup")

@@ -614,10 +614,12 @@ def test_duplicated_spans_natural_shuffles_skew_splittable(tables):
     ]
     # flags broadcast at fixture scale (gram rows never shuffle on h);
     # at production scale the join shuffles both sides on h — both
-    # shapes are natural-key-only
+    # shapes are natural-key-only. The gram frame itself is checkpointed
+    # (built once for both branches), so its doc-window exchange sits
+    # behind the checkpoint scan and one doc_id key remains: the rollup.
     assert sorted(keys) in (
-        ["doc_id", "doc_id", "h"],
-        ["doc_id", "doc_id", "h", "h"],
+        ["doc_id", "h"],
+        ["doc_id", "h", "h"],
     ), keys
     # the flag aggregate partial-combines before its shuffle (the
     # hot-gram collapse the docstring claims)
