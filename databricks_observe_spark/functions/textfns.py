@@ -117,3 +117,25 @@ def minhash_sql(i: int, shingle_col: str = "shingle") -> str:
     """DuckDB twin of :func:`minhash_expr`."""
     salt, off = i // 4, (i % 4) * 8 + 1
     return f"MIN(substr(md5('{salt}:' || {shingle_col}), {off}, 8)) AS mh{i}"
+
+
+def md5_bucket_expr(id_col: str = "doc_id", n: int = 100) -> F.Column:
+    """Content-stable 0..n-1 bucket from the first 4 hex chars of
+    ``md5(id)`` — the shared idiom behind deterministic sampling and
+    train/val/test splitting (membership depends only on the id digest,
+    never on row position, partitioning, or an RNG seed). Twin of
+    :func:`md5_bucket_sql`."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % n
+    )
+
+
+def md5_bucket_sql(id_col: str = "doc_id", n: int = 100) -> str:
+    """DuckDB twin of :func:`md5_bucket_expr` (identical hex-prefix cast
+    and modulus, so bucket membership matches bit-for-bit)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 4))::BIGINT"
+        f" AS BIGINT) % {n}"
+    )

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from databricks_observe_spark.functions.textfns import (
     doc_tokens,
+    md5_bucket_expr,
+    md5_bucket_sql,
     minhash_expr,
     minhash_sql,
     shingle_regex_expr,
@@ -125,26 +127,14 @@ def _shingle_sizes(t: dict[str, DataFrame]) -> DataFrame:
     return t["_shingle_sizes"]
 
 
-def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
-    """Exact shingle-Jaccard near-duplicate pairs (>= 0.5).
-
-    inverted-index self-join -> per-pair intersection counts -> sizes join.
-    Jaccard is a ratio of exact integers: bit-identical across engines.
-    Memoized + materialized: the pair table is a stage output consumed by
-    clustering and curation, not recomputed per consumer.
-    """
-    if "_jaccard_pairs" in t:
-        return t["_jaccard_pairs"]
+def _jaccard_pairs_from(t: dict[str, DataFrame], kept: DataFrame) -> DataFrame:
+    """Inverted-index self-join -> per-pair intersection counts -> sizes
+    join -> thresholded Jaccard: the ONE pair pipeline behind the exact
+    and df-capped operators, which differ only in the kept-shingle set
+    they pass in. Any future change to the join shape lands in both."""
     sh = _shingled(t)
     sizes = _shingle_sizes(t)
-    # posting-list prefilter: shingles appearing in exactly one document
-    # cannot produce a pair — dropping them shrinks the self-join input by
-    # the unique-shingle mass (the majority, in any natural corpus) without
-    # changing a single output row. This is the result-preserving half of
-    # the stop-shingle trick; a df *upper* cap would further bound skew at
-    # scale but changes results, so it stays off here.
-    shared = _shingle_df(t).filter(F.col("df") >= 2)
-    sh2 = sh.join(shared.select("shingle"), on="shingle")
+    sh2 = sh.join(kept.select("shingle"), on="shingle")
     a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -157,7 +147,7 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
     # corpus-cardinality at scale. AQE broadcasts it when it actually fits.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    t["_jaccard_pairs"] = (
+    return (
         inter.join(sa, on="doc_a")
         .join(sb, on="doc_b")
         .withColumn(
@@ -166,8 +156,37 @@ def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
-        .localCheckpoint()
     )
+
+
+# SQL twin of the pipeline tail (everything downstream of ``inter``),
+# shared by the exact and capped oracle constants for the same reason.
+_JACCARD_TAIL_SQL = f"""SELECT doc_a, doc_b, n_common,
+       n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}"""
+
+
+def ngram_jaccard_pairs(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact shingle-Jaccard near-duplicate pairs (>= 0.5).
+
+    inverted-index self-join -> per-pair intersection counts -> sizes join.
+    Jaccard is a ratio of exact integers: bit-identical across engines.
+    Memoized + materialized: the pair table is a stage output consumed by
+    clustering and curation, not recomputed per consumer.
+    """
+    if "_jaccard_pairs" in t:
+        return t["_jaccard_pairs"]
+    # posting-list prefilter: shingles appearing in exactly one document
+    # cannot produce a pair — dropping them shrinks the self-join input by
+    # the unique-shingle mass (the majority, in any natural corpus) without
+    # changing a single output row. This is the result-preserving half of
+    # the stop-shingle trick; a df *upper* cap would further bound skew at
+    # scale but changes results, so it stays off here.
+    shared = _shingle_df(t).filter(F.col("df") >= 2)
+    t["_jaccard_pairs"] = _jaccard_pairs_from(t, shared).localCheckpoint()
     return t["_jaccard_pairs"]
 
 
@@ -179,12 +198,7 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, n_common,
-       n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+{_JACCARD_TAIL_SQL}
 """
 
 
@@ -225,32 +239,10 @@ def ngram_jaccard_pairs_capped(
     """
     if max_df == MAX_SHINGLE_DF and "_jaccard_pairs_capped" in t:
         return t["_jaccard_pairs_capped"]
-    sh = _shingled(t)
-    sizes = _shingle_sizes(t)
     kept = _shingle_df(t).filter(
         (F.col("df") >= 2) & (F.col("df") <= max_df)
     )
-    sh2 = sh.join(kept.select("shingle"), on="shingle")
-    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    out = (
-        inter.join(sa, on="doc_a")
-        .join(sb, on="doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
-    )
+    out = _jaccard_pairs_from(t, kept)
     if max_df != MAX_SHINGLE_DF:
         return out
     t["_jaccard_pairs_capped"] = out.localCheckpoint()
@@ -270,12 +262,7 @@ inter AS (
   FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, n_common,
-       n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+{_JACCARD_TAIL_SQL}
 """
 
 
@@ -511,8 +498,12 @@ def near_dup_clusters(t: dict[str, DataFrame]) -> DataFrame:
 
 # oracle: recursive reachability over the symmetric pair edges, then
 # min-label per node = connected component id
-NEAR_DUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE sh AS ({_SHINGLED_SQL}),
+# the sh -> sizes -> inter -> pairs -> edges -> reach -> labels chain:
+# the ONE oracle definition of near-dup cluster membership, shared by
+# NEAR_DUP_CLUSTERS_SQL / CURATED_CORPUS_SQL / DEDUP_RETENTION_SQL so a
+# threshold or edge-semantics change cannot make the three oracles
+# silently disagree. Interpolate right after WITH RECURSIVE.
+_LABELS_CTES_SQL = f"""sh AS ({_SHINGLED_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -533,7 +524,11 @@ reach AS (
 labels AS (
   SELECT doc_id, LEAST(doc_id, MIN(other)) AS cluster_id
   FROM reach GROUP BY doc_id
-)
+)"""
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_LABELS_CTES_SQL}
 SELECT cluster_id, COUNT(*) AS cluster_size,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
 FROM labels GROUP BY cluster_id
@@ -570,27 +565,7 @@ def curated_corpus(t: dict[str, DataFrame]) -> DataFrame:
 
 
 CURATED_CORPUS_SQL = f"""
-WITH RECURSIVE sh AS ({_SHINGLED_SQL}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
-),
-edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-reach AS (
-  SELECT doc_a AS doc_id, doc_b AS other FROM edges
-  UNION
-  SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a
-),
-labels AS (
-  SELECT doc_id, LEAST(doc_id, MIN(other)) AS cluster_id FROM reach GROUP BY doc_id
-),
+WITH RECURSIVE {_LABELS_CTES_SQL},
 exact_canon AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
@@ -611,19 +586,17 @@ def deterministic_sample(t: dict[str, DataFrame]) -> DataFrame:
     lacks. (Per-language stratification would fold ``lang`` into the
     hashed key; this operator is the uniform content-stable form.)
     """
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
     return (
         t["documents"]
-        .withColumn("h", bucket.cast("bigint") % 100)
+        .withColumn("h", md5_bucket_expr())
         .filter(F.col("h") < 20)
         .select("doc_id", "lang", "source", "h")
     )
 
 
-DETERMINISTIC_SAMPLE_SQL = """
+DETERMINISTIC_SAMPLE_SQL = f"""
 SELECT doc_id, lang, source, h FROM (
-  SELECT doc_id, lang, source,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 100 AS h
+  SELECT doc_id, lang, source, {md5_bucket_sql()} AS h
   FROM documents
 ) WHERE h < 20
 """
@@ -645,11 +618,7 @@ def hash_split(t: dict[str, DataFrame]) -> DataFrame:
     90/5/5 by bucket; pure per-row projection over one scan — shuffle-free
     at any scale.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket_expr()
     return t["documents"].select(
         "doc_id",
         "lang",
@@ -667,8 +636,7 @@ SELECT doc_id, lang, bucket,
             WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
             ELSE 'test' END AS split
 FROM (
-  SELECT doc_id, lang,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS BIGINT) % 100 AS bucket
+  SELECT doc_id, lang, {md5_bucket_sql()} AS bucket
   FROM documents
 )
 """
@@ -710,27 +678,7 @@ def dedup_retention(t: dict[str, DataFrame]) -> DataFrame:
 
 
 DEDUP_RETENTION_SQL = f"""
-WITH RECURSIVE sh AS ({_SHINGLED_SQL}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
-),
-edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-reach AS (
-  SELECT doc_a AS doc_id, doc_b AS other FROM edges
-  UNION
-  SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.other = e.doc_a
-),
-labels AS (
-  SELECT doc_id, LEAST(doc_id, MIN(other)) AS cluster_id FROM reach GROUP BY doc_id
-),
+WITH RECURSIVE {_LABELS_CTES_SQL},
 quality AS (
   SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_types
   FROM documents
