@@ -883,9 +883,13 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
                 }
             )
 
+    # materialized once: the summary and majority-label aggregates both
+    # consume this frame, and Catalyst does not CSE across branches — the
+    # final full-corpus E-step Arrow pass would otherwise run twice
+    # (same rule as _semdedup_assigned's checkpoint).
     assigned = q.mapInPandas(
         assign_final, "vec_id bigint, label int, cluster int, sq_dist double"
-    )
+    ).localCheckpoint()
     micro = F.floor(F.col("sq_dist") * F.lit(INERTIA_GRID) + F.lit(0.5))
     summary = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -506,13 +506,20 @@ def repetition_signals(t: dict[str, DataFrame]) -> DataFrame:
     pass thresholds on (Rae et al. 2021 §A1.3 uses line/ngram duplicate
     fractions the same way). One explode + one per-doc aggregate; all
     ratios are exact-integer divisions so oracles match bit-for-bit.
+
+    Sub-bigram documents (size(w) < 2) are filtered BEFORE the explode:
+    the former ``greatest(size(w) - 1, 1)`` guard forced ``w[1]`` on a
+    1-token doc, which ABORTS under Spark's default ANSI mode
+    (INVALID_ARRAY_INDEX) — and with ANSI off would emit a (tok, NULL)
+    bigram row the oracle's ``range(2, len(w) + 1)`` never produces.
+    Filtered, both engines agree: no bigrams, no output row.
     """
-    toks = doc_tokens(t)
+    toks = doc_tokens(t).filter(F.size("w") >= 2)
     bg = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(w) - 1, 1)),"
+                "transform(sequence(1, size(w) - 1),"
                 " i -> struct(w[i - 1] AS a, w[i] AS b))"
             )
         ).alias("g"),
@@ -788,14 +795,18 @@ def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
     runs, engines and partitionings (df.sample() is none of those).
 
     The keep decision is the exact integer comparison
-    ``bucket * n_lang < min_count * 10^6`` (bucket uniform in [0, 10^6)),
-    so no float rate ever enters the plan. The per-lang counts side is
-    language-cardinality-sized -> broadcast."""
+    ``bucket * n_lang < min_count * 10^6``, so no float rate ever enters
+    the plan. The bucket takes 8 md5 hex chars before the modulus: 16^8
+    is not a multiple of 10^6, so buckets are near-uniform with bias
+    1/4294 (~0.02%) — 6 hex chars would leave buckets below 777216
+    over-represented by a full 6.25% (16^6 / 10^6 = 16.78), visibly
+    skewing the keep rate above the intended min_count/n_lang. The
+    per-lang counts side is language-cardinality-sized -> broadcast."""
     d = t["documents"]
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     mn = counts.agg(F.min("n_lang").alias("min_count"))
     bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint") % 1000000
     return (
         d.join(F.broadcast(counts), on="lang")
@@ -812,9 +823,9 @@ STRATIFIED_SAMPLE_SQL = """
 WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
 m AS (SELECT MIN(n_lang) AS min_count FROM c)
 SELECT doc_id, d.lang, source,
-       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000 AS bucket
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS bucket
 FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000 * c.n_lang
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 * c.n_lang
       < m.min_count * 1000000
 """
 
@@ -1269,11 +1280,15 @@ def bm25_scores(t: dict[str, DataFrame]) -> DataFrame:
     per-doc score is an exact INTEGER sum — order-independent under any
     partitioning. Ranking ties break on doc_id.
 
-    Plan: the memoized tf index joins the broadcast probe terms (tiny),
-    document length and corpus stats ride along via vocab-sized /
-    single-row broadcasts, one (query, doc) aggregate, then a per-query
-    rank window over candidate docs only. Nothing corpus-squared; the
-    one corpus-sized shuffle is the (query_id, doc_id) aggregate.
+    Plan: the memoized tf index joins the broadcast probe terms (tiny)
+    and the single-row corpus stats; the document-frequency frame is
+    vocab-sized and the document-length frame is CORPUS-sized, so
+    neither carries a broadcast hint — AQE broadcasts them at runtime
+    when they actually fit (they do at fixture scale) and falls back to
+    shuffled hash joins at 100 TB, exactly the tfidf_keywords rule. One
+    (query, doc) aggregate, then a per-query rank window over candidate
+    docs only. Nothing corpus-squared; the one corpus-sized shuffle is
+    the (query_id, doc_id) aggregate.
     """
     tf = _tfidf_tf_frame(t)
     dl, df_frame, stats = _bm25_index(t)
@@ -1307,8 +1322,8 @@ def bm25_scores(t: dict[str, DataFrame]) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(terms), on="tok")
-        .join(F.broadcast(df_frame), on="tok")
-        .join(F.broadcast(dl), on="doc_id")
+        .join(df_frame, on="tok")
+        .join(dl, on="doc_id")
         .join(F.broadcast(stats))
         .withColumn("contrib", F.floor(idf_micro * tfnorm + F.lit(0.5)))
         .groupBy("query_id", "doc_id")
@@ -1341,8 +1356,10 @@ scored AS (
            FLOOR(ln(GREATEST(FLOOR((1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                                    * 1000000000.0 + 0.5), 1)
                      / 1000000000.0) * 1000000.0 + 0.5)
-           * ((tf.tf * {BM25_K1 + 1.0}) /
-              (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * l.dl / s.avgdl)))
+           * ((tf.tf * CAST({BM25_K1 + 1.0} AS DOUBLE)) /
+              (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                       * (CAST({1.0 - BM25_B} AS DOUBLE)
+                          + CAST({BM25_B} AS DOUBLE) * l.dl / s.avgdl)))
            + 0.5)) AS BIGINT) AS score_micro
   FROM tf
   JOIN terms t ON tf.tok = t.tok

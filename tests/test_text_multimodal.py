@@ -493,3 +493,30 @@ def test_bm25_idf_log_rounding_margins_verified(tables):
         )
         v = (math.log(r_nano / 1e9) * 1e6 + 0.5) % 1.0
         assert min(v, 1.0 - v) > 1e-3, (df, r_nano)
+
+
+def test_repetition_signals_single_token_doc(spark):
+    """A no-space document must produce zero bigram rows on both engines
+    (the old greatest() guard forced w[1] on a 1-element array — an
+    INVALID_ARRAY_INDEX abort under Spark's default ANSI mode)."""
+    import duckdb
+
+    from databricks_observe_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "hello", "en", "s", 5), (1, "a b a b", "en", "s", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {r.doc_id: r for r in T.repetition_signals({"documents": docs}).collect()}
+    assert 0 not in got  # single-token doc: no bigrams, no row
+    assert got[1].n_bigrams == 3 and got[1].n_distinct_bigrams == 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES"
+        " (0, 'hello', 'en', 's', 5), (1, 'a b a b', 'en', 's', 7))"
+        " AS t(doc_id, text, lang, source, n_chars)"
+    )
+    want = {r[0]: r for r in con.execute(T.REPETITION_SIGNALS_SQL).fetchall()}
+    assert set(want) == set(got) == {1}
+    assert want[1][1] == 3 and want[1][2] == 2
