@@ -286,6 +286,41 @@ def _probe_exprs(bkt_col: str) -> list[F.Column]:
     return probes
 
 
+def _cosine_rescore_kernel(qbc):
+    """Arrow rescore kernel: exact cosine of each (query_id, v, nrm)
+    candidate row against the broadcast query matrix, accumulating in
+    ascending column order so scores are bit-identical to the SQL twin.
+    ONE definition shared by the multiprobe-LSH and IVF rescore stages —
+    the accumulation-order contract lives in exactly one place."""
+
+    def rescore(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        q_ids, q_mat, q_nrm = qbc.value
+        pos = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(pos).to_numpy()
+            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            qm = q_mat[qi]
+            acc = qm[:, 0] * mat[:, 0]
+            for d in range(1, qm.shape[1]):
+                acc = acc + qm[:, d] * mat[:, d]
+            cos = acc / (q_nrm[qi] * nrm)
+            yield _pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    return rescore
+
+
 def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     """Approximate top-5: rank only candidates sharing an LSH bucket with
     the query in ANY hash table, with **1-bit multiprobe** on the query
@@ -353,30 +388,7 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
     qbc = _query_set_bc(t)
     cand_vec = cand_ids.join(e.select("vec_id", "v", "nrm"), on="vec_id")
 
-    def rescore(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        q_ids, q_mat, q_nrm = qbc.value
-        pos = {int(q): i for i, q in enumerate(q_ids)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qi = pdf["query_id"].map(pos).to_numpy()
-            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
-            nrm = pdf["nrm"].to_numpy()
-            qm = q_mat[qi]
-            acc = qm[:, 0] * mat[:, 0]
-            for d in range(1, qm.shape[1]):
-                acc = acc + qm[:, d] * mat[:, d]
-            cos = acc / (q_nrm[qi] * nrm)
-            yield _pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cosine": cos,
-                }
-            )
+    rescore = _cosine_rescore_kernel(qbc)
 
     scored = cand_vec.mapInPandas(
         rescore, "query_id bigint, vec_id bigint, cosine double"
@@ -553,30 +565,7 @@ def ivf_ann_topk(t: dict[str, DataFrame]) -> DataFrame:
         .select("query_id", "vec_id", "v", "nrm")
     )
 
-    def rescore(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        ids, mat_q, nrm_q = qbc.value
-        pos = {int(q): i for i, q in enumerate(ids)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qi = pdf["query_id"].map(pos).to_numpy()
-            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
-            nrm = pdf["nrm"].to_numpy()
-            qm = mat_q[qi]
-            a = qm[:, 0] * mat[:, 0]
-            for d in range(1, qm.shape[1]):
-                a = a + qm[:, d] * mat[:, d]
-            cos = a / (nrm_q[qi] * nrm)
-            yield _pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cosine": cos,
-                }
-            )
+    rescore = _cosine_rescore_kernel(qbc)
 
     scored = cand.mapInPandas(
         rescore, "query_id bigint, vec_id bigint, cosine double"

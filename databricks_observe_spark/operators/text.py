@@ -848,12 +848,17 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     and the attained set is finite — tests verify every attained point
     rounds with margin, so a 1-ulp libm divergence cannot flip the
     12-decimal term rounding."""
-    toks = doc_tokens(t).select(
-        "doc_id", F.size("w").alias("n"), F.explode("w").alias("tok")
+    # every moment derives from the memoized (doc_id, tok, tf) index —
+    # n = sum(tf) per doc, cf = sum(tf) per tok, total = sum(tf) — the
+    # same exact integers the old three corpus re-explodes computed, at
+    # the cost of two index-sized aggregates and one doc-key join
+    # (the tfidf_keywords rule: never re-explode what tf already knows).
+    base = _tfidf_tf_frame(t)
+    tf = base.join(
+        base.groupBy("doc_id").agg(F.sum("tf").alias("n")), on="doc_id"
     )
-    tf = toks.groupBy("doc_id", "n", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
-    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    cf = base.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    tot = base.agg(F.sum("tf").alias("total"))
     p = F.col("tf").cast("double") / F.col("n")
     q = F.col("cf").cast("double") / F.col("total")
     r_nano = F.greatest(F.floor(p / q * F.lit(1e9) + F.lit(0.5)), F.lit(1))
