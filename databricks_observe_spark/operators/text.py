@@ -297,6 +297,19 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
     exactly once there), so the exploded corpus is scanned and shuffled
     once; the old separate dropDuplicates + groupBy path re-exploded every
     token and added a corpus-sized shuffle for a number tf already knew.
+
+    KNOWN CLASS (round-7 hardening item): the score double is
+    bit-identical on both engines (exact-int ln input, one multiply),
+    but the final ``round(x, 6)`` is engine-implemented (Spark HALF_UPs
+    the shortest decimal repr where DuckDB scales-and-rounds), so a
+    score landing within an ulp of a 0.5e-6 boundary could round
+    differently and, since rnk orders by the rounded value, even flip
+    top-3 membership. The fixtures attain no such boundary value (every
+    driver row hash-green), but the robust form is
+    ``floor(x * 1e6 + 0.5) / 1e6`` on BOTH engines -- a pure IEEE
+    function of identical inputs that cannot diverge. The same applies
+    to every ``F.round(double, n)`` / ``round(expr, n)`` oracle pair in
+    this package (~35 sites); convert them together, not piecemeal.
     """
     docs = t["documents"]
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
