@@ -318,9 +318,12 @@ def test_kmeans_clusters_broadcast_iteration(tables):
     from databricks_observe_spark.operators import similarity as S
 
     plan = _plan(S.kmeans_clusters(tables))
-    # final summary: Arrow assignment feeds map-side-combined aggregates;
-    # the majority side broadcasts; nothing corpus-sized cartesians
-    assert "InPandas" in plan
+    # final summary: the Arrow assignment pass is checkpointed (built
+    # ONCE for both output aggregates), so the visible plan reads the
+    # materialized frame rather than re-running the E-step; the majority
+    # side broadcasts; nothing corpus-sized cartesians
+    assert "Scan ExistingRDD" in plan
+    assert "InPandas" not in plan  # would mean the E-step re-runs per branch
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
