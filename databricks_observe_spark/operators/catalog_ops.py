@@ -171,11 +171,7 @@ def table_profiles(t: dict[str, DataFrame]) -> DataFrame:
     strings and the enriched catalog row. Everything except the counts is
     broadcast-sized.
     """
-    spark = t["lineitem"].sparkSession
-    profiled = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
+    profiled = list(TABLE_NAMES)
     # global agg (not groupBy on a literal): an empty table still yields
     # its one row_count=0 row, matching the reference's COUNT(*) and the
     # oracle's UNION ALL
@@ -207,10 +203,7 @@ def table_profiles(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def _profile_counts_union_sql() -> str:
-    profiled = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
+    profiled = list(TABLE_NAMES)
     return " UNION ALL ".join(
         f"SELECT '{n}' AS \"table\", COUNT(*) AS row_count FROM {n}" for n in profiled
     )
@@ -278,13 +271,8 @@ def _file_listing(t: dict[str, DataFrame]) -> DataFrame:
     """
     if "_file_listing" in t:
         return t["_file_listing"]
-    profiled = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
+    profiled = list(TABLE_NAMES)
     spark = t["lineitem"].sparkSession
-    import os
-
     # load the DIRECTORY with a glob filter, not a glob path: a glob path
     # makes the streaming-sink metadata probe stat the literal "*.parquet"
     # and print a benign-but-noisy FileNotFoundException stack trace
@@ -336,11 +324,7 @@ def _file_stats(t: dict[str, DataFrame]) -> DataFrame:
 
 
 _PROFILED_TABLES_SQL = ", ".join(
-    f"'{n}'"
-    for n in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    )
+    f"'{n}'" for n in TABLE_NAMES
 )
 
 # The one place the oracle SQL hard-codes a filesystem path: DuckDB table
@@ -363,11 +347,7 @@ _FIXTURE_GLOB = "/root/testdata/*/*.parquet"
 # 5 rows). Files are then statted via read_blob joined on filename. No
 # dependency on HOW the driver registered the views.
 _VIEW_COUNTS_SQL = " UNION ALL ".join(
-    f"SELECT '{n}' AS tbl, COUNT(*) AS n_rows FROM {n}"
-    for n in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    )
+    f"SELECT '{n}' AS tbl, COUNT(*) AS n_rows FROM {n}" for n in TABLE_NAMES
 )
 
 _VIEW_FILES_SQL = f"""
@@ -601,7 +581,7 @@ def column_histograms(t: dict[str, DataFrame]) -> DataFrame:
     """ANALYZE-style numeric column statistics over ``lineitem`` — the
     stats-collection pass behind the reference's per-table profiling loop
     (E2/S6 extension): per column, row/null counts, min/max, distinct
-    count, and a {HIST_BUCKETS}-bucket equi-width histogram.
+    count, and a HIST_BUCKETS (10) bucket equi-width histogram.
 
     ONE scan of the table. The unpivoted ``groupBy(col, value)`` aggregate
     (nulls kept as their own group) is the single data-shuffling pass;
@@ -713,7 +693,7 @@ COMPACTION_TARGET_BYTES = 256 * 1024
 
 def compaction_plan(t: dict[str, DataFrame]) -> DataFrame:
     """Small-file compaction plan: greedily pack each table's files (path
-    order) into output bins of ~{COMPACTION_TARGET_BYTES} bytes — the
+    order) into output bins of ~COMPACTION_TARGET_BYTES (256 KiB) — the
     planning half of a lakehouse OPTIMIZE/auto-compaction pass, derived
     from the same file INDEX as ``describe_detail`` (reference anchor: the
     DESCRIBE DETAIL numFiles/sizeInBytes fields, ``dlt_assets.py:154-156``,
@@ -872,10 +852,7 @@ def _schema_drift_ctes() -> str:
         f"SELECT '{tbl}' AS \"table\", column_name AS \"column\","
         f" CAST(ROW_NUMBER() OVER () AS INT) AS ordinal, column_type"
         f" FROM (DESCRIBE SELECT * FROM {tbl})"
-        for tbl in (
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        )
+        for tbl in TABLE_NAMES
     )
     return f"""
 actual AS (
@@ -1075,8 +1052,9 @@ enriched AS (
   {_enriched_select_sql(chr(10) + "  WHERE d.catalog = 'testdata' AND d.schema = 'main'")}
 ),
 schemas AS (
-  SELECT table_name AS "table", COUNT(*) AS n_columns
-  FROM information_schema_columns GROUP BY 1
+  SELECT table_catalog AS catalog, table_schema AS schema,
+         table_name AS "table", COUNT(*) AS n_columns
+  FROM information_schema_columns GROUP BY 1, 2, 3
 ),
 {_VIEW_FILES_SQL.strip().rstrip()},
 fstats AS (
@@ -1106,7 +1084,8 @@ SELECT e.catalog, e.schema, e."table", e.kind, e.format,
             ELSE 'ok' END AS health
 FROM counts c
 JOIN enriched e ON c."table" = e."table"
-JOIN schemas s ON e."table" = s."table"
+LEFT JOIN schemas s ON e.catalog = s.catalog AND e.schema = s.schema
+                   AND e."table" = s."table"
 JOIN fstats f ON e."table" = f."table"
 JOIN bins b ON e."table" = b."table"
 JOIN drift d ON e."table" = d."table"

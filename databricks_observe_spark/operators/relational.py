@@ -6,10 +6,12 @@ metadata SQL); these queries exercise the same primitive inventory
 double as the benchmark headliners.
 
 Scale notes (100 TB stance):
-- Dimension tables (region/nation/supplier/part/customer at small SF;
-  region/nation always) are broadcast explicitly where Catalyst's size
-  estimate might miss; fact-fact joins (lineitem |x| orders) stay shuffled
-  hash joins on their natural keys with AQE handling skew.
+- Only CONSTANT-sized dimensions (region, nation) carry explicit
+  broadcast hints; SF-proportional sides (customer, supplier, part) are
+  left to AQE's runtime size estimate — a forced broadcast on a side
+  that grows with the data dies at 100 TB. Fact-fact joins (lineitem
+  |x| orders) stay shuffled hash joins on their natural keys with AQE
+  handling skew.
 - All money arithmetic is done in DECIMAL(18,2)/(38,4) and only cast to
   DOUBLE at the end: decimal aggregation is exact and order-independent, so
   results are bit-identical across engines and across shuffle
@@ -79,8 +81,9 @@ GROUP BY l_returnflag, l_linestatus
 def shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q3-shaped: segment filter -> 3-way join -> revenue top-10.
 
-    customer is the small side (broadcast after the segment filter);
-    lineitem |x| orders is the only real shuffle. Exact decimal revenue makes
+    The segment-filtered customer key set joins without a broadcast hint
+    (SF-proportional side; AQE broadcasts it when it fits); lineitem |x|
+    orders is the only unavoidable shuffle. Exact decimal revenue makes
     the top-10 cut deterministic across engines.
     """
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -91,7 +94,10 @@ def shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
     ).cast("decimal(38,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint on the filtered customer side: it is
+        # SF-proportional (1/5 of all customers), so a forced broadcast
+        # dies at 100 TB; AQE broadcasts it at runtime when it fits
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
@@ -120,9 +126,10 @@ LIMIT 10
 def local_supplier_revenue(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q5-shaped: 6-way join, region filter, revenue per nation.
 
-    region/nation/supplier/customer are broadcast; the customer-nation ==
-    supplier-nation condition is applied as a post-join filter exactly as in
-    TPC-H. One shuffle (lineitem |x| orders); everything else map-side.
+    region/nation broadcast (constant-sized); customer/supplier join
+    without hints (SF-proportional — AQE decides). The customer-nation ==
+    supplier-nation condition is applied as a post-join filter exactly as
+    in TPC-H. lineitem |x| orders is the anchor shuffle.
     """
     region = t["region"].filter(F.col("r_name") == "ASIA")
     nation = t["nation"]
@@ -136,9 +143,11 @@ def local_supplier_revenue(t: dict[str, DataFrame]) -> DataFrame:
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        # customer and supplier are SF-proportional — no broadcast hints
+        # (AQE decides); nation/region are constant-sized and always ship
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -271,17 +280,21 @@ def top_balance_per_nation(t: dict[str, DataFrame]) -> DataFrame:
     """Correlated scalar subquery — written as the user would write it,
     decorrelated by Catalyst into an aggregate + join (SURVEY §4
     "subquery decorrelation ... free when applicable"; plan asserted in
-    tests/test_plans.py)."""
+    tests/test_plans.py). The passed frame binds via spark.sql's
+    DataFrame substitution — NOT a session temp view, so a caller's own
+    frames dict resolves to the caller's data, never to whatever views
+    the session last registered."""
     spark = t["customer"].sparkSession
     return spark.sql(
         """
         SELECT c_custkey, c_name, c_nationkey, c_acctbal
-        FROM customer c
+        FROM {c} c
         WHERE c_acctbal = (
-          SELECT MAX(c2.c_acctbal) FROM customer c2
+          SELECT MAX(c2.c_acctbal) FROM {c} c2
           WHERE c2.c_nationkey = c.c_nationkey
         )
-        """
+        """,
+        c=t["customer"],
     )
 
 
@@ -302,18 +315,23 @@ def dormant_customers(t: dict[str, DataFrame]) -> DataFrame:
     The correlated NOT EXISTS becomes a LeftAnti hash join with the orders
     side filtered BEFORE the join (predicate pushed below the anti-join),
     so at scale only the post-cutoff slice of orders shuffles.
+
+    Frames bind via spark.sql's DataFrame substitution (see
+    top_balance_per_nation) — never session temp views.
     """
     spark = t["customer"].sparkSession
     return spark.sql(
         """
         SELECT c_custkey, c_name, c_mktsegment, c_acctbal
-        FROM customer c
+        FROM {c} c
         WHERE NOT EXISTS (
-          SELECT 1 FROM orders o
+          SELECT 1 FROM {o} o
           WHERE o.o_custkey = c.c_custkey
             AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
         )
-        """
+        """,
+        c=t["customer"],
+        o=t["orders"],
     )
 
 
@@ -391,9 +409,13 @@ def percentile_sketch_accuracy(t: dict[str, DataFrame]) -> DataFrame:
             F.expr("percentile(value, array(0.5, 0.9))").alias("ex"),
         )
     )
+    # multiplicative form of |ap - ex| / |ex| <= 0.05: no division, so a
+    # group whose exact percentile is 0 yields a plain False/True instead
+    # of an ANSI divide-by-zero abort (Spark) vs NULL (DuckDB oracle's
+    # literal 1) — the degenerate-moment rule from user_value_zscores
     ok = (
-        (F.abs(F.col("ap")[0] - F.col("ex")[0]) / F.col("ex")[0] <= 0.05)
-        & (F.abs(F.col("ap")[1] - F.col("ex")[1]) / F.col("ex")[1] <= 0.05)
+        (F.abs(F.col("ap")[0] - F.col("ex")[0]) <= 0.05 * F.abs(F.col("ex")[0]))
+        & (F.abs(F.col("ap")[1] - F.col("ex")[1]) <= 0.05 * F.abs(F.col("ex")[1]))
     )
     return agg.select(
         "event_type",
@@ -481,7 +503,9 @@ def nation_market_share(t: dict[str, DataFrame]) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-proportional — no broadcast hint (AQE decides);
+        # nation is constant-sized and always ships
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(

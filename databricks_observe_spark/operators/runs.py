@@ -68,8 +68,17 @@ FROM (
 def state_transitions(t: dict[str, DataFrame]) -> DataFrame:
     """ST2 batch replay: emit each poll where (entity, update) first enters
     COMPLETED — including re-entries after a non-COMPLETED poll, exactly the
-    cursor semantics of dlt_sensor.py:23-41 (last_recorded != COMPLETED)."""
-    w = Window.partitionBy("entity_id", "update_id").orderBy("ts", "event_id")
+    cursor semantics of dlt_sensor.py:23-41 (last_recorded != COMPLETED).
+
+    The window keys on the FULL entity identity (entity_type, entity_id,
+    update_id) — the reference's cursor key is "pid:uid" per sensor type.
+    Keying on entity_id alone only worked because pipeline and job ids
+    never collide in the fixtures; a shared id would interleave two
+    sensors' poll streams in one lag window and wrongly suppress a
+    COMPLETED emission."""
+    w = Window.partitionBy("entity_type", "entity_id", "update_id").orderBy(
+        "ts", "event_id"
+    )
     prev = F.lag("state").over(w)
     return (
         t["updates"]
@@ -85,7 +94,7 @@ def state_transitions(t: dict[str, DataFrame]) -> DataFrame:
 STATE_TRANSITIONS_SQL = oracle_with_clause("updates") + f"""
 SELECT entity_type, entity_id, update_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts
 FROM (
-  SELECT *, LAG(state) OVER (PARTITION BY entity_id, update_id
+  SELECT *, LAG(state) OVER (PARTITION BY entity_type, entity_id, update_id
                              ORDER BY ts, event_id) AS prev_state
   FROM updates
 )

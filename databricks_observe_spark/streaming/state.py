@@ -6,13 +6,13 @@ Reference behavior being rebuilt (SURVEY.md §2.7):
   ``job_discovery.py:37-55``) -> micro-batch trigger cadence.
 - ST2: the completion sensor's cursor — a JSON map ``"pid:uid" -> state``
   persisted across ticks (``sensors/dlt_sensor.py:12-46``) -> streaming
-  ``dropDuplicates`` keyed on (entity_id, update_id) with the checkpoint as
+  ``dropDuplicates`` keyed on (entity_type, entity_id, update_id) with the checkpoint as
   the cursor. Exactly-once across restarts comes from checkpoint + replay
   (tested by re-running the same source against the same checkpoint).
 - ST3: cron cadences -> ``trigger(processingTime=...)``; tests use
   ``availableNow`` for determinism.
 
-Scale stance: state is keyed by (entity_id, update_id) — bounded by live
+Scale stance: state is keyed by (entity_type, entity_id, update_id) — bounded by live
 updates, not event volume — and the watermark lets Spark evict keys older
 than the lateness bound, so state size is O(active updates), which is what
 survives a 100 TB event stream.
@@ -114,7 +114,10 @@ def first_completed_stream(
     completed = (
         updates.filter(F.col("state") == TERMINAL_STATE)
         .withWatermark("ts", WATERMARK)
-        .dropDuplicatesWithinWatermark(["entity_id", "update_id"])
+        # FULL entity identity in the dedup key: the reference cursor is
+        # "pid:uid" PER SENSOR TYPE — keying on entity_id alone would
+        # suppress a job completion whenever a pipeline shares its id
+        .dropDuplicatesWithinWatermark(["entity_type", "entity_id", "update_id"])
         .select("entity_type", "entity_id", "update_id", "ts")
     )
     return (
@@ -476,7 +479,10 @@ def transition_log_stream(
     completed = (
         updates.filter(F.col("state") == TERMINAL_STATE)
         .withWatermark("ts", WATERMARK)
-        .dropDuplicatesWithinWatermark(["entity_id", "update_id"])
+        # FULL entity identity in the dedup key: the reference cursor is
+        # "pid:uid" PER SENSOR TYPE — keying on entity_id alone would
+        # suppress a job completion whenever a pipeline shares its id
+        .dropDuplicatesWithinWatermark(["entity_type", "entity_id", "update_id"])
     )
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
