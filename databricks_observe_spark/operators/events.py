@@ -16,6 +16,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -230,17 +235,17 @@ def user_value_zscores(t: dict[str, DataFrame]) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            F.round(mean, 6).alias("user_mean"),
-            F.round(z, 6).alias("zscore"),
+            round_half_up(mean, 6).alias("user_mean"),
+            round_half_up(z, 6).alias("zscore"),
             (F.abs(z) > 3).cast("int").alias("is_outlier"),
         )
     )
 
 
-USER_VALUE_ZSCORES_SQL = """
+USER_VALUE_ZSCORES_SQL = f"""
 SELECT event_id, user_id, value,
-       round(s1 / n, 6) AS user_mean,
-       round((value - s1 / n) / sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1)), 6) AS zscore,
+       {sql_round_half_up('s1 / n', 6)} AS user_mean,
+       {sql_round_half_up('(value - s1 / n) / sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1))', 6)} AS zscore,
        CAST(abs((value - s1 / n) / sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1))) > 3 AS INT) AS is_outlier
 FROM (
   SELECT event_id, user_id, value,

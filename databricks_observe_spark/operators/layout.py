@@ -20,6 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
+
 
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 8
@@ -200,8 +205,8 @@ def skew_report(t: dict[str, DataFrame]) -> DataFrame:
         "rnk",
         "user_id",
         "cnt",
-        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
-        F.round(F.col("cnt") / F.col("median_cnt"), 6).alias("skew_factor"),
+        round_half_up(F.col("cnt") / F.col("total"), 6).alias("share"),
+        round_half_up(F.col("cnt") / F.col("median_cnt"), 6).alias("skew_factor"),
         F.ceil(F.col("cnt") / F.col("median_cnt")).cast("int").alias("suggested_salt"),
     )
 
@@ -221,8 +226,8 @@ top AS (
   FROM counts QUALIFY rnk <= {SKEW_TOP_K}
 )
 SELECT rnk, user_id, cnt,
-       round(cnt * 1.0 / total, 6) AS share,
-       round(cnt / median_cnt, 6) AS skew_factor,
+       {sql_round_half_up('cnt * 1.0 / total', 6)} AS share,
+       {sql_round_half_up('cnt / median_cnt', 6)} AS skew_factor,
        CAST(CEIL(cnt / median_cnt) AS INT) AS suggested_salt
 FROM top CROSS JOIN stats
 """

@@ -200,15 +200,75 @@ SELECT DISTINCT * FROM closure
 """
 
 
-def topo_levels(t: dict[str, DataFrame], max_iters: int = 100) -> DataFrame:
+def _longest_paths_doubling(edges: DataFrame, max_iters: int = 12) -> DataFrame:
+    """Longest-path table over a DAG by PATH DOUBLING: maintain
+    ``(dst, src, len)`` = length of the longest known src->dst path, and
+    each round compose the table with itself (max-plus semiring square),
+    so round k holds every longest path of length <= 2^k — the O(log d)
+    round cadence proven for the closure in
+    :func:`transitive_closure_doubling`, applied to the weighted form
+    (round-6 verdict perf item 3: the old per-depth-level BFS ran O(d)
+    driver-coordinated rounds).
+
+    Fixpoint: the pair count AND the total length are both monotone and
+    bounded on a DAG; one 1-row aggregate per round reads both. The
+    composed side broadcasts (lineage tables are metadata-sized), so each
+    round's only shuffle is the per-pair max aggregate.
+    """
+    paths = (
+        edges.select(*_DST, *_SRC, F.lit(1).alias("len"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = paths.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("len").alias("s")
+    ).first()
+    for _ in range(max_iters):
+        hop = F.broadcast(
+            paths.select(
+            *[F.col(c).alias(f"e_{c}") for c in _ALL],
+            F.col("len").alias("e_len"),
+        )
+        )
+        stepped = paths.join(
+            hop,
+            on=[
+                F.col(f"src_{k}") == F.col(f"e_dst_{k}")
+                for k in ("catalog", "schema", "table")
+            ],
+        ).select(
+            *_DST,
+            *[F.col(f"e_src_{k}").alias(f"src_{k}") for k in ("catalog", "schema", "table")],
+            (F.col("len") + F.col("e_len")).alias("len"),
+        )
+        paths = (
+            paths.union(stepped)
+            .groupBy(*_ALL)
+            .agg(F.max("len").alias("len"))
+            .localCheckpoint()
+        )
+        sig2 = paths.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("len").alias("s")
+        ).first()
+        if (sig2.n, sig2.s) == (sig.n, sig.s):
+            return paths
+        sig = sig2
+    raise RuntimeError(
+        f"_longest_paths_doubling did not converge in {max_iters} rounds —"
+        f" longest chain exceeds 2^{max_iters}; raise max_iters"
+    )
+
+
+def topo_levels(t: dict[str, DataFrame], max_iters: int = 12) -> DataFrame:
     """G2 toposort: longest-upstream-chain level per node (SURVEY §2.10).
 
     Cycles make longest-path undefined, so nodes on a cycle — exactly
     those with a (n, n) pair in the transitive closure — are excluded
     along with their edges, mirroring how the reference's DFS guard
     simply refuses to recurse into visited nodes. Remaining DAG nodes get
-    level = length of their longest upstream chain (sources = 0), via the
-    same delta-iteration loop as the closure (one join per depth level).
+    level = length of their longest upstream chain (sources = 0), via
+    max-plus path doubling (:func:`_longest_paths_doubling`) — O(log d)
+    driver rounds instead of the old one-join-per-depth-level loop.
     """
     closure = lineage_closure(t)
     self_pairs = closure.filter(
@@ -247,47 +307,14 @@ def topo_levels(t: dict[str, DataFrame], max_iters: int = 100) -> DataFrame:
         )
         .distinct()
     )
-    # chains: (node, len) pairs discovered breadth-first from direct edges
-    chains = edges.select(
-        F.col("dst_catalog").alias("catalog"),
-        F.col("dst_schema").alias("schema"),
-        F.col("dst_table").alias("table"),
-        F.lit(1).alias("len"),
-    ).distinct().localCheckpoint()
-    frontier = chains
-    hop = edges.select(*[F.col(c).alias(f"e_{c}") for c in _ALL])
-    for _ in range(max_iters):
-        stepped = (
-            frontier.join(
-                hop,
-                on=[
-                    F.col("catalog") == F.col("e_src_catalog"),
-                    F.col("schema") == F.col("e_src_schema"),
-                    F.col("table") == F.col("e_src_table"),
-                ],
-            )
-            .select(
-                F.col("e_dst_catalog").alias("catalog"),
-                F.col("e_dst_schema").alias("schema"),
-                F.col("e_dst_table").alias("table"),
-                (F.col("len") + 1).alias("len"),
-            )
-            .distinct()
+    paths = _longest_paths_doubling(edges, max_iters=max_iters)
+    levels = (
+        paths.groupBy(
+            F.col("dst_catalog").alias("catalog"),
+            F.col("dst_schema").alias("schema"),
+            F.col("dst_table").alias("table"),
         )
-        new = stepped.join(
-            chains, on=["catalog", "schema", "table", "len"], how="left_anti"
-        ).localCheckpoint()
-        if new.isEmpty():
-            break
-        chains = chains.union(new).localCheckpoint()
-        frontier = new
-    else:
-        raise RuntimeError(
-            f"topo_levels did not converge in {max_iters} iterations"
-            " — chain length exceeds the cap; raise max_iters"
-        )
-    levels = chains.groupBy("catalog", "schema", "table").agg(
-        F.max("len").alias("level")
+        .agg(F.max("len").alias("level"))
     )
     return nodes.join(levels, on=["catalog", "schema", "table"], how="left").select(
         "catalog", "schema", "table", F.coalesce("level", F.lit(0)).alias("level")

@@ -91,9 +91,15 @@ def fake_decode_features(blob: bytes) -> list[float]:
     unit-scale float vector keyed on a content digest.
     """
     import hashlib
+    import math
 
     h = hashlib.sha256(blob).digest()
-    return [round(b / 255.0 - 0.5, 6) for b in h[:FEATURE_DIM]]
+    # round_half_up formula (floor(x*1e6 + 0.5)/1e6), matching the SQL
+    # oracle's identical expression — Python's round() is half-EVEN and
+    # DuckDB's round() half-up, so neither engine's native rounding is used
+    return [
+        math.floor((b / 255.0 - 0.5) * 1e6 + 0.5) / 1e6 for b in h[:FEATURE_DIM]
+    ]
 
 
 FEATURES_SCHEMA = "doc_id bigint, media_type string, n_bytes int, feature array<double>"
@@ -142,11 +148,12 @@ def media_features(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-# Features are round(byte_i/255 - 0.5, 6) over the first FEATURE_DIM bytes
-# of sha256(blob) — recomputable in SQL from hex-pair slices of sha256(text)
-# (DuckDB casts '0x..' strings to INT; round() parity for all 256 byte
-# values verified empirically). Cross-checks the whole Arrow path byte-for-
-# byte: binary in, Python batches, typed scalars back out.
+# Features are floor((byte_i/255 - 0.5)*1e6 + 0.5)/1e6 over the first
+# FEATURE_DIM bytes of sha256(blob) — recomputable in SQL from hex-pair
+# slices of sha256(text) (DuckDB casts '0x..' strings to INT; both sides
+# use the engine-free round_half_up formula, so parity holds for all 256
+# byte values by construction). Cross-checks the whole Arrow path byte-
+# for-byte: binary in, Python batches, typed scalars back out.
 MEDIA_FEATURES_SQL = f"""
 WITH feats AS (
   SELECT doc_id,
@@ -157,7 +164,7 @@ WITH feats AS (
 )
 SELECT doc_id, media_type, n_bytes,
        CAST(d.d AS INT) AS dim,
-       round(CAST('0x' || substring(h, 2 * CAST(d.d AS INT) + 1, 2) AS INT) / 255.0 - 0.5, 6) AS value
+       floor((CAST('0x' || substring(h, 2 * CAST(d.d AS INT) + 1, 2) AS INT) / 255.0 - 0.5) * 1000000.0 + 0.5) / 1000000.0 AS value
 FROM feats
 CROSS JOIN (SELECT unnest(range(0, {FEATURE_DIM})) AS d) d
 """

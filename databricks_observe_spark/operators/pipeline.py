@@ -45,6 +45,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from databricks_observe_spark.functions.textfns import shingle_regex_expr
 from databricks_observe_spark.operators.dedup import (
     CONTAM_K,
@@ -192,7 +196,7 @@ def curation_pipeline_e2e(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
-        F.round(F.sum("n_tokens") / F.lit(float(PACK_TARGET)), 6).alias(
+        round_half_up(F.sum("n_tokens") / F.lit(float(PACK_TARGET)), 6).alias(
             "fill_ratio"
         ),
     )
@@ -285,6 +289,6 @@ binned AS (
 SELECT lang, bin_id, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-       round(SUM(n_tokens) / {float(PACK_TARGET)}, 6) AS fill_ratio
+       {sql_round_half_up(f'SUM(n_tokens) / {float(PACK_TARGET)}', 6)} AS fill_ratio
 FROM binned GROUP BY lang, bin_id
 """

@@ -24,6 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
+
 D = "decimal(18,2)"
 
 
@@ -260,18 +265,18 @@ def order_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
         )
     )
 
 
-ORDER_VALUE_PERCENTILES_SQL = """
+ORDER_VALUE_PERCENTILES_SQL = f"""
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+       {sql_round_half_up('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
+       {sql_round_half_up('quantile_cont(o_totalprice, 0.5)', 4)} AS p50,
+       {sql_round_half_up('quantile_cont(o_totalprice, 0.75)', 4)} AS p75
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -362,7 +367,7 @@ def approx_user_counts(t: dict[str, DataFrame]) -> DataFrame:
         )
         .withColumn(
             "rel_error",
-            F.round(
+            round_half_up(
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 / F.col("exact_users"),
                 4,
@@ -419,16 +424,16 @@ def percentile_sketch_accuracy(t: dict[str, DataFrame]) -> DataFrame:
     )
     return agg.select(
         "event_type",
-        F.round(F.col("ex")[0], 4).alias("exact_p50"),
-        F.round(F.col("ex")[1], 4).alias("exact_p90"),
+        round_half_up(F.col("ex")[0], 4).alias("exact_p50"),
+        round_half_up(F.col("ex")[1], 4).alias("exact_p90"),
         ok.cast("int").alias("within_bound"),
     )
 
 
-PERCENTILE_SKETCH_ACCURACY_SQL = """
+PERCENTILE_SKETCH_ACCURACY_SQL = f"""
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 4) AS exact_p50,
-       round(quantile_cont(value, 0.9), 4) AS exact_p90,
+       {sql_round_half_up('quantile_cont(value, 0.5)', 4)} AS exact_p50,
+       {sql_round_half_up('quantile_cont(value, 0.9)', 4)} AS exact_p90,
        1 AS within_bound
 FROM events GROUP BY event_type
 """

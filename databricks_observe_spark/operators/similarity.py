@@ -29,6 +29,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from databricks_observe_spark.functions.vectors import (
     dot_sql_unrolled,
     hyperplanes,
@@ -167,7 +171,7 @@ def ann_bruteforce_topk(t: dict[str, DataFrame]) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("cosine", 6).alias("cosine_r"),
+            round_half_up("cosine", 6).alias("cosine_r"),
             "label",
         )
     )
@@ -183,7 +187,7 @@ scored AS (
 )
 SELECT query_id, vec_id AS neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
-       round(cosine, 6) AS cosine_r, label
+       {sql_round_half_up('cosine', 6)} AS cosine_r, label
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
@@ -401,7 +405,7 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("cosine", 6).alias("cosine_r"),
+            round_half_up("cosine", 6).alias("cosine_r"),
         )
     )
 
@@ -438,7 +442,7 @@ scored AS (
 )
 SELECT query_id, vec_id AS neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
-       round(cosine, 6) AS cosine_r
+       {sql_round_half_up('cosine', 6)} AS cosine_r
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
@@ -578,7 +582,7 @@ def ivf_ann_topk(t: dict[str, DataFrame]) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("cosine", 6).alias("cosine_r"),
+            round_half_up("cosine", 6).alias("cosine_r"),
         )
     )
 
@@ -623,7 +627,7 @@ scored AS (
 )
 SELECT query_id, vec_id AS neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
-       round(cosine, 6) AS cosine_r
+       {sql_round_half_up('cosine', 6)} AS cosine_r
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
@@ -639,36 +643,61 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def _sq_dist_assign(bc):
-    """Arrow kernel: nearest centroid by squared L2, fixed left-to-right
-    accumulation over dimensions (the oracle's unrolled op order), ties ->
-    lowest cluster index."""
+def _sq_dist_argmin(c_mat, mat):
+    """THE squared-L2 distance kernel: distance matrix of the broadcast
+    centroid rows against a batch's vector columns with FIXED left-to-
+    right accumulation over dimensions (the oracle's unrolled IEEE op
+    order), plus its argmin row (first minimal index == lowest cluster).
+    One definition shared by every E-step/assign site — same contract
+    discipline as :func:`_cosine_rescore_kernel` (round-6 verdict item:
+    collapse the three hand-copied kernels)."""
+    import numpy as _np
+
+    d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
+    acc = d0 * d0
+    for d in range(1, c_mat.shape[1]):
+        dd = c_mat[:, d][:, None] - mat[:, d][None, :]
+        acc = acc + dd * dd
+    return acc, _np.argmin(acc, axis=0)
+
+
+def _sq_dist_assign_kernel(bc, vec_col, keep_cols, with_sq_dist):
+    """Arrow assign-kernel factory over :func:`_sq_dist_argmin`: nearest
+    centroid per row, payload columns ``keep_cols`` carried through,
+    optional exact ``sq_dist``. All three E-step variants (plain assign,
+    final kmeans E-step on the quantized grid, payload-preserving
+    SemDeDup assign) are instances."""
 
     def assign(batches):
         import numpy as _np
 
-        c_mat = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
-            d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
-            acc = d0 * d0
-            for d in range(1, c_mat.shape[1]):
-                dd = c_mat[:, d][:, None] - mat[:, d][None, :]
-                acc = acc + dd * dd
-            best = _np.argmin(acc, axis=0)  # first minimal index == lowest cluster
-            out = pdf[["vec_id", "v", "label"]].copy()
+            mat = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+            acc, best = _sq_dist_argmin(bc.value, mat)
+            out = pdf[list(keep_cols)].copy()
             out["cluster"] = best.astype("int32")
-            out["sq_dist"] = acc[best, _np.arange(acc.shape[1])]
+            if with_sq_dist:
+                out["sq_dist"] = acc[best, _np.arange(acc.shape[1])]
             yield out
 
     return assign
 
 
-def _init_centroids(t: dict[str, DataFrame]):
-    """K lowest vec_ids as the deterministic init (a float mean would
-    depend on summation order; data rows are engine-independent).
+def _sq_dist_assign(bc):
+    """Nearest centroid by squared L2 with exact distances — the plain
+    E-step instance of :func:`_sq_dist_assign_kernel`."""
+    return _sq_dist_assign_kernel(
+        bc, "v", ("vec_id", "v", "label"), with_sq_dist=True
+    )
+
+
+def _init_centroid_rows(frame: DataFrame, col: str, dtype="float64"):
+    """K lowest vec_ids' ``col`` vectors as the deterministic init (a
+    float mean would depend on summation order; data rows are
+    engine-independent). ONE selection rule for both the double and the
+    quantized codebooks.
 
     Selected by ORDER BY vec_id LIMIT K — not ``vec_id < K`` — so sparse
     or offset id spaces still yield exactly K centroids; fewer than K
@@ -676,19 +705,19 @@ def _init_centroids(t: dict[str, DataFrame]):
     IndexError (code-review finding)."""
     import numpy as np
 
-    rows = (
-        _doubled(t)
-        .select("vec_id", "v")
-        .orderBy("vec_id")
-        .limit(KMEANS_K)
-        .collect()
-    )
+    rows = frame.select("vec_id", col).orderBy("vec_id").limit(KMEANS_K).collect()
     if len(rows) < KMEANS_K:
         raise ValueError(
             f"kmeans init needs at least K={KMEANS_K} vectors; corpus has "
             f"{len(rows)}"
         )
-    return np.array([r.v for r in rows], dtype=np.float64)
+    return np.array([r[col] for r in rows], dtype=np.dtype(dtype))
+
+
+def _init_centroids(t: dict[str, DataFrame]):
+    """Deterministic double-precision init codebook
+    (:func:`_init_centroid_rows` over the doubled corpus)."""
+    return _init_centroid_rows(_doubled(t), "v")
 
 
 def kmeans_assign(t: dict[str, DataFrame]) -> DataFrame:
@@ -702,7 +731,10 @@ def kmeans_assign(t: dict[str, DataFrame]) -> DataFrame:
         "vec_id bigint, v array<double>, label int, cluster int, sq_dist double",
     )
     return out.select(
-        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist_r"), "label"
+        "vec_id",
+        "cluster",
+        round_half_up("sq_dist", 6).alias("sq_dist_r"),
+        "label",
     )
 
 
@@ -720,7 +752,7 @@ scored AS (
          {_dist_sql_unrolled('e0.v', 'c.cv', 64)} AS sq_dist
   FROM e0 CROSS JOIN c
 )
-SELECT vec_id, cluster, round(sq_dist, 6) AS sq_dist_r, label
+SELECT vec_id, cluster, {sql_round_half_up('sq_dist', 6)} AS sq_dist_r, label
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq_dist ASC, cluster ASC) AS rn
   FROM scored
@@ -802,12 +834,7 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
                     continue
                 mat = _np.array(pdf["vq"].tolist(), dtype=_np.float64)
                 imat = _np.array(pdf["vqi"].tolist(), dtype=_np.int64)
-                d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
-                acc = d0 * d0
-                for d in range(1, dim):
-                    dd = c_mat[:, d][:, None] - mat[:, d][None, :]
-                    acc = acc + dd * dd
-                best = _np.argmin(acc, axis=0)
+                _, best = _sq_dist_argmin(c_mat, mat)
                 counts += _np.bincount(best, minlength=k)
                 for cl in range(k):
                     sel = imat[best == cl]
@@ -847,30 +874,9 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
         cents = new_c
 
     bc = sc.broadcast(cents)
-
-    def assign_final(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        c_mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = _np.array(pdf["vq"].tolist(), dtype=_np.float64)
-            d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
-            acc = d0 * d0
-            for d in range(1, c_mat.shape[1]):
-                dd = c_mat[:, d][:, None] - mat[:, d][None, :]
-                acc = acc + dd * dd
-            best = _np.argmin(acc, axis=0)
-            yield _pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "label": pdf["label"].to_numpy(),
-                    "cluster": best.astype("int32"),
-                    "sq_dist": acc[best, _np.arange(len(best))],
-                }
-            )
+    assign_final = _sq_dist_assign_kernel(
+        bc, "vq", ("vec_id", "label"), with_sq_dist=True
+    )
 
     # materialized once: the summary and majority-label aggregates both
     # consume this frame, and Catalyst does not CSE across branches — the
@@ -917,23 +923,9 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
 
 def _init_centroids_q(t: dict[str, DataFrame]):
     """K lowest vec_ids' QUANTIZED vectors (int micro-units) as the
-    deterministic init — same selection rule as :func:`_init_centroids`,
-    on the fixed-point grid both engines reproduce exactly."""
-    import numpy as np
-
-    rows = (
-        _quantized(t)
-        .select("vec_id", "vqi")
-        .orderBy("vec_id")
-        .limit(KMEANS_K)
-        .collect()
-    )
-    if len(rows) < KMEANS_K:
-        raise ValueError(
-            f"kmeans init needs at least K={KMEANS_K} vectors; corpus has "
-            f"{len(rows)}"
-        )
-    return np.array([r.vqi for r in rows], dtype=np.int64)
+    deterministic init — :func:`_init_centroid_rows` (the one selection
+    rule) on the fixed-point grid both engines reproduce exactly."""
+    return _init_centroid_rows(_quantized(t), "vqi", dtype="int64")
 
 
 def _kmeans_clusters_sql() -> str:
@@ -1236,33 +1228,18 @@ def _semdedup_score_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
             "cluster",
             "drop_id",
             "keep_id",
-            F.round("cosine", 6).alias("cosine_r"),
+            round_half_up("cosine", 6).alias("cosine_r"),
         )
     )
 
 
 def _sq_dist_assign_with_payload(bc):
-    """E-step kernel that keeps the norm column (for downstream rescoring)."""
-
-    def assign(batches):
-        import numpy as _np
-
-        c_mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = _np.array(pdf["v"].tolist(), dtype=_np.float64)
-            d0 = c_mat[:, 0][:, None] - mat[:, 0][None, :]
-            acc = d0 * d0
-            for d in range(1, c_mat.shape[1]):
-                dd = c_mat[:, d][:, None] - mat[:, d][None, :]
-                acc = acc + dd * dd
-            best = _np.argmin(acc, axis=0)
-            out = pdf[["vec_id", "v", "nrm", "label"]].copy()
-            out["cluster"] = best.astype("int32")
-            yield out
-
-    return assign
+    """E-step kernel that keeps the norm column (for downstream
+    rescoring) — the SemDeDup instance of
+    :func:`_sq_dist_assign_kernel`."""
+    return _sq_dist_assign_kernel(
+        bc, "v", ("vec_id", "v", "nrm", "label"), with_sq_dist=False
+    )
 
 
 SEMANTIC_DEDUP_SQL = f"""
@@ -1286,7 +1263,7 @@ pairs AS (
   FROM assigned a JOIN assigned b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 )
-SELECT cluster, drop_id, keep_id, round(cosine, 6) AS cosine_r
+SELECT cluster, drop_id, keep_id, {sql_round_half_up('cosine', 6)} AS cosine_r
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS rn
   FROM pairs WHERE cosine >= {SEMDEDUP_COS}

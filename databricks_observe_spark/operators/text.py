@@ -21,6 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from databricks_observe_spark.functions.textfns import doc_tokens
 from databricks_observe_spark.sources.tables import fan_out
 
@@ -298,18 +302,12 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
     once; the old separate dropDuplicates + groupBy path re-exploded every
     token and added a corpus-sized shuffle for a number tf already knew.
 
-    KNOWN CLASS (round-7 hardening item): the score double is
-    bit-identical on both engines (exact-int ln input, one multiply),
-    but the final ``round(x, 6)`` is engine-implemented (Spark HALF_UPs
-    the shortest decimal repr where DuckDB scales-and-rounds), so a
-    score landing within an ulp of a 0.5e-6 boundary could round
-    differently and, since rnk orders by the rounded value, even flip
-    top-3 membership. The fixtures attain no such boundary value (every
-    driver row hash-green), but the robust form is
-    ``floor(x * 1e6 + 0.5) / 1e6`` on BOTH engines -- a pure IEEE
-    function of identical inputs that cannot diverge. The same applies
-    to every ``F.round(double, n)`` / ``round(expr, n)`` oracle pair in
-    this package (~35 sites); convert them together, not piecemeal.
+    Rounding is :func:`round_half_up` (``floor(x*1e6+0.5)/1e6`` on BOTH
+    engines) — pure IEEE arithmetic over the bit-identical score, so the
+    rounded value (and hence the rnk ordering) cannot diverge even at
+    0.5e-6 boundaries. This closed the package-wide ``F.round(double, n)``
+    vs engine-rounding latent class flagged in the round-6 verdict; every
+    oracle pair in the package now uses the shared helper.
     """
     docs = t["documents"]
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -322,7 +320,7 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
         F.broadcast(n_docs)
     ).withColumn(
         "tfidf",
-        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        round_half_up(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
@@ -332,14 +330,14 @@ def tfidf_keywords(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-TFIDF_KEYWORDS_SQL = """
+TFIDF_KEYWORDS_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         {sql_round_half_up('tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)', 6)} AS tfidf
   FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
 )
 SELECT doc_id, tok, tf, df, tfidf,
@@ -478,8 +476,8 @@ def quality_filter(t: dict[str, DataFrame]) -> DataFrame:
         "doc_id",
         "lang",
         "n_tokens",
-        F.round("ttr", 6).alias("ttr_r"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+        round_half_up("ttr", 6).alias("ttr_r"),
+        round_half_up("stopword_ratio", 6).alias("stopword_ratio_r"),
         reason.isNull().cast("int").alias("keep"),
         reason.alias("reject_reason"),
     )
@@ -502,8 +500,8 @@ r AS (
             END AS reject_reason
   FROM s
 )
-SELECT doc_id, lang, n_tokens, round(ttr, 6) AS ttr_r,
-       round(stopword_ratio, 6) AS stopword_ratio_r,
+SELECT doc_id, lang, n_tokens, {sql_round_half_up('ttr', 6)} AS ttr_r,
+       {sql_round_half_up('stopword_ratio', 6)} AS stopword_ratio_r,
        CAST(reject_reason IS NULL AS INT) AS keep, reject_reason
 FROM r
 """
@@ -541,9 +539,9 @@ def repetition_signals(t: dict[str, DataFrame]) -> DataFrame:
     return cnt.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_bigrams"),
         F.count(F.lit(1)).alias("n_distinct_bigrams"),
-        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_share"),
-        F.round(
+        round_half_up(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+        round_half_up(F.max("c") / F.sum("c"), 6).alias("top_bigram_share"),
+        round_half_up(
             F.coalesce(F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))), F.lit(0))
             / F.sum("c"),
             6,
@@ -551,7 +549,7 @@ def repetition_signals(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-REPETITION_SIGNALS_SQL = """
+REPETITION_SIGNALS_SQL = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 bg AS (
   SELECT doc_id, w[i.i - 1] AS a, w[i.i] AS b
@@ -561,9 +559,9 @@ cnt AS (SELECT doc_id, a, b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3)
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_bigrams,
        COUNT(*) AS n_distinct_bigrams,
-       round(COUNT(*) * 1.0 / SUM(c), 6) AS distinct_ratio,
-       round(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_share,
-       round(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) * 1.0 / SUM(c), 6)
+       {sql_round_half_up('COUNT(*) * 1.0 / SUM(c)', 6)} AS distinct_ratio,
+       {sql_round_half_up('MAX(c) * 1.0 / SUM(c)', 6)} AS top_bigram_share,
+       {sql_round_half_up('COALESCE(SUM(CASE WHEN a = b THEN c END), 0) * 1.0 / SUM(c)', 6)}
          AS adjacent_repeat_frac
 FROM cnt GROUP BY doc_id
 """
@@ -600,7 +598,9 @@ def sequence_packing(t: dict[str, DataFrame]) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
-        F.round(F.sum("n_tokens") / F.lit(float(PACK_TARGET)), 6).alias("fill_ratio"),
+        round_half_up(F.sum("n_tokens") / F.lit(float(PACK_TARGET)), 6).alias(
+            "fill_ratio"
+        ),
     )
 
 
@@ -617,7 +617,7 @@ binned AS (
 SELECT lang, bin_id, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-       round(SUM(n_tokens) / {float(PACK_TARGET)}, 6) AS fill_ratio
+       {sql_round_half_up(f'SUM(n_tokens) / {float(PACK_TARGET)}', 6)} AS fill_ratio
 FROM binned GROUP BY lang, bin_id
 """
 
@@ -660,7 +660,7 @@ def vocab_coverage(t: dict[str, DataFrame]) -> DataFrame:
             "tok",
             "freq",
             F.col("rank").cast("int").alias("rank"),
-            F.round(F.col("cum_freq").cast("double") / F.col("total"), 6).alias(
+            round_half_up(F.col("cum_freq").cast("double") / F.col("total"), 6).alias(
                 "cum_share"
             ),
         )
@@ -678,7 +678,7 @@ ranked AS (
                          ROWS UNBOUNDED PRECEDING) AS cum_freq
   FROM freq
 )
-SELECT tok, freq, rank, round(CAST(cum_freq AS DOUBLE) / total, 6) AS cum_share
+SELECT tok, freq, rank, {sql_round_half_up('CAST(cum_freq AS DOUBLE) / total', 6)} AS cum_share
 FROM ranked, total
 WHERE rank <= {VOCAB_TOP}
 """
@@ -783,21 +783,21 @@ def mixture_weights(t: dict[str, DataFrame]) -> DataFrame:
     return counts.join(F.broadcast(totals)).select(
         "lang",
         "n_docs",
-        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+        round_half_up(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
             "actual_share_r"
         ),
-        F.round(
+        round_half_up(
             (F.col("total").cast("double") / F.col("n_langs")) / F.col("n_docs"), 6
         ).alias("weight_r"),
     )
 
 
-MIXTURE_WEIGHTS_SQL = """
+MIXTURE_WEIGHTS_SQL = f"""
 WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c)
 SELECT lang, n_docs,
-       round(CAST(n_docs AS DOUBLE) / total, 6) AS actual_share_r,
-       round((CAST(total AS DOUBLE) / n_langs) / n_docs, 6) AS weight_r
+       {sql_round_half_up('CAST(n_docs AS DOUBLE) / total', 6)} AS actual_share_r,
+       {sql_round_half_up('(CAST(total AS DOUBLE) / n_langs) / n_docs', 6)} AS weight_r
 FROM c CROSS JOIN t
 """
 
@@ -850,8 +850,10 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
 
     p = tf/len(doc), q = cf/total; KL = sum p*ln(p/q). Per-term doubles are
     deterministic (fixed expression per row); the per-doc SUM is made
-    order-independent by rounding each term to 12 decimals and summing as
-    DECIMAL — bit-identical across engines and partitionings. Two corpus
+    order-independent by quantizing each term to integer pico-units
+    (``floor(x*1e12 + 0.5)``, the round_half_up formula kept integral)
+    and summing as DECIMAL — bit-identical across engines and
+    partitionings. Two corpus
     shuffles (doc-term, corpus-term), both map-side combined; the corpus
     frequency side is vocab-sized -> joined without a forced broadcast.
 
@@ -875,19 +877,37 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     p = F.col("tf").cast("double") / F.col("n")
     q = F.col("cf").cast("double") / F.col("total")
     r_nano = F.greatest(F.floor(p / q * F.lit(1e9) + F.lit(0.5)), F.lit(1))
-    term = F.round(p * F.log(r_nano / F.lit(1e9)), 12).cast("decimal(28,12)")
+    # per-term pico-units (1e-12): floor(x*1e12 + 0.5) is a BIGINT-valued
+    # half-up quantization — the same engine-free formula as round_half_up
+    # but kept integral so the per-doc SUM is exact decimal arithmetic
+    # (no double->decimal cast, which would reintroduce the engine-
+    # specific shortest-repr conversion this round removed).
+    term_units = F.floor(
+        p * F.log(r_nano / F.lit(1e9)) * F.lit(1e12) + F.lit(0.5)
+    ).cast("decimal(38,0)")
     # cf carries one row per distinct token — vocab-sized at 100 TB, so no
     # broadcast hint (AQE decides); tot is a scalar and always ships.
     return (
         tf.join(cf, on="tok")
         .join(F.broadcast(tot))
         .groupBy("doc_id", "n")
-        .agg(F.round(F.sum(term).cast("double"), 6).alias("kl_r"))
+        .agg(
+            round_half_up(
+                F.sum(term_units).cast("double") / F.lit(1e12), 6
+            ).alias("kl_r")
+        )
         .select("doc_id", F.col("n").alias("n_tokens"), "kl_r")
     )
 
 
-UNIGRAM_KL_SQL = """
+_KL_TERM_UNITS_SQL = """CAST(floor((CAST(tf AS DOUBLE) / n) *
+                     ln(GREATEST(FLOOR((CAST(tf AS DOUBLE) / n)
+                                       / (CAST(cf AS DOUBLE) / total)
+                                       * 1000000000.0 + 0.5), 1)
+                        / 1000000000.0) * 1000000000000.0 + 0.5)
+               AS DECIMAL(38,0))"""
+
+UNIGRAM_KL_SQL = f"""
 WITH toks AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n,
          unnest(string_split(text, ' ')) AS tok
@@ -897,12 +917,7 @@ tf AS (SELECT doc_id, n, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
 cf AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
 tot AS (SELECT COUNT(*) AS total FROM toks)
 SELECT doc_id, n AS n_tokens,
-       round(CAST(SUM(CAST(round((CAST(tf AS DOUBLE) / n) *
-                     ln(GREATEST(FLOOR((CAST(tf AS DOUBLE) / n)
-                                       / (CAST(cf AS DOUBLE) / total)
-                                       * 1000000000.0 + 0.5), 1)
-                        / 1000000000.0), 12)
-               AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_r
+       {sql_round_half_up(f'CAST(SUM({_KL_TERM_UNITS_SQL}) AS DOUBLE) / 1000000000000.0', 6)} AS kl_r
 FROM tf JOIN cf USING (tok) CROSS JOIN tot
 GROUP BY doc_id, n
 """
@@ -943,10 +958,11 @@ def length_outliers(t: dict[str, DataFrame]) -> DataFrame:
             "doc_id",
             "lang",
             "n_tokens",
-            F.round("med", 6).alias("med_r"),
-            F.round("mad", 6).alias("mad_r"),
+            round_half_up("med", 6).alias("med_r"),
+            round_half_up("mad", 6).alias("mad_r"),
             (
-                F.round("absdev", 6) > F.round(F.col("mad") * MAD_K, 6)
+                round_half_up("absdev", 6)
+                > round_half_up(F.col("mad") * MAD_K, 6)
             ).cast("int").alias("is_outlier"),
         )
     )
@@ -964,8 +980,8 @@ dev AS (
 ),
 mad AS (SELECT lang, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY lang)
 SELECT dev.doc_id, dev.lang, dev.n_tokens,
-       round(dev.med, 6) AS med_r, round(mad.mad, 6) AS mad_r,
-       CAST(round(dev.absdev, 6) > round(mad.mad * {MAD_K}, 6) AS INT) AS is_outlier
+       {sql_round_half_up('dev.med', 6)} AS med_r, {sql_round_half_up('mad.mad', 6)} AS mad_r,
+       CAST({sql_round_half_up('dev.absdev', 6)} > {sql_round_half_up(f'mad.mad * {MAD_K}', 6)} AS INT) AS is_outlier
 FROM dev JOIN mad ON dev.lang = mad.lang
 """
 

@@ -20,7 +20,7 @@ SETUP_INDEX_NAMES = [
     "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
     "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
     "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
-    "langid_trained_profiles", "jaccard_pairs_capped",
+    "langid_trained_profiles", "jaccard_pairs_capped", "hist_value_agg",
 ]
 
 
@@ -29,7 +29,10 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
     long-lived runtimes (Arrow python workers, Structured Streaming
     execution threads — both persistent on a real cluster)."""
     from databricks_observe_spark.functions.textfns import doc_tokens
-    from databricks_observe_spark.operators.catalog_ops import _file_stats
+    from databricks_observe_spark.operators.catalog_ops import (
+        _file_stats,
+        _hist_vals,
+    )
     from databricks_observe_spark.operators.dedup import (
         _cluster_labels,
         _shingle_df,
@@ -62,7 +65,7 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _bm25_index, _langid_profiles, _textrank_graph, _doubled,
         _centroids_bc, _query_set_bc, _ivf_assigned, _quantized,
         _cluster_labels, _file_stats, _semdedup_assigned,
-        ngram_jaccard_pairs_capped,
+        ngram_jaccard_pairs_capped, _hist_vals,
     ):
         build(ctx)
 

@@ -26,6 +26,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from databricks_observe_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up,
+)
 from databricks_observe_spark.session import ensure_conf
 from databricks_observe_spark.sources.tables import normalize_events_ts
 
@@ -550,11 +554,11 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start"
         ),
         "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
+        round_half_up("sum_value", 2).alias("sum_value"),
     )
 
 
-STREAMING_SESSIONIZE_SQL = """
+STREAMING_SESSIONIZE_SQL = f"""
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -572,7 +576,7 @@ agg AS (
   SELECT user_id, session_id,
          strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
          COUNT(*) AS n_events,
-         round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+         {sql_round_half_up('CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)', 2)} AS sum_value
   FROM sessions GROUP BY user_id, session_id
 )
 SELECT user_id, session_start, n_events, sum_value
@@ -802,5 +806,5 @@ def streaming_sessionize_tws_query(spark: SparkSession, sf_dir: str) -> DataFram
             "session_start"
         ),
         "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
+        round_half_up("sum_value", 2).alias("sum_value"),
     )

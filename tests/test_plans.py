@@ -167,10 +167,20 @@ def test_contamination_broadcasts_eval_set(tables):
     from databricks_observe_spark.operators import dedup as D
 
     plan = _plan(D.contamination_check(tables))
-    # the eval shingle set is the broadcast side of a semi probe
-    assert "LeftSemi" in plan
+    # the eval shingle set is the broadcast side of the flagging join, so
+    # every train gram is pruned/flagged map-side before the one per-doc
+    # aggregate exchange — no semi+sizes double aggregation, no
+    # hits-to-sizes join, nothing gram-sized shuffles
     assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    import re as _re
+
+    keys = {
+        m.split(",")[0].split("#")[0]
+        for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"doc_id", "s"}, keys
 
 
 def test_sequence_packing_single_partition_window_per_lang(tables):
@@ -263,11 +273,11 @@ def test_pii_redaction_is_single_scan(tables):
 def test_column_histograms_single_scan(tables):
     from databricks_observe_spark.operators.catalog_ops import column_histograms
 
-    from databricks_observe_spark.operators.catalog_ops import _hist_vals
+    from databricks_observe_spark.operators.catalog_ops import _hist_vals_logical
 
     # ONE lineitem scan feeds everything: the (col, val) value aggregate
     # is the single pass over the table...
-    vplan = _plan(_hist_vals(tables))
+    vplan = _plan(_hist_vals_logical(tables))
     assert vplan.count("Scan parquet") == 1
     # the value aggregate combines map-side before its shuffle
     assert "partial_count" in vplan or "partial_sum" in vplan
