@@ -429,103 +429,90 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
 # the first ~50 registry entries (budget cutoff observed every round), so
-# order = verification priority. Round-6 plan, per the round-5 verdict's
-# freshness rule (no query's newest green driver row may age past two
-# rounds): (a) the smoke anchor; (b) the TWENTY-TWO queries whose newest
-# green row is r03 — the mandatory head of this rotation; (c) the three
-# queries NEW this round (curation_pipeline_e2e, lineage_closure_deep,
-# observability_report);
-# (d) the queries whose CODE or ORACLE changed this round (schema_drift's
-# path-free DESCRIBE-view oracle + one-job diff; normalized_dedup's fused
-# regex; unigram_logprob's quantize-before-log — unigram_kl's twin change
-# is already in the r03 set; value_deciles' explicit NULLS LAST;
-# lateness_report's fixed-block-count prefix scan; textrank_keywords'
-# setup-accounted vocab count; the five streaming harnesses' partition
-# pin — three are in the r03 set, corpus_dedup and click_attribution are
-# not); (e) the oldest r04 rows that fit under the cap, so the r07 debt
-# shrinks.
+# order = verification priority. Round-7 plan, per the freshness rule (no
+# query's newest green driver row may age past two rounds):
+# (a) the smoke anchor; (b) the THIRTY-THREE queries whose newest green
+# driver row is r04 (the 32 named in the round-6 verdict plus
+# approx_user_counts, the rows-only sketch row from the same cohort) —
+# the mandatory head; (c) queries NEW this round (appended as built);
+# (d) queries whose CODE or ORACLE changed in the round-7 round_half_up
+# hardening AND whose newest green row is r05 (chunk_dedup,
+# column_histograms, contamination_check, embedding_near_dup,
+# embedding_near_dup_lsh, percentile_sketch_accuracy, semantic_dedup,
+# skew_report, user_count_accuracy — the r06-green changed rows age a
+# round later and take the r08 head instead); (e) the most structurally
+# changed r06-green rows that fit under the cap (unigram_kl's pico-unit
+# term quantization, streaming_sessionize, curation_pipeline_e2e,
+# kmeans_assign, mixture_weights).
 #
-# ROUND-7 ROTATION DEBT (computed from CORRECTNESS_r0{3,4,5}.json newest-
-# green-row set differences, assuming the 50 rows above go green in r06):
-# 32 queries whose newest green row is r04 MUST head round 7's _PRIORITY
-# (they would be three rounds stale otherwise): tumbling_hourly,
-# first_completed and state_transitions (displaced from the r06 cap by
-# range_join_incidents, time_rollup_multigrain and weighted_sample_topk),
-# user_sessions,
-# ann_bruteforce_topk,
-# ann_lsh_topk, asof_last_error_before_purchase, deterministic_sample,
-# dormant_customers, events_cube, exact_dedup, hash_split,
-# high_value_events, ivf_ann_topk, kmeans_clusters,
-# local_supplier_revenue, lsh_bucket_stats, media_features,
-# minhash_lsh_pairs, nation_market_share, order_priority_rollup,
-# order_value_percentiles, returned_item_revenue, segment_order_stats,
-# signup_purchase_window, simhash_fingerprints, sliding_daily,
-# text_stats, tfidf_keywords, top_balance_per_nation,
-# urgent_order_customers, user_value_zscores. With 32 mandatory head
-# entries the remaining ~18 cap slots take the oldest of the 42
-# r05-green rows, so the r08 head (~24 leftover r05 rows + that round's
-# new/changed) still fits under the cap — the two-round rule stays
-# satisfiable at 125 registered queries (needs ~42 refreshes/round
-# against the 50-row budget).
+# ROUND-8 ROTATION DEBT (assuming the ~50 rows below go green in r07):
+# the 33 r05-green rows NOT refreshed here head r08's _PRIORITY —
+# ann_recall, asset_specs, balance_percent_rank, bpe_pair_counts,
+# compaction_plan, curated_corpus, dedup_retention, describe_detail,
+# epoch_shuffle, event_dedup_windowed, event_type_pivot,
+# event_type_stats, expectations_report, funnel_conversion,
+# fuzzy_match_probe, incremental_dedup, incremental_pricing_summary,
+# int8_quantize, latest_update_per_entity, lineage_closure,
+# merge_upsert, near_dup_clusters, ngram_jaccard_pairs,
+# ngram_jaccard_pairs_capped, per_source_dedup_rate, retention_cohorts,
+# run_output_lookup, scd2_history, sensor_cursor_roundtrip,
+# simhash_near_dup_pairs, table_files_meta, topo_levels, zorder_key —
+# plus the round-7-changed r06-green rows (quality_filter,
+# repetition_signals, sequence_packing, vocab_coverage, length_outliers,
+# order-of-round()-hardening cohort) and r08's own new/changed queries.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) r03-stale — mandatory refresh this round
-    "lang_profile",
-    "langid_trigram",
-    "doc_fingerprints",
-    "token_count_regex",
-    "heavy_hitter_tokens",
-    "multimodal_meta",
-    "frame_sample",
-    "image_resize",
-    "length_outliers",
-    "quality_filter",
-    "vocab_coverage",
-    "repetition_signals",
-    "sequence_packing",
-    "pii_redaction",
-    "mixture_weights",
-    "stratified_sample",
+    # (b) r04-stale — mandatory refresh this round
+    "tumbling_hourly",
+    "first_completed",
+    "state_transitions",
+    "user_sessions",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "asof_last_error_before_purchase",
+    "deterministic_sample",
+    "dormant_customers",
+    "events_cube",
+    "exact_dedup",
+    "hash_split",
+    "high_value_events",
+    "ivf_ann_topk",
+    "kmeans_clusters",
+    "local_supplier_revenue",
+    "lsh_bucket_stats",
+    "media_features",
+    "minhash_lsh_pairs",
+    "nation_market_share",
+    "order_priority_rollup",
+    "order_value_percentiles",
+    "returned_item_revenue",
+    "segment_order_stats",
+    "signup_purchase_window",
+    "simhash_fingerprints",
+    "sliding_daily",
+    "text_stats",
+    "tfidf_keywords",
+    "top_balance_per_nation",
+    "urgent_order_customers",
+    "user_value_zscores",
+    "approx_user_counts",
+    # (c) new this round — first driver rows (appended as built)
+    # (d) round_half_up-changed, newest green row r05
+    "chunk_dedup",
+    "column_histograms",
+    "contamination_check",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "percentile_sketch_accuracy",
+    "semantic_dedup",
+    "skew_report",
+    "user_count_accuracy",
+    # (e) most structurally changed r06-green rows
     "unigram_kl",
-    "kmeans_assign",
-    "discovered_objects_live",
-    "streaming_first_completed",
-    "streaming_tumbling_hourly",
     "streaming_sessionize",
-    # (c) new this round — first driver rows
     "curation_pipeline_e2e",
-    "lineage_closure_deep",
-    "observability_report",
-    "bm25_scores",
-    "lsh_dedup_recall",
-    "duplicated_spans",
-    "zone_map_plan",
-    # (d) code or oracle changed this round
-    "schema_drift",
-    "normalized_dedup",
-    "unigram_logprob",
-    "value_deciles",
-    "lateness_report",
-    "textrank_keywords",
-    "streaming_corpus_dedup",
-    "streaming_click_attribution",
-    # (e) oldest r04 rows that fit under the cap
-    "pricing_summary",
-    "table_profiles",
-    "columns_schema",
-    "tables_enriched",
-    "discovered_objects",
-    "named_assets",
-    "object_count_rollup",
-    "shipping_priority",
-    "top_orders_per_customer",
-    # new late in the round: the range-join, multi-grain-rollup and A-ES
-    # weighted-sampling operator classes (first driver rows take the last
-    # cap slots; tumbling_hourly, first_completed and state_transitions
-    # move to the r07 head)
-    "range_join_incidents",
-    "time_rollup_multigrain",
-    "weighted_sample_topk",
+    "kmeans_assign",
+    "mixture_weights",
 ]
 
 
