@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "range_join_incidents",
     "time_rollup_multigrain",
     "weighted_sample_topk",
+    "bpe_apply_merges",
+    "mixture_weights_temperature",
 ]
 
 

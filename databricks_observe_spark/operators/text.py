@@ -802,6 +802,71 @@ FROM c CROSS JOIN t
 """
 
 
+MIXTURE_ALPHA = 0.3  # temperature exponent: q_l ~ p_l^alpha (T = 1/alpha)
+
+
+def mixture_weights_temperature(t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature-scaled language-sampling weights, ``q_l ~ p_l^alpha``
+    with alpha = 0.3 — the mT5/XLM-R low-resource up-sampling rule, the
+    T != 1 companion to :func:`mixture_weights`'s uniform target.
+
+    Transcendental guard (the ln-site rule): the language share p is
+    quantized to the 1e-9 grid BEFORE ``pow``, so pow's input is an
+    identical grid-discrete double on both engines, and each pow output
+    is immediately floored back to integer nano-units — the normalizing
+    SUM is exact integer arithmetic (order-independent across engines
+    and partitionings), and the attained grid points floor with margin
+    (asserted in tests/test_text_multimodal.py), so a 1-ulp libm pow
+    divergence cannot flip a unit. Output is language-cardinality-sized.
+    """
+    d = t["documents"]
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(F.sum("n_docs").alias("total"))
+    p_nano = F.greatest(
+        F.floor(F.col("n_docs") / F.col("total") * F.lit(1e9) + F.lit(0.5)),
+        F.lit(1),
+    )
+    pa = F.floor(
+        F.pow(p_nano / F.lit(1e9), F.lit(MIXTURE_ALPHA)) * F.lit(1e9)
+        + F.lit(0.5)
+    )
+    scored = counts.join(F.broadcast(totals)).select(
+        "lang", "n_docs", "total", pa.alias("pa")
+    )
+    norm = scored.agg(F.sum("pa").alias("pa_sum"))
+    return scored.join(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        round_half_up(F.col("pa").cast("double") / F.col("pa_sum"), 6).alias(
+            "temp_share_r"
+        ),
+        round_half_up(
+            (F.col("pa").cast("double") / F.col("pa_sum"))
+            / (F.col("n_docs").cast("double") / F.col("total")),
+            6,
+        ).alias("temp_weight_r"),
+    )
+
+
+MIXTURE_WEIGHTS_TEMPERATURE_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+b AS (
+  SELECT lang, n_docs, total,
+         floor(power(GREATEST(floor(CAST(n_docs AS DOUBLE) / total
+                                    * 1000000000.0 + 0.5), 1)
+                     / 1000000000.0, {MIXTURE_ALPHA})
+               * 1000000000.0 + 0.5) AS pa
+  FROM c CROSS JOIN t
+),
+n AS (SELECT CAST(SUM(pa) AS BIGINT) AS pa_sum FROM b)
+SELECT lang, n_docs,
+       {sql_round_half_up('CAST(pa AS DOUBLE) / pa_sum', 6)} AS temp_share_r,
+       {sql_round_half_up('(CAST(pa AS DOUBLE) / pa_sum) / (CAST(n_docs AS DOUBLE) / total)', 6)} AS temp_weight_r
+FROM b CROSS JOIN n
+"""
+
+
 def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
     """Language-balanced downsample: every language is cut to ~the smallest
     language's size by a content-stable md5 bucket — reproducible across
@@ -1042,6 +1107,103 @@ p AS (
 )
 SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS pair_count
 FROM p GROUP BY 1, 2
+"""
+
+
+BPE_MERGES = 32  # learned merge-table size applied by bpe_apply_merges
+
+
+def bpe_apply_merges(t: dict[str, DataFrame]) -> DataFrame:
+    """The BPE ENCODE side — apply a learned merge table to the corpus by
+    greedy left-to-right longest-match over the fixed vocabulary:
+    completes the tokenizer story :func:`bpe_pair_counts` trains.
+
+    The merge table is the top-``BPE_MERGES`` step-0 pairs (count desc,
+    merged-unit asc — deterministic on exact integer counts), carried
+    in-plan as a 1-row collected array cross-joined broadcast, never a
+    driver-side literal. The walk is an ``aggregate`` fold over character
+    positions — ties to the same scale rule as training: greedy
+    tokenization is a per-word property, so the corpus is scanned once
+    for the word-frequency table and the O(len)-per-word walk runs over
+    the DISTINCT vocabulary only (never per occurrence). Per word:
+    consume 2 chars when the bigram at the cursor is a learned merge,
+    else 1 — longest-match-first with a max unit length of 2.
+    """
+    words = (
+        doc_tokens(t)
+        .select(F.explode("w").alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # pair table is charset^2-bounded (tiny at any corpus scale), so the
+    # single-partition ranking window and the collect_list are both safe
+    w = Window.orderBy(F.desc("pair_count"), F.asc("mu"))
+    marr = (
+        bpe_pair_counts(t)
+        .select(F.concat("left_sym", "right_sym").alias("mu"), "pair_count")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BPE_MERGES)
+        .agg(F.sort_array(F.collect_list("mu")).alias("marr"))
+    )
+    units = F.expr(
+        "aggregate(sequence(1, char_length(word)),"
+        " named_struct('nxt', 1, 'us', cast(array() as array<string>)),"
+        " (acc, i) -> IF(i < acc.nxt, acc,"
+        "   IF(array_contains(marr, substring(word, i, 2)),"
+        "      named_struct('nxt', i + 2,"
+        "                   'us', array_append(acc.us, substring(word, i, 2))),"
+        "      named_struct('nxt', i + 1,"
+        "                   'us', array_append(acc.us, substring(word, i, 1))))),"
+        " acc -> acc.us)"
+    )
+    return (
+        words.join(F.broadcast(marr))
+        .select("word", "cnt", units.alias("us"))
+        .select(
+            "word",
+            "cnt",
+            F.size("us").cast("int").alias("n_units"),
+            F.concat_ws(" ", "us").alias("encoding"),
+        )
+    )
+
+
+BPE_APPLY_MERGES_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wf AS (
+  SELECT word, COUNT(*) AS cnt FROM toks WHERE length(word) >= 1 GROUP BY word
+),
+p AS (
+  SELECT substr(word, i.i, 1) || substr(word, i.i + 1, 1) AS mu, cnt
+  FROM (SELECT * FROM wf WHERE length(word) >= 2) w2
+  CROSS JOIN LATERAL (SELECT unnest(range(1, length(word))) AS i) i
+),
+pc AS (SELECT mu, SUM(cnt) AS pair_count FROM p GROUP BY mu),
+m AS (
+  SELECT list(mu) AS marr FROM (
+    SELECT mu FROM pc ORDER BY pair_count DESC, mu ASC LIMIT {BPE_MERGES}
+  )
+),
+walk AS (
+  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS us FROM wf
+  UNION ALL
+  SELECT w.word,
+         w.pos + CASE WHEN list_contains(m.marr, substr(w.word, w.pos, 2))
+                      THEN 2 ELSE 1 END,
+         list_append(w.us,
+                     CASE WHEN list_contains(m.marr, substr(w.word, w.pos, 2))
+                          THEN substr(w.word, w.pos, 2)
+                          ELSE substr(w.word, w.pos, 1) END)
+  FROM walk w CROSS JOIN m
+  WHERE w.pos <= length(w.word)
+)
+SELECT wk.word, wf.cnt, CAST(len(wk.us) AS INT) AS n_units,
+       array_to_string(wk.us, ' ') AS encoding
+FROM walk wk JOIN wf ON wk.word = wf.word
+WHERE wk.pos > length(wk.word)
 """
 
 

@@ -302,6 +302,12 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "sequence_packing": (text.sequence_packing, text.SEQUENCE_PACKING_SQL),
     "pii_redaction": (text.pii_redaction, text.PII_REDACTION_SQL),
     "mixture_weights": (text.mixture_weights, text.MIXTURE_WEIGHTS_SQL),
+    # T != 1 sampling weights (q ~ p^alpha, integer nano-unit
+    # normalization, quantize-before-pow)
+    "mixture_weights_temperature": (
+        text.mixture_weights_temperature,
+        text.MIXTURE_WEIGHTS_TEMPERATURE_SQL,
+    ),
     "stratified_sample": (text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
     # TextRank keyword centrality: fixed-point PageRank over the token
     # co-occurrence graph, oracle replays the unrolled iterations
@@ -311,6 +317,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "unigram_kl": (text.unigram_kl, text.UNIGRAM_KL_SQL),
     # BPE tokenizer-training inner loop: weighted adjacent-pair counts
     "bpe_pair_counts": (text.bpe_pair_counts, text.BPE_PAIR_COUNTS_SQL),
+    # BPE encode side: greedy longest-match against the learned merge
+    # table, vocabulary-sized walk (oracle replays it as a recursive CTE)
+    "bpe_apply_merges": (text.bpe_apply_merges, text.BPE_APPLY_MERGES_SQL),
     # LM-based quality signal: per-doc avg unigram log-probability
     "unigram_logprob": (text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
     "length_outliers": (text.length_outliers, text.LENGTH_OUTLIERS_SQL),
@@ -496,7 +505,9 @@ _PRIORITY = [
     "urgent_order_customers",
     "user_value_zscores",
     "approx_user_counts",
-    # (c) new this round — first driver rows (appended as built)
+    # (c) new this round — first driver rows
+    "bpe_apply_merges",
+    "mixture_weights_temperature",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

@@ -520,3 +520,78 @@ def test_repetition_signals_single_token_doc(spark):
     want = {r[0]: r for r in con.execute(T.REPETITION_SIGNALS_SQL).fetchall()}
     assert set(want) == set(got) == {1}
     assert want[1][1] == 3 and want[1][2] == 2
+
+
+def test_bpe_apply_merges_greedy_semantics(tables):
+    """The encode walk's contract, independently replayed: a Python
+    reimplementation of greedy longest-match over the SAME top-32 merge
+    table must reproduce every encoding, every encoding must concatenate
+    back to its word, and every emitted 2-char unit must be a learned
+    merge (no unit invents a pair the table never learned)."""
+    pairs = T.bpe_pair_counts(tables).collect()
+    ranked = sorted(
+        pairs, key=lambda r: (-r.pair_count, r.left_sym + r.right_sym)
+    )
+    merges = {r.left_sym + r.right_sym for r in ranked[: T.BPE_MERGES]}
+
+    def greedy(word: str) -> list[str]:
+        out, i = [], 0
+        while i < len(word):
+            if word[i : i + 2] in merges:
+                out.append(word[i : i + 2])
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        return out
+
+    rows = T.bpe_apply_merges(tables).collect()
+    assert rows
+    wf = (
+        tables["documents"]
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    assert {r.word for r in rows} == {r.w for r in wf}
+    for r in rows:
+        want = greedy(r.word)
+        assert r.encoding.split(" ") == want, (r.word, r.encoding, want)
+        assert r.n_units == len(want)
+        assert "".join(want) == r.word
+        for u in want:
+            assert len(u) in (1, 2)
+            if len(u) == 2:
+                assert u in merges
+
+
+def test_mixture_temperature_pow_margins_and_upsampling(tables):
+    """The quantize-before-pow guard's no-flake claim, CHECKED: every
+    attained pow grid point must floor with a margin far wider than a
+    1-ulp cross-engine pow divergence (~2e-7 at the 1e9 scale) could
+    move it; and the alpha<1 temperature must up-weight the smallest
+    language relative to the largest (the whole point of the operator).
+    """
+    import math
+
+    counts = {
+        r.lang: r.n_docs
+        for r in tables["documents"].groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ).collect()
+    }
+    total = sum(counts.values())
+    for n in counts.values():
+        pn = max(math.floor(n / total * 1e9 + 0.5), 1)
+        v = (math.pow(pn / 1e9, T.MIXTURE_ALPHA) * 1e9 + 0.5) % 1.0
+        assert min(v, 1.0 - v) > 1e-3, (n, pn, v)
+
+    rows = {r.lang: r for r in T.mixture_weights_temperature(tables).collect()}
+    assert abs(sum(r.temp_share_r for r in rows.values()) - 1.0) < 1e-4
+    lo = min(counts, key=counts.get)
+    hi = max(counts, key=counts.get)
+    if counts[lo] < counts[hi]:
+        assert rows[lo].temp_weight_r > rows[hi].temp_weight_r
+        assert rows[lo].temp_weight_r > 1.0 > rows[hi].temp_weight_r
