@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "weighted_sample_topk",
     "bpe_apply_merges",
     "mixture_weights_temperature",
+    "perplexity_buckets",
 ]
 
 

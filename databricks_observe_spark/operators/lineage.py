@@ -147,12 +147,11 @@ def transitive_closure_doubling(
                 for k in ("catalog", "schema", "table")
             ],
         ).select(*_DST, *[F.col(f"e_{c}").alias(c) for c in _SRC])
-        # one materialization per round (union + dedup + checkpoint);
-        # convergence = the pair count stopped growing. Half the jobs of
-        # the BFS form's anti-join + isEmpty + union cadence — at O(log d)
-        # rounds the per-round driver floor IS the cost model, so the
-        # round body stays minimal.
-        closure = closure.union(stepped).distinct().localCheckpoint()
+        # ONE job per round: the checkpoint is LAZY and materialized by
+        # the convergence count's own action (vs the BFS form's anti-join
+        # + isEmpty + union cadence) — at O(log d) rounds the per-round
+        # driver floor IS the cost model, so the round body stays minimal.
+        closure = closure.union(stepped).distinct().localCheckpoint(eager=False)
         n2 = closure.count()
         if n2 == n:
             return closure, it
@@ -213,22 +212,20 @@ def _longest_paths_doubling(edges: DataFrame, max_iters: int = 12) -> DataFrame:
     Fixpoint: the pair count AND the total length are both monotone and
     bounded on a DAG; one 1-row aggregate per round reads both. The
     composed side broadcasts (lineage tables are metadata-sized), so each
-    round's only shuffle is the per-pair max aggregate.
+    round's only shuffle is the per-pair max aggregate — and each round
+    is ONE Spark job: the checkpoint is LAZY (eager=False) and
+    materialized by the fixpoint aggregate's own action. At O(log d)
+    rounds the per-round driver floor IS the cost model, so the round
+    body stays minimal.
     """
-    paths = (
-        edges.select(*_DST, *_SRC, F.lit(1).alias("len"))
-        .distinct()
-        .localCheckpoint()
-    )
-    sig = paths.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("len").alias("s")
-    ).first()
+    paths = edges.select(*_DST, *_SRC, F.lit(1).alias("len")).distinct()
+    sig = None
     for _ in range(max_iters):
         hop = F.broadcast(
             paths.select(
-            *[F.col(c).alias(f"e_{c}") for c in _ALL],
-            F.col("len").alias("e_len"),
-        )
+                *[F.col(c).alias(f"e_{c}") for c in _ALL],
+                F.col("len").alias("e_len"),
+            )
         )
         stepped = paths.join(
             hop,
@@ -245,14 +242,14 @@ def _longest_paths_doubling(edges: DataFrame, max_iters: int = 12) -> DataFrame:
             paths.union(stepped)
             .groupBy(*_ALL)
             .agg(F.max("len").alias("len"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        sig2 = paths.agg(
+        row = paths.agg(
             F.count(F.lit(1)).alias("n"), F.sum("len").alias("s")
         ).first()
-        if (sig2.n, sig2.s) == (sig.n, sig.s):
+        if (row.n, row.s) == sig:
             return paths
-        sig = sig2
+        sig = (row.n, row.s)
     raise RuntimeError(
         f"_longest_paths_doubling did not converge in {max_iters} rounds —"
         f" longest chain exceeds 2^{max_iters}; raise max_iters"
@@ -279,7 +276,11 @@ def topo_levels(t: dict[str, DataFrame], max_iters: int = 12) -> DataFrame:
         F.col("dst_catalog").alias("catalog"),
         F.col("dst_schema").alias("schema"),
         F.col("dst_table").alias("table"),
-    ).localCheckpoint()
+    )
+    # self_pairs is a filter over the already-checkpointed memoized
+    # closure — cheap to recompute inside each anti-join's broadcast, so
+    # no extra materialization; edges feeds only the doubling seed (the
+    # first lazy-checkpoint round materializes it once).
     edges = base_edges(t["lineage_edges"])
     for side in ("dst", "src"):
         edges = edges.join(
@@ -291,15 +292,18 @@ def topo_levels(t: dict[str, DataFrame], max_iters: int = 12) -> DataFrame:
             ],
             how="left_anti",
         )
-    edges = edges.localCheckpoint()
+    paths = _longest_paths_doubling(edges, max_iters=max_iters)
+    # paths spans the same node set as the DAG edge list (doubling only
+    # composes existing endpoints), so nodes derive from the final
+    # checkpointed paths frame — the edge subtree is never re-executed
     nodes = (
-        edges.select(
+        paths.select(
             F.col("dst_catalog").alias("catalog"),
             F.col("dst_schema").alias("schema"),
             F.col("dst_table").alias("table"),
         )
         .union(
-            edges.select(
+            paths.select(
                 F.col("src_catalog").alias("catalog"),
                 F.col("src_schema").alias("schema"),
                 F.col("src_table").alias("table"),
@@ -307,7 +311,6 @@ def topo_levels(t: dict[str, DataFrame], max_iters: int = 12) -> DataFrame:
         )
         .distinct()
     )
-    paths = _longest_paths_doubling(edges, max_iters=max_iters)
     levels = (
         paths.groupBy(
             F.col("dst_catalog").alias("catalog"),

@@ -425,6 +425,88 @@ FROM scored GROUP BY doc_id
 """
 
 
+def perplexity_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (head/middle/tail)
+    of the :func:`unigram_logprob` quality score — the tercile split a
+    curation pipeline uses to keep head/middle and drop (or re-weight)
+    the tail (Wenzek et al. 2020 bucket exactly this way, with a neural
+    LM where this uses the corpus's own unigram LM).
+
+    Scale shape: buckets are assigned per VALUE, not per document — the
+    per-lang cumulative distribution runs over the
+    ``(lang, avg_lp_micro)`` HISTOGRAM (distinct-score-sized, integer
+    micro-unit scores), never a per-doc sort, so the only corpus-sized
+    steps are the logprob aggregate itself and the final value-keyed
+    join. A score block straddling a tercile boundary lands in the
+    bucket of its upper cumulative count — deterministic exact-integer
+    arithmetic (``3*cum <= k*n``), no interpolated percentile cutoff to
+    diverge at a boundary. Low logprob = high perplexity = tail.
+    """
+    lp = unigram_logprob(t).select("doc_id", "avg_lp_micro")
+    scored = lp.join(t["documents"].select("doc_id", "lang"), on="doc_id")
+    hist = scored.groupBy("lang", "avg_lp_micro").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("avg_lp_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("hi", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("lang"))
+    )
+    bucket = (
+        F.when(F.col("hi") * 3 <= F.col("n"), F.lit("tail"))
+        .when(F.col("hi") * 3 <= F.col("n") * 2, F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    buckets = cum.select("lang", "avg_lp_micro", bucket.alias("ppl_bucket"))
+    return scored.join(buckets, on=["lang", "avg_lp_micro"]).select(
+        "doc_id", "lang", "avg_lp_micro", "ppl_bucket"
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY tok),
+tot AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS total FROM ctf),
+lpterm AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(FLOOR(ln(GREATEST(FLOOR(ctf.ctf / tot.total * 1000000000.0 + 0.5), 1)
+                       / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+  FROM tf JOIN ctf ON tf.tok = ctf.tok CROSS JOIN tot
+),
+lp AS (
+  SELECT doc_id,
+         CAST(FLOOR(CAST(SUM(tf * lp_micro) AS DOUBLE) / SUM(tf) + 0.5) AS BIGINT)
+           AS avg_lp_micro
+  FROM lpterm GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, lp.avg_lp_micro
+  FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+),
+hist AS (SELECT lang, avg_lp_micro, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+cum AS (
+  SELECT lang, avg_lp_micro,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY avg_lp_micro
+                        ROWS UNBOUNDED PRECEDING) AS hi,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+b AS (
+  SELECT lang, avg_lp_micro,
+         CASE WHEN hi * 3 <= n THEN 'tail'
+              WHEN hi * 3 <= n * 2 THEN 'middle'
+              ELSE 'head' END AS ppl_bucket
+  FROM cum
+)
+SELECT s.doc_id, s.lang, s.avg_lp_micro, b.ppl_bucket
+FROM scored s JOIN b ON s.lang = b.lang AND s.avg_lp_micro = b.avg_lp_micro
+"""
+
+
 def token_count_regex(t: dict[str, DataFrame]) -> DataFrame:
     """BPE-ish regex tokenization count vs whitespace count (both engines
     use the same RE2/Java-compatible pattern).

@@ -322,6 +322,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "bpe_apply_merges": (text.bpe_apply_merges, text.BPE_APPLY_MERGES_SQL),
     # LM-based quality signal: per-doc avg unigram log-probability
     "unigram_logprob": (text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
+    # CCNet-style per-lang head/middle/tail terciles of the LM score,
+    # assigned per VALUE over the score histogram (no per-doc sort)
+    "perplexity_buckets": (text.perplexity_buckets, text.PERPLEXITY_BUCKETS_SQL),
     "length_outliers": (text.length_outliers, text.LENGTH_OUTLIERS_SQL),
     # --- multimodal columns ---
     "multimodal_meta": (multimodal.multimodal_meta, multimodal.MULTIMODAL_META_SQL),
@@ -508,6 +511,7 @@ _PRIORITY = [
     # (c) new this round — first driver rows
     "bpe_apply_merges",
     "mixture_weights_temperature",
+    "perplexity_buckets",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

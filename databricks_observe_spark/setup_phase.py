@@ -21,6 +21,7 @@ SETUP_INDEX_NAMES = [
     "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
     "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
     "langid_trained_profiles", "jaccard_pairs_capped", "hist_value_agg",
+    "contam_gram_index", "contam_eval_set",
 ]
 
 
@@ -35,6 +36,8 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
     )
     from databricks_observe_spark.operators.dedup import (
         _cluster_labels,
+        _contam_eval_set,
+        _contam_grams,
         _shingle_df,
         _shingle_sizes,
         _shingled,
@@ -65,7 +68,8 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _bm25_index, _langid_profiles, _textrank_graph, _doubled,
         _centroids_bc, _query_set_bc, _ivf_assigned, _quantized,
         _cluster_labels, _file_stats, _semdedup_assigned,
-        ngram_jaccard_pairs_capped, _hist_vals,
+        ngram_jaccard_pairs_capped, _hist_vals, _contam_grams,
+        _contam_eval_set,
     ):
         build(ctx)
 
