@@ -65,9 +65,12 @@ COMMENTARY = {
         "shuffles); two small per-doc aggregates close it out."
     ),
     "contamination_check": (
-        "The eval 4-gram set is the BroadcastExchange side of a LeftSemi "
-        "probe over the training shingles — candidate generation never "
-        "shuffles the corpus."
+        "The eval 4-gram set is the BroadcastExchange side of a LeftOuter "
+        "flagging join over the setup-phase gram index; ONE "
+        "map-side-combined per-doc aggregate reads both the shingle count "
+        "and the overlap count off the flagged stream — no gram row "
+        "shuffles twice, no hits-to-sizes join, and the corpus never "
+        "re-explodes at query time."
     ),
     "sequence_packing": (
         "One hash-partitioned window per lang computes the running token "
@@ -375,6 +378,26 @@ COMMENTARY = {
         "pushed into the sort as partial + final WindowGroupLimit — "
         "each task retains k rows per stratum, so there is no global "
         "sort and no full-stratum materialization at any scale."
+    ),
+    "bpe_apply_merges": (
+        "BPE encode: the charset^2-bounded merge table collapses to a "
+        "1-row collected array and broadcasts into the aggregate-fold "
+        "walk, which runs over the DISTINCT vocabulary (one corpus "
+        "explode builds the word-frequency table; the O(len) greedy "
+        "walk never touches per-occurrence rows)."
+    ),
+    "mixture_weights_temperature": (
+        "q ~ p^alpha sampling weights: two language-cardinality "
+        "aggregates and two broadcast scalar joins — the pow output is "
+        "floored to integer nano-units before the normalizing SUM, so "
+        "every exchange carries exact integers."
+    ),
+    "perplexity_buckets": (
+        "CCNet tercile bucketing with NO per-doc sort: the per-lang "
+        "cumulative window runs over the (lang, score) HISTOGRAM "
+        "(distinct-integer-score-sized), and docs join their bucket by "
+        "value — the only corpus-sized exchanges are the LM score "
+        "aggregate itself and the final value-keyed join."
     ),
 }
 
