@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "bpe_apply_merges",
     "mixture_weights_temperature",
     "perplexity_buckets",
+    "dsir_importance_weights",
+    "ngram_diversity",
+    "drift_psi",
 ]
 
 

@@ -778,3 +778,164 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
 FROM events
 GROUP BY ROLLUP (day, hour)
 """
+
+
+# --- value-distribution drift (PSI) -----------------------------------------
+
+DRIFT_SPLIT_TS = "2024-01-16 00:00:00"  # fixture midpoint (TESTDATA.md: all
+# SFs span 2024-01); in production this is the snapshot boundary parameter
+DRIFT_BIN_WIDTH = 50.0
+DRIFT_N_BINS = 10
+
+
+def drift_psi(t: dict[str, DataFrame]) -> DataFrame:
+    """Population Stability Index of the per-type ``value`` distribution
+    between a reference window (first half-month) and the current window —
+    the data-drift monitor an observability pipeline alarms on
+    (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted). The reference
+    reads drift metrics off its monitoring service; the rebuild computes
+    them from the raw stream (SURVEY.md §2.4 extension surface).
+
+    ``PSI = sum_b (p_b - q_b) * ln(p_b / q_b)`` over DRIFT_N_BINS fixed
+    value bins with Laplace +1 smoothing; the bin frame is generated
+    per type (types x bins literal cross join, broadcast-tiny) so empty
+    bins contribute their smoothed term instead of silently vanishing.
+
+    Scale shape: the events scan collapses in ONE map-side-combinable
+    ``(event_type, bin)`` aggregate with conditional ref/cur sums — the
+    only corpus-sized exchange; everything after is type-cardinality
+    frames and broadcast joins.
+
+    Cross-engine determinism: p and q are quantized to integer 1e-9 nano
+    shares (exact BIGINT difference), each ``ln`` input is an integer
+    grid point (the ln-site rule), and every PSI term is the exact
+    integer product ``diff_nano * lr_micro`` (1e-15 units). Both floors
+    are monotone so the term sign always matches the diff sign and the
+    sum is nonnegative; ``psi_micro`` is one exact integer division.
+    """
+    split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
+    ev = t["events"].select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / F.lit(DRIFT_BIN_WIDTH)),
+            F.lit(DRIFT_N_BINS - 1),
+        ).alias("bin"),
+        (F.col("ts") < split).cast("int").alias("is_ref"),
+    )
+    # materialize the (types x bins)-sized aggregate ONCE: it feeds both
+    # the totals rollup and the grid fill, and without the checkpoint each
+    # consumer re-plans the whole events scan (4 scans measured)
+    counts = (
+        ev.groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_ref").alias("ref_n"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cur_n"),
+        )
+        .localCheckpoint()
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    bins = totals.sparkSession.range(DRIFT_N_BINS).select(
+        F.col("id").alias("bin")
+    )
+    grid = totals.crossJoin(F.broadcast(bins))
+    filled = grid.join(counts, on=["event_type", "bin"], how="left").select(
+        "event_type",
+        "bin",
+        "ref_total",
+        "cur_total",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+
+    def _nano(cnt: F.Column, total: F.Column) -> F.Column:
+        return F.greatest(
+            F.floor(
+                (cnt + F.lit(1)).cast("double")
+                / (total + F.lit(DRIFT_N_BINS)).cast("double")
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ),
+            F.lit(1),
+        )
+
+    p_nano = _nano(F.col("ref_n"), F.col("ref_total"))
+    q_nano = _nano(F.col("cur_n"), F.col("cur_total"))
+    lr_micro = F.floor(F.log(p_nano) * F.lit(1e6) + F.lit(0.5)) - F.floor(
+        F.log(q_nano) * F.lit(1e6) + F.lit(0.5)
+    )
+    terms = filled.select(
+        "event_type",
+        "ref_n",
+        "cur_n",
+        ((p_nano - q_nano) * lr_micro).alias("term_femto"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum("ref_n").alias("n_ref"),
+            F.sum("cur_n").alias("n_cur"),
+            F.sum("term_femto").alias("psi_femto"),
+        )
+        .withColumn(
+            "psi_micro",
+            F.expr("(psi_femto + 500000000) div 1000000000"),
+        )
+    )
+
+
+def _drift_nano_sql(cnt: str, total: str) -> str:
+    return (
+        f"GREATEST(FLOOR(({cnt} + 1) / CAST({total} + {DRIFT_N_BINS} AS DOUBLE)"
+        f" * 1000000000.0 + 0.5), 1)"
+    )
+
+
+DRIFT_PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         LEAST(FLOOR(value / {DRIFT_BIN_WIDTH}), {DRIFT_N_BINS - 1}) AS bin,
+         CAST(ts < TIMESTAMP '{DRIFT_SPLIT_TS}' AS INT) AS is_ref
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(SUM(is_ref) AS BIGINT) AS ref_n,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+  FROM ev GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(ref_n) AS BIGINT) AS ref_total,
+         CAST(SUM(cur_n) AS BIGINT) AS cur_total
+  FROM counts GROUP BY event_type
+),
+grid AS (
+  SELECT t.event_type, b.bin, t.ref_total, t.cur_total
+  FROM totals t CROSS JOIN (
+    SELECT unnest(generate_series(0, {DRIFT_N_BINS - 1})) AS bin
+  ) b
+),
+filled AS (
+  SELECT g.event_type, g.bin, g.ref_total, g.cur_total,
+         COALESCE(c.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.bin = c.bin
+),
+terms AS (
+  SELECT event_type, ref_n, cur_n,
+         CAST(({_drift_nano_sql('ref_n', 'ref_total')}
+               - {_drift_nano_sql('cur_n', 'cur_total')})
+              * (FLOOR(ln({_drift_nano_sql('ref_n', 'ref_total')}) * 1000000.0 + 0.5)
+                 - FLOOR(ln({_drift_nano_sql('cur_n', 'cur_total')}) * 1000000.0 + 0.5))
+              AS BIGINT) AS term_femto
+  FROM filled
+)
+SELECT event_type,
+       CAST(SUM(ref_n) AS BIGINT) AS n_ref,
+       CAST(SUM(cur_n) AS BIGINT) AS n_cur,
+       CAST(SUM(term_femto) AS BIGINT) AS psi_femto,
+       CAST((SUM(term_femto) + 500000000) // 1000000000 AS BIGINT) AS psi_micro
+FROM terms GROUP BY event_type
+"""

@@ -1655,3 +1655,220 @@ SELECT query_id, doc_id, score_micro, CAST(rank AS INT) AS rank FROM (
 
 
 BM25_SCORES_SQL = _bm25_sql()
+
+
+# --- corpus-level n-gram diversity ------------------------------------------
+
+
+def ngram_diversity(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source distinct-n diversity (distinct-1 / distinct-2 ratios,
+    Li et al. 2016): the corpus-level templated-content detector — a
+    source whose bigram ratio collapses is boilerplate/mirror spam even
+    when every individual document passes per-doc quality filters
+    (:func:`repetition_signals` is the within-doc half; this is the
+    across-doc half a curation dashboard ranks sources by).
+
+    Scale shape: ONE tokenize pass emits unigrams and bigrams as a single
+    tagged explode (no second corpus scan for bigrams), then the distinct
+    counting is a two-level aggregate — ``(source, n, gram)`` partial
+    counts first (map-side combinable, the only corpus-sized shuffle),
+    then the source-cardinality rollup. No count_distinct Expand doubling
+    the exploded stream, no per-source sort. Ratios are exact-integer
+    inputs to one final :func:`round_half_up` divide.
+    """
+    d = t["documents"]
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(
+        F.transform(toks, lambda x: F.struct(F.lit(1).alias("n"), x.alias("g"))),
+        F.transform(
+            bigrams, lambda x: F.struct(F.lit(2).alias("n"), x.alias("g"))
+        ),
+    )
+    exploded = d.select(
+        "source", F.explode(grams).alias("gr")
+    ).select("source", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+    partial = exploded.groupBy("source", "n", "g").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    agg = partial.groupBy("source").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("occ"))).alias("n_tokens"),
+        F.count(F.when(F.col("n") == 1, F.lit(1))).alias("n_types"),
+        F.sum(F.when(F.col("n") == 2, F.col("occ"))).alias("n_bigrams"),
+        F.count(F.when(F.col("n") == 2, F.lit(1))).alias("n_bigram_types"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_bigrams",
+        "n_bigram_types",
+        round_half_up(
+            F.col("n_types").cast("double") / F.col("n_tokens"), 6
+        ).alias("distinct1_r"),
+        round_half_up(
+            F.col("n_bigram_types").cast("double") / F.col("n_bigrams"), 6
+        ).alias("distinct2_r"),
+    )
+
+
+NGRAM_DIVERSITY_SQL = f"""
+WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT source, 1 AS n, unnest(toks) AS g FROM d),
+bi AS (
+  SELECT source, 2 AS n, toks[i] || ' ' || toks[i + 1] AS g
+  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+),
+partial AS (
+  SELECT source, n, g, COUNT(*) AS occ FROM (
+    SELECT * FROM uni UNION ALL SELECT * FROM bi
+  ) GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN n = 1 THEN occ END) AS BIGINT) AS n_tokens,
+         CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN n = 2 THEN occ END) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS n_bigram_types
+  FROM partial GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_bigrams, n_bigram_types,
+       {sql_round_half_up('CAST(n_types AS DOUBLE) / n_tokens', 6)} AS distinct1_r,
+       {sql_round_half_up('CAST(n_bigram_types AS DOUBLE) / n_bigrams', 6)} AS distinct2_r
+FROM agg
+"""
+
+
+# --- DSIR importance-resampling weights -------------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (paper uses 10k at web scale)
+DSIR_TARGET_LANG = "en"  # the "target domain" the raw corpus is scored against
+
+
+def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): score
+    every raw-corpus document by how much its hashed-unigram feature
+    distribution looks like a target domain (here: the ``en`` slice),
+    ``w(doc) = sum_f tf_f * [ln p_target(f) - ln p_raw(f)]`` — the
+    domain-matching selection step a pretraining pipeline runs between
+    dedup and mixing. Laplace +1 smoothing keeps every bucket finite.
+
+    Scale shape: features are md5-hash buckets of the memoized tf index
+    (content-stable, engine-identical), so the bucket LM is a
+    DSIR_BUCKETS-row aggregate — both "train the two feature LMs" and
+    "score every doc" are ONE corpus-sized shuffle each, and the bucket
+    log-ratio table broadcasts into the scoring join. No per-doc Python,
+    no vocabulary-sized model state on the driver.
+
+    Transcendental guard (the package ln-site rule): each smoothed bucket
+    probability is quantized to the 1e-9 grid BEFORE ``ln``; per-doc
+    accumulation is exact integer micro-unit arithmetic, so the weight is
+    bit-identical across engines and partitionings. ``keep`` flags docs at
+    least as target-like as the raw average (log-ratio >= 0) — the
+    threshold form of the paper's resampling step, with no global sort.
+    """
+    tf = _tfidf_tf_frame(t)
+    langs = t["documents"].select("doc_id", "lang")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    tfb = tf.join(langs, on="doc_id").withColumn("bucket", bucket)
+    counts = tfb.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+        ).alias("t_cnt"),
+        F.sum("tf").alias("r_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").cast("double").alias("t_total"),
+        F.sum("r_cnt").cast("double").alias("r_total"),
+    )
+
+    def _lp_micro(cnt: F.Column, total: F.Column) -> F.Column:
+        p_nano = F.greatest(
+            F.floor(
+                (cnt + F.lit(1)).cast("double")
+                / (total + F.lit(float(DSIR_BUCKETS)))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ),
+            F.lit(1),
+        )
+        return F.floor(F.log(p_nano / F.lit(1e9)) * F.lit(1e6) + F.lit(0.5))
+
+    lr = counts.join(F.broadcast(totals)).select(
+        "bucket",
+        (
+            _lp_micro(F.col("t_cnt"), F.col("t_total"))
+            - _lp_micro(F.col("r_cnt"), F.col("r_total"))
+        ).alias("lr_micro"),
+    )
+    scored = tfb.join(F.broadcast(lr), on="bucket")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_micro")).alias("lr_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "lr_sum_micro",
+            F.floor(
+                F.col("lr_sum_micro").cast("double") / F.col("n_tokens")
+                + F.lit(0.5)
+            ).alias("avg_lr_micro"),
+        )
+        .withColumn("keep", (F.col("avg_lr_micro") >= 0).cast("int"))
+    )
+
+
+def _dsir_lp_micro_sql(cnt: str, total: str) -> str:
+    return (
+        f"FLOOR(ln(GREATEST(FLOOR(({cnt} + 1) / ({total} + {DSIR_BUCKETS}.0)"
+        f" * 1000000000.0 + 0.5), 1) / 1000000000.0) * 1000000.0 + 0.5)"
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+tfb AS (
+  SELECT tf.doc_id, tf.tf, d.lang,
+         CAST(('0x' || substr(md5(tf.tok), 1, 8))::BIGINT AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)
+              AS BIGINT) AS t_cnt,
+         CAST(SUM(tf) AS BIGINT) AS r_cnt
+  FROM tfb GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(SUM(t_cnt) AS DOUBLE) AS t_total,
+         CAST(SUM(r_cnt) AS DOUBLE) AS r_total
+  FROM counts
+),
+lr AS (
+  SELECT bucket,
+         CAST({_dsir_lp_micro_sql('t_cnt', 't_total')}
+              - {_dsir_lp_micro_sql('r_cnt', 'r_total')} AS BIGINT) AS lr_micro
+  FROM counts CROSS JOIN totals
+)
+SELECT tfb.doc_id,
+       CAST(SUM(tfb.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tfb.tf * lr.lr_micro) AS BIGINT) AS lr_sum_micro,
+       CAST(FLOOR(CAST(SUM(tfb.tf * lr.lr_micro) AS DOUBLE) / SUM(tfb.tf) + 0.5)
+            AS BIGINT) AS avg_lr_micro,
+       CAST(FLOOR(CAST(SUM(tfb.tf * lr.lr_micro) AS DOUBLE) / SUM(tfb.tf) + 0.5)
+            >= 0 AS INT) AS keep
+FROM tfb JOIN lr ON tfb.bucket = lr.bucket
+GROUP BY tfb.doc_id
+"""

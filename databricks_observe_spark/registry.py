@@ -208,6 +208,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         events.time_rollup_multigrain,
         events.TIME_ROLLUP_MULTIGRAIN_SQL,
     ),
+    # value-distribution drift monitor: per-type PSI between time windows
+    # (integer nano-share diffs, ln-site grid inputs, exact femto terms)
+    "drift_psi": (events.drift_psi, events.DRIFT_PSI_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -322,6 +325,15 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "bpe_apply_merges": (text.bpe_apply_merges, text.BPE_APPLY_MERGES_SQL),
     # LM-based quality signal: per-doc avg unigram log-probability
     "unigram_logprob": (text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
+    # DSIR importance-resampling weights: hashed-unigram bucket LMs,
+    # broadcast log-ratio table, integer micro-unit doc scores
+    "dsir_importance_weights": (
+        text.dsir_importance_weights,
+        text.DSIR_IMPORTANCE_WEIGHTS_SQL,
+    ),
+    # corpus-level distinct-1/distinct-2 diversity per source (tagged
+    # single-explode, two-level aggregate — no count_distinct Expand)
+    "ngram_diversity": (text.ngram_diversity, text.NGRAM_DIVERSITY_SQL),
     # CCNet-style per-lang head/middle/tail terciles of the LM score,
     # assigned per VALUE over the score histogram (no per-doc sort)
     "perplexity_buckets": (text.perplexity_buckets, text.PERPLEXITY_BUCKETS_SQL),
@@ -512,6 +524,9 @@ _PRIORITY = [
     "bpe_apply_merges",
     "mixture_weights_temperature",
     "perplexity_buckets",
+    "dsir_importance_weights",
+    "ngram_diversity",
+    "drift_psi",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

@@ -716,3 +716,55 @@ def test_weighted_sample_topk_windowgrouplimit_no_joins(tables):
     assert "Join" not in plan
     # the scan never reads the text column — weights come from n_chars
     assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
+
+
+def test_ngram_diversity_single_tagged_explode_no_expand(tables):
+    import re
+
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.ngram_diversity(tables))
+    # unigrams AND bigrams from ONE corpus scan and ONE Generate — no
+    # second tokenize pass, and no count_distinct Expand doubling the
+    # exploded stream (distinctness comes from the (source,n,g) partial)
+    assert plan.count("FileScan") == 1
+    assert plan.count("Generate") == 1
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    # two shuffles exactly: (source,n,g) partials then the source rollup
+    assert len(re.findall(r"\bExchange\b", plan)) == 2
+    assert "partial_count" in plan
+    # column pruning: only text + source leave the scan
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+
+
+def test_dsir_bucket_lm_broadcasts_into_scoring(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.dsir_importance_weights(tables))
+    # the DSIR_BUCKETS-row log-ratio table must ship to the data — a
+    # shuffle join on bucket would repartition the corpus by a 256-value
+    # key (guaranteed skew); same for the doc-meta lang join at this SF
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # per-doc scoring is map-side combined before its single exchange
+    assert "partial_sum" in plan
+
+
+def test_drift_psi_corpus_collapses_before_checkpoint(tables):
+    import re
+
+    from databricks_observe_spark.operators import events as E
+
+    df = E.drift_psi(tables)
+    plan = _plan(df)
+    # the events scan ran once, inside the (type,bin) checkpoint build —
+    # the returned plan must be working off the materialized tiny frame
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # everything after the checkpoint is type-cardinality work: at most
+    # one exchange (the per-type totals rollup)
+    assert len(re.findall(r"\bExchange hashpartitioning\b", plan)) <= 1

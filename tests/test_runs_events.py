@@ -362,3 +362,56 @@ def test_zscore_constant_user_agrees_across_engines(spark):
         assert (g.zscore is None) == (w[4] is None)
         assert g.zscore == w[4] or (g.zscore is None and w[4] is None)
         assert (g.is_outlier is None) == (w[5] is None)
+
+
+def test_drift_psi_matches_python_recompute(tables):
+    """Exact Python replay of the quantized PSI pipeline over the raw
+    fixture events — bins, Laplace smoothing, nano shares, micro ln
+    floors, femto terms — plus the nonnegativity and ln-margin
+    invariants the operator's determinism argument rests on."""
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.events import (
+        DRIFT_BIN_WIDTH,
+        DRIFT_N_BINS,
+        DRIFT_SPLIT_TS,
+        drift_psi,
+    )
+
+    split = datetime.datetime.fromisoformat(DRIFT_SPLIT_TS)
+    ref = defaultdict(lambda: defaultdict(int))
+    cur = defaultdict(lambda: defaultdict(int))
+    for r in tables["events"].select("event_type", "ts", "value").collect():
+        if r.value is None:
+            continue
+        b = min(int(math.floor(r.value / DRIFT_BIN_WIDTH)), DRIFT_N_BINS - 1)
+        (ref if r.ts < split else cur)[r.event_type][b] += 1
+
+    def nano(cnt, total):
+        return max(math.floor((cnt + 1) / (total + DRIFT_N_BINS) * 1e9 + 0.5), 1)
+
+    got = {r.event_type: r for r in drift_psi(tables).collect()}
+    assert set(got) == set(ref) | set(cur)
+    attained = set()
+    for et, g in got.items():
+        rt, ct = sum(ref[et].values()), sum(cur[et].values())
+        assert g.n_ref == rt and g.n_cur == ct
+        femto = 0
+        for b in range(DRIFT_N_BINS):
+            pn, qn = nano(ref[et][b], rt), nano(cur[et][b], ct)
+            attained.update((pn, qn))
+            femto += (pn - qn) * (
+                math.floor(math.log(pn) * 1e6 + 0.5)
+                - math.floor(math.log(qn) * 1e6 + 0.5)
+            )
+        assert g.psi_femto == femto
+        assert g.psi_femto >= 0
+        assert g.psi_micro == (femto + 500000000) // 1000000000
+    for pn in attained:  # ln-site margin rule, checked (error-relative
+        # form: a 1-ulp cross-engine ln divergence moves the scaled value
+        # by |ln|*1.1e-16*1e6 ~ 2e-9; require 1000x that distance)
+        v = (math.log(pn) * 1e6 + 0.5) % 1.0
+        err = abs(math.log(pn)) * 1.1e-16 * 1e6
+        assert min(v, 1.0 - v) > 1000.0 * err, pn

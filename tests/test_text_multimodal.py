@@ -595,3 +595,90 @@ def test_mixture_temperature_pow_margins_and_upsampling(tables):
     if counts[lo] < counts[hi]:
         assert rows[lo].temp_weight_r > rows[hi].temp_weight_r
         assert rows[lo].temp_weight_r > 1.0 > rows[hi].temp_weight_r
+
+
+def test_ngram_diversity_matches_python_recompute(tables):
+    """Exact recompute of distinct-1/2 per source from the raw fixture."""
+    import math
+    from collections import defaultdict
+
+    docs = tables["documents"].select("source", "text").collect()
+    uni, bi = defaultdict(list), defaultdict(list)
+    for r in docs:
+        toks = r.text.split(" ")
+        uni[r.source].extend(toks)
+        bi[r.source].extend(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    got = {r.source: r for r in T.ngram_diversity(tables).collect()}
+    assert set(got) == set(uni)
+    for s in uni:
+        r = got[s]
+        assert r.n_tokens == len(uni[s])
+        assert r.n_types == len(set(uni[s]))
+        assert r.n_bigrams == len(bi[s])
+        assert r.n_bigram_types == len(set(bi[s]))
+        assert r.distinct1_r == math.floor(
+            len(set(uni[s])) / len(uni[s]) * 1e6 + 0.5
+        ) / 1e6
+        assert 0.0 < r.distinct2_r <= 1.0
+
+
+def test_dsir_weights_favor_target_language(tables):
+    """DSIR sanity: target-lang docs must score higher on average than
+    non-target docs (the whole point of the importance weight), the keep
+    flag must be exactly the avg >= 0 threshold, and every ln input the
+    fixture attains must clear the floor boundary with margin (the
+    package ln-site rule, checked not assumed)."""
+    import math
+
+    from databricks_observe_spark.operators.text import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+
+    langs = {
+        r.doc_id: r.lang
+        for r in tables["documents"].select("doc_id", "lang").collect()
+    }
+    rows = dsir_importance_weights(tables).collect()
+    assert len(rows) == len(langs)
+    tgt = [r.avg_lr_micro for r in rows if langs[r.doc_id] == DSIR_TARGET_LANG]
+    oth = [r.avg_lr_micro for r in rows if langs[r.doc_id] != DSIR_TARGET_LANG]
+    assert tgt and oth
+    assert sum(tgt) / len(tgt) > sum(oth) / len(oth)
+    for r in rows:
+        assert r.keep == int(r.avg_lr_micro >= 0)
+
+    # margin check over the attained bucket-probability grid points
+    from databricks_observe_spark.operators.text import _tfidf_tf_frame
+
+    tf = _tfidf_tf_frame(tables)
+    bucketed = tf.join(
+        tables["documents"].select("doc_id", "lang"), on="doc_id"
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+        "lang",
+        "tf",
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+        ).alias("t"),
+        F.sum("tf").alias("r"),
+    ).collect()
+    t_total = float(sum(r.t for r in counts))
+    r_total = float(sum(r.r for r in counts))
+    pts = set()
+    for row in counts:
+        pts.add(max(math.floor((row.t + 1) / (t_total + DSIR_BUCKETS) * 1e9 + 0.5), 1))
+        pts.add(max(math.floor((row.r + 1) / (r_total + DSIR_BUCKETS) * 1e9 + 0.5), 1))
+    for pn in pts:
+        v = (math.log(pn / 1e9) * 1e6 + 0.5) % 1.0
+        assert min(v, 1.0 - v) > 1e-3, pn

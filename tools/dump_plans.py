@@ -399,6 +399,25 @@ COMMENTARY = {
         "value — the only corpus-sized exchanges are the LM score "
         "aggregate itself and the final value-keyed join."
     ),
+    "dsir_importance_weights": (
+        "DSIR: train (the 256-bucket target/raw LM aggregate) and score "
+        "(per-doc sum) are each ONE corpus-shuffle pass over the "
+        "memoized tf index; the log-ratio table broadcasts into the "
+        "scoring join, so no corpus row ever repartitions on the "
+        "256-value bucket key."
+    ),
+    "ngram_diversity": (
+        "Unigrams and bigrams leave ONE Generate as tagged structs; "
+        "distinctness comes from the (source,n,gram) partial aggregate "
+        "— no second tokenize pass, no count_distinct Expand doubling "
+        "the exploded stream."
+    ),
+    "drift_psi": (
+        "The events scan collapses in one map-side-combined (type,bin) "
+        "aggregate, checkpointed ONCE because both the totals rollup "
+        "and the broadcast grid fill read it; everything downstream is "
+        "type-cardinality arithmetic on exact integer nano/femto units."
+    ),
 }
 
 
