@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "ngram_diversity",
     "drift_psi",
+    "ks_drift",
+    "unimax_allocation",
+    "score_auc",
+    "source_overlap_matrix",
 ]
 
 

@@ -1313,6 +1313,92 @@ FROM (
 """
 
 
+def source_overlap_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Source x source n-gram containment matrix — which crawls/feeds
+    mirror each other. ``containment(a,b) = |grams(a) n grams(b)| /
+    |grams(a)|`` over distinct word-3-grams; the cross-SOURCE companion
+    to :func:`per_source_dedup_rate` (within-source) and
+    :func:`contamination_check` (corpus-vs-eval): a pair whose
+    containment spikes means one feed is republishing the other, and the
+    mix weights double-count it.
+
+    Scale shape: NO gram-keyed self-join (that squares the corpus). The
+    shared shingle index collapses to the distinct ``(source, gram)``
+    frame, grams fold to one bounded row each via map-side-combinable
+    ``collect_set(source)`` — the set is capped by the source cardinality
+    (a corpus constant, ~dozens), so a boilerplate gram shared by every
+    source cannot skew a reducer — and the pair stream explodes from
+    those bounded sets straight into the source^2-sized count aggregate.
+    The DIAGONAL of that same aggregate ((a,a) appears once per gram of
+    a) is exactly ``|grams(a)|``, so one pass yields both the numerator
+    matrix and the denominators — no second walk over the gram frame.
+    Integer basis points, zero floats until the report divide.
+    """
+    sg = (
+        _shingled(t)
+        .join(t["documents"].select("doc_id", "source"), on="doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    src_sets = sg.groupBy("shingle").agg(F.collect_set("source").alias("ss"))
+    matrix = (
+        src_sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ss",
+                        lambda a: F.transform(
+                            "ss",
+                            lambda b: F.struct(
+                                a.alias("src_a"), b.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .localCheckpoint()  # source^2-sized; feeds both halves below
+    )
+    na = matrix.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("source"), F.col("n_common").alias("n_a")
+    )
+    return (
+        matrix.filter(F.col("src_a") != F.col("src_b"))
+        .join(F.broadcast(na), on=F.col("src_a") == F.col("source"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            F.floor(
+                F.col("n_common") * F.lit(10000.0) / F.col("n_a") + F.lit(0.5)
+            ).alias("containment_bp"),
+        )
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = f"""
+WITH sh AS ({shingled_sql(3)}),
+sg AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+),
+matrix AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM sg a JOIN sg b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+na AS (SELECT src_a AS source, n_common AS n_a FROM matrix WHERE src_a = src_b)
+SELECT src_a, src_b, n_common, n_a,
+       CAST(FLOOR(n_common * 10000.0 / n_a + 0.5) AS BIGINT) AS containment_bp
+FROM matrix JOIN na ON matrix.src_a = na.source
+WHERE src_a <> src_b
+"""
+
+
 # training-order shuffle: shard count and epoch seed are corpus constants
 EPOCH_SHUFFLE_SHARDS = 8
 EPOCH_SHUFFLE_SEED = "epoch1"

@@ -939,3 +939,142 @@ SELECT event_type,
        CAST((SUM(term_femto) + 500000000) // 1000000000 AS BIGINT) AS psi_micro
 FROM terms GROUP BY event_type
 """
+
+
+# --- value-distribution drift (two-sample Kolmogorov-Smirnov) ----------------
+
+KS_BIN_WIDTH = 5.0  # 20x finer than the PSI bins: KS reads the ECDF shape
+KS_N_BINS = 100
+
+
+def ks_drift(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance of the per-type ``value``
+    distribution between the reference and current half-month windows —
+    the location/shape-shift alarm that complements :func:`drift_psi`
+    (PSI sums bin reallocation and needs smoothing; KS is the max ECDF
+    gap, sensitive to a median shift PSI's coarse bins can miss, and
+    needs no smoothing or transcendentals at all).
+
+    ``D = max_v |ECDF_ref(v) - ECDF_cur(v)|`` evaluated on a fixed fine
+    value grid (KS_N_BINS bins — the discretized KS a monitoring system
+    computes from a histogram sketch rather than a full sort; the grid is
+    the published binning contract, same stance as DRIFT_BIN_WIDTH).
+
+    Scale shape: identical to :func:`drift_psi` — the events scan
+    collapses in ONE map-side-combinable ``(event_type, bin)`` aggregate
+    (the only corpus-sized exchange, shared via the same checkpoint
+    discipline); the ECDF prefix sums and the max-gap rollup run over the
+    (types x KS_N_BINS) frame, which is constant-sized at any corpus
+    scale, so the per-type cumulative window never sees corpus rows.
+
+    Cross-engine determinism: no floats anywhere until the final divide —
+    the gap is the exact integer cross-product form
+    ``|cum_ref * n_cur - cum_cur * n_ref|`` and ``ks_micro`` is exact
+    half-up integer division ``(2 * D * 1e6 + PN) div (2 * PN)``
+    (BIGINT-safe: D <= PN <= 4e10 at sf0.1, 2e6 * D < 2^63).
+    """
+    split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
+    ev = t["events"].select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / F.lit(KS_BIN_WIDTH)),
+            F.lit(KS_N_BINS - 1),
+        ).alias("bin"),
+        (F.col("ts") < split).cast("int").alias("is_ref"),
+    )
+    # same checkpoint discipline as drift_psi: the (types x bins)-sized
+    # aggregate feeds both the ECDF window and the totals rollup — without
+    # it each consumer re-plans the whole events scan
+    counts = (
+        ev.groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_ref").alias("ref_n"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cur_n"),
+        )
+        .localCheckpoint()
+    )
+    # the cumulative window runs per type over the fixed bin grid — a
+    # constant-sized frame; missing bins contribute zero to the prefix
+    # sums, so no grid fill is needed (unlike PSI's smoothed terms)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type",
+        "ref_n",
+        "cur_n",
+        F.sum("ref_n").over(w).alias("cum_ref"),
+        F.sum("cur_n").over(w).alias("cum_cur"),
+    )
+    # the max gap needs the per-type TOTALS inside the row-wise product,
+    # so compute totals first (tiny frame) and re-join broadcast
+    totals = counts.groupBy("event_type").agg(
+        F.sum("ref_n").alias("n_ref"), F.sum("cur_n").alias("n_cur")
+    )
+    gaps = cum.join(F.broadcast(totals), on="event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")
+        ).alias("gap"),
+    )
+    return gaps.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.max("gap").alias("d_num")
+    ).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "d_num",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.expr(
+                "(2 * d_num * 1000000 + n_ref * n_cur)"
+                " div (2 * n_ref * n_cur)"
+            ),
+        ).alias("ks_micro"),
+    )
+
+
+KS_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         LEAST(FLOOR(value / {KS_BIN_WIDTH}), {KS_N_BINS - 1}) AS bin,
+         CAST(ts < TIMESTAMP '{DRIFT_SPLIT_TS}' AS INT) AS is_ref
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(SUM(is_ref) AS BIGINT) AS ref_n,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, ref_n, cur_n,
+         SUM(ref_n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum_ref,
+         SUM(cur_n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum_cur
+  FROM counts
+),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(ref_n) AS BIGINT) AS n_ref,
+         CAST(SUM(cur_n) AS BIGINT) AS n_cur
+  FROM counts GROUP BY event_type
+),
+gaps AS (
+  SELECT c.event_type, t.n_ref, t.n_cur,
+         abs(c.cum_ref * t.n_cur - c.cum_cur * t.n_ref) AS gap
+  FROM cum c JOIN totals t ON c.event_type = t.event_type
+)
+SELECT event_type, n_ref, n_cur,
+       CAST(MAX(gap) AS BIGINT) AS d_num,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         CAST((2 * MAX(gap) * 1000000 + n_ref * n_cur)
+              // (2 * n_ref * n_cur) AS BIGINT)
+       END AS ks_micro
+FROM gaps GROUP BY event_type, n_ref, n_cur
+"""

@@ -949,6 +949,156 @@ FROM b CROSS JOIN n
 """
 
 
+UNIMAX_EPOCH_CAP = 4  # max epochs over any language's corpus (UniMax N)
+UNIMAX_BUDGET_EPOCHS = 2  # token budget = 2x the total corpus
+
+
+def unimax_allocation(t: dict[str, DataFrame]) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023): spread a
+    total training-token budget as uniformly as possible across languages,
+    subject to a per-language repeat cap of UNIMAX_EPOCH_CAP epochs — the
+    principled alternative to temperature sampling
+    (:func:`mixture_weights_temperature`) that never over-repeats a
+    low-resource language. Budget = UNIMAX_BUDGET_EPOCHS x total tokens.
+
+    The paper's greedy loop is a waterfilling problem with a closed form:
+    sort languages by capacity ``cap = EPOCH_CAP * tokens`` ascending;
+    a prefix is capped (gets its full capacity) and everyone after gets
+    the water level ``u = (B - S_k) / (n - k)``. The capped prefix is
+    found with one window pass — ``cap_i * (n-i+1) <= B - S_{i-1}``
+    prefix-AND'ed so a later accidental satisfaction cannot reopen it —
+    and the leftover ``(B - S_k) mod (n - k)`` tokens go one each to the
+    first remainder uncapped languages, so the allocation sums to B
+    EXACTLY (min(B, total capacity)) in pure integer arithmetic.
+
+    Scale shape: ONE corpus scan collapses to the language-cardinality
+    count frame; every window/join after runs on that tiny frame (a
+    hundred rows for any real corpus), so the unpartitioned prefix
+    windows never see corpus rows. No floats until the final epochs_r
+    display divide.
+    """
+    d = t["documents"]
+    # checkpoint the language-cardinality collapse: downstream it feeds
+    # the totals aggregate, the ranked frame AND (via `flagged`) the
+    # water-level aggregate — without it each consumer replays the
+    # corpus scan (4 scans measured)
+    counts = (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"))
+        .localCheckpoint()
+    )
+    totals = counts.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    base = counts.join(F.broadcast(totals)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(UNIMAX_EPOCH_CAP)).alias("cap_tokens"),
+        (F.col("total") * F.lit(UNIMAX_BUDGET_EPOCHS)).alias("budget"),
+        "n_langs",
+    )
+    w_ord = Window.orderBy("cap_tokens", "lang")
+    w_pfx = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_ord).alias("i"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("s_prev"),
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        F.min(
+            (
+                F.col("cap_tokens") * (F.col("n_langs") - F.col("i") + 1)
+                <= F.col("budget") - F.col("s_prev")
+            ).cast("int")
+        ).over(w_pfx),
+    )
+    level = flagged.agg(
+        F.sum("capped").alias("k"),
+        F.sum(F.col("cap_tokens") * F.col("capped")).alias("s_k"),
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(
+        F.expr("(budget - s_k) div (n_langs - k)")
+        + (
+            F.col("i") - F.col("k")
+            <= F.expr("(budget - s_k) % (n_langs - k)")
+        ).cast("bigint")
+    )
+    return (
+        flagged.join(F.broadcast(level))
+        .select(
+            "lang",
+            "n_tokens",
+            "cap_tokens",
+            "capped",
+            alloc.alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs_r",
+            round_half_up(
+                F.col("alloc_tokens").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+    )
+
+
+UNIMAX_ALLOCATION_SQL = f"""
+WITH c AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         COUNT(*) AS n_langs
+  FROM c
+),
+base AS (
+  SELECT lang, n_tokens,
+         n_tokens * {UNIMAX_EPOCH_CAP} AS cap_tokens,
+         total * {UNIMAX_BUDGET_EPOCHS} AS budget,
+         n_langs
+  FROM c CROSS JOIN t
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS i,
+         COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev
+  FROM base
+),
+flagged AS (
+  SELECT *,
+         MIN(CAST(cap_tokens * (n_langs - i + 1) <= budget - s_prev AS INT))
+           OVER (ORDER BY cap_tokens, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+  FROM ranked
+),
+level AS (
+  SELECT CAST(SUM(capped) AS BIGINT) AS k,
+         CAST(SUM(cap_tokens * capped) AS BIGINT) AS s_k
+  FROM flagged
+)
+SELECT lang, n_tokens, cap_tokens, capped,
+       CASE WHEN capped = 1 THEN cap_tokens
+            ELSE (budget - s_k) // (n_langs - k)
+                 + CAST(i - k <= (budget - s_k) % (n_langs - k) AS BIGINT)
+       END AS alloc_tokens,
+       {sql_round_half_up(
+           'CAST(CASE WHEN capped = 1 THEN cap_tokens '
+           'ELSE (budget - s_k) // (n_langs - k) '
+           '+ CAST(i - k <= (budget - s_k) % (n_langs - k) AS BIGINT) '
+           'END AS DOUBLE) / n_tokens',
+           6,
+       )} AS epochs_r
+FROM flagged CROSS JOIN level
+"""
+
+
 def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
     """Language-balanced downsample: every language is cut to ~the smallest
     language's size by a content-stable md5 bucket — reproducible across
@@ -1871,4 +2021,97 @@ SELECT tfb.doc_id,
             >= 0 AS INT) AS keep
 FROM tfb JOIN lr ON tfb.bucket = lr.bucket
 GROUP BY tfb.doc_id
+"""
+
+
+def score_auc(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact ROC-AUC of the DSIR importance score against the
+    target-language label — the eval gate a pipeline runs before trusting
+    a learned quality/selection score to rank real data (here: does the
+    hashed-unigram log-ratio actually rank ``en`` docs above the rest?).
+
+    Computed in the tie-aware Mann-Whitney rank form: group docs by
+    score, order groups ascending, and sum ``pos_g * (2*neg_below + neg_g)``
+    — twice the U statistic, so ties contribute their exact 1/2 without
+    any fractional arithmetic; ``auc_r = num2 / (2 * P * N)`` is the only
+    float, produced by one final :func:`round_half_up`.
+
+    Scale shape: scores are quantized to the milli grid (FLOOR of the
+    integer micro score / 1000) BEFORE grouping, which bounds the
+    grid frame by construction — |avg log-ratio| <= ln(1e9), so at most
+    ~41k distinct milli scores exist REGARDLESS of corpus size — and the
+    corpus collapses onto it in one map-side-combinable aggregate. The
+    cumulative window then runs over the bounded grid only (never corpus
+    rows), exactly the drift_psi/ks_drift discipline.
+    """
+    scores = dsir_importance_weights(t).select("doc_id", "avg_lr_micro")
+    labeled = scores.join(
+        t["documents"].select("doc_id", "lang"), on="doc_id"
+    ).select(
+        F.floor(F.col("avg_lr_micro").cast("double") / F.lit(1000.0)).alias(
+            "s_milli"
+        ),
+        (F.col("lang") == DSIR_TARGET_LANG).cast("bigint").alias("pos"),
+    )
+    g = labeled.groupBy("s_milli").agg(
+        F.sum("pos").alias("pos_n"),
+        F.sum(F.lit(1) - F.col("pos")).alias("neg_n"),
+    )
+    w_lt = Window.orderBy("s_milli").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    terms = g.select(
+        "pos_n",
+        "neg_n",
+        (
+            F.col("pos_n")
+            * (
+                F.lit(2) * F.coalesce(F.sum("neg_n").over(w_lt), F.lit(0))
+                + F.col("neg_n")
+            )
+        ).alias("num2"),
+    )
+    return terms.agg(
+        F.sum("pos_n").alias("n_pos"),
+        F.sum("neg_n").alias("n_neg"),
+        F.sum("num2").alias("auc_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        round_half_up(
+            F.col("auc_num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc_r"),
+    )
+
+
+SCORE_AUC_SQL = f"""
+WITH dsir AS ({DSIR_IMPORTANCE_WEIGHTS_SQL}),
+labeled AS (
+  SELECT FLOOR(CAST(s.avg_lr_micro AS DOUBLE) / 1000.0) AS s_milli,
+         CAST(d.lang = '{DSIR_TARGET_LANG}' AS BIGINT) AS pos
+  FROM dsir s JOIN documents d ON s.doc_id = d.doc_id
+),
+g AS (
+  SELECT s_milli,
+         CAST(SUM(pos) AS BIGINT) AS pos_n,
+         CAST(SUM(1 - pos) AS BIGINT) AS neg_n
+  FROM labeled GROUP BY s_milli
+),
+terms AS (
+  SELECT pos_n, neg_n,
+         pos_n * (2 * COALESCE(SUM(neg_n) OVER (ORDER BY s_milli
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + neg_n) AS num2
+  FROM g
+)
+SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+       CAST(SUM(num2) AS BIGINT) AS auc_num2,
+       {sql_round_half_up(
+           'CAST(SUM(num2) AS DOUBLE) / (2.0 * SUM(pos_n) * SUM(neg_n))', 6
+       )} AS auc_r
+FROM terms
 """

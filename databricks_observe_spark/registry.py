@@ -211,6 +211,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # value-distribution drift monitor: per-type PSI between time windows
     # (integer nano-share diffs, ln-site grid inputs, exact femto terms)
     "drift_psi": (events.drift_psi, events.DRIFT_PSI_SQL),
+    # two-sample Kolmogorov-Smirnov drift: max ECDF gap on a fixed fine
+    # grid, pure-integer cross-product form (no smoothing, no ln sites)
+    "ks_drift": (events.ks_drift, events.KS_DRIFT_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -246,6 +249,12 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "per_source_dedup_rate": (
         dedup.per_source_dedup_rate,
         dedup.PER_SOURCE_DEDUP_RATE_SQL,
+    ),
+    # source x source 3-gram containment (mirror/republish detector;
+    # bounded collect_set per gram — no gram-keyed self-join)
+    "source_overlap_matrix": (
+        dedup.source_overlap_matrix,
+        dedup.SOURCE_OVERLAP_MATRIX_SQL,
     ),
     # deterministic sharded training-order permutation (no global sort)
     "epoch_shuffle": (dedup.epoch_shuffle, dedup.EPOCH_SHUFFLE_SQL),
@@ -311,6 +320,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         text.mixture_weights_temperature,
         text.MIXTURE_WEIGHTS_TEMPERATURE_SQL,
     ),
+    # UniMax epoch-capped budget allocation: closed-form waterfilling
+    # over the language-cardinality frame, exact-integer budget exhaustion
+    "unimax_allocation": (text.unimax_allocation, text.UNIMAX_ALLOCATION_SQL),
     "stratified_sample": (text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
     # TextRank keyword centrality: fixed-point PageRank over the token
     # co-occurrence graph, oracle replays the unrolled iterations
@@ -331,6 +343,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         text.dsir_importance_weights,
         text.DSIR_IMPORTANCE_WEIGHTS_SQL,
     ),
+    # tie-aware Mann-Whitney AUC of the DSIR score vs the target-lang
+    # label (milli-grid grouping bounds the rank frame by construction)
+    "score_auc": (text.score_auc, text.SCORE_AUC_SQL),
     # corpus-level distinct-1/distinct-2 diversity per source (tagged
     # single-explode, two-level aggregate — no count_distinct Expand)
     "ngram_diversity": (text.ngram_diversity, text.NGRAM_DIVERSITY_SQL),
@@ -527,6 +542,10 @@ _PRIORITY = [
     "dsir_importance_weights",
     "ngram_diversity",
     "drift_psi",
+    "ks_drift",
+    "unimax_allocation",
+    "score_auc",
+    "source_overlap_matrix",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

@@ -605,3 +605,33 @@ def test_weighted_sample_favors_heavy_documents(tables):
     win_mean = out.agg(F.avg("n_chars")).collect()[0][0]
     corpus_mean = tables["documents"].agg(F.avg("n_chars")).collect()[0][0]
     assert win_mean > corpus_mean
+
+
+def test_source_overlap_matrix_matches_python_recompute(tables):
+    """Set-arithmetic replay of the containment matrix from the raw
+    corpus using the same truncated-3-gram shingle definition, plus the
+    diagonal-denominator identity the one-pass plan rests on."""
+    import math
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.dedup import source_overlap_matrix
+
+    grams = defaultdict(set)
+    for r in tables["documents"].select("source", "text").collect():
+        toks = r.text.split(" ")
+        for i in range(max(len(toks) - 2, 1)):
+            grams[r.source].add(" ".join(toks[i : i + 3]))
+
+    rows = source_overlap_matrix(tables).collect()
+    seen = {(r.src_a, r.src_b) for r in rows}
+    for r in rows:
+        inter = len(grams[r.src_a] & grams[r.src_b])
+        assert r.src_a != r.src_b
+        assert r.n_common == inter
+        assert r.n_a == len(grams[r.src_a])
+        assert r.containment_bp == math.floor(inter * 10000.0 / r.n_a + 0.5)
+    # every source pair that shares at least one gram must be reported
+    for a in grams:
+        for b in grams:
+            if a != b and grams[a] & grams[b]:
+                assert (a, b) in seen

@@ -768,3 +768,64 @@ def test_drift_psi_corpus_collapses_before_checkpoint(tables):
     # everything after the checkpoint is type-cardinality work: at most
     # one exchange (the per-type totals rollup)
     assert len(re.findall(r"\bExchange hashpartitioning\b", plan)) <= 1
+
+
+def test_ks_drift_corpus_collapses_before_checkpoint(tables):
+    import re
+
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.ks_drift(tables))
+    # same discipline as drift_psi: the events scan ran once inside the
+    # (type,bin) checkpoint build; the returned plan works off the tiny
+    # materialized frame only
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # ECDF window + totals rollup + (nothing else corpus-sized): the
+    # final per-type aggregate reuses the window's partitioning
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_unimax_windows_run_on_checkpointed_lang_frame(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.unimax_allocation(tables))
+    # the corpus scan collapsed into the checkpointed language-count
+    # frame — every window/join in the returned plan is lang-cardinality
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_score_auc_grid_window_after_broadcast_joins(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.score_auc(tables))
+    # DSIR's two broadcast joins plus the label join — never a shuffle
+    # join on the 256-bucket key or a cartesian
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the rank window runs over the bounded milli grid AFTER the corpus
+    # collapsed in a map-side-combined aggregate
+    assert "partial_sum" in plan
+
+
+def test_source_overlap_returns_checkpointed_matrix_only(tables):
+    import re
+
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.source_overlap_matrix(tables))
+    # the gram walk (distinct -> collect_set -> pair explode -> count)
+    # ran once inside the checkpoint; the returned plan is one broadcast
+    # join over the source^2-sized matrix with ZERO exchanges
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan)) == 0
+    assert "SortMergeJoin" not in plan

@@ -415,3 +415,45 @@ def test_drift_psi_matches_python_recompute(tables):
         v = (math.log(pn) * 1e6 + 0.5) % 1.0
         err = abs(math.log(pn)) * 1.1e-16 * 1e6
         assert min(v, 1.0 - v) > 1000.0 * err, pn
+
+
+def test_ks_drift_matches_python_recompute(tables):
+    """Exact Python replay of the binned two-sample KS pipeline — grid
+    binning, per-type ECDFs, the integer cross-product gap, and the
+    half-up integer division — plus the D <= P*N bound the BIGINT-safety
+    argument rests on."""
+    import datetime
+    import math
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.events import (
+        DRIFT_SPLIT_TS,
+        KS_BIN_WIDTH,
+        KS_N_BINS,
+        ks_drift,
+    )
+
+    split = datetime.datetime.fromisoformat(DRIFT_SPLIT_TS)
+    ref = defaultdict(lambda: [0] * KS_N_BINS)
+    cur = defaultdict(lambda: [0] * KS_N_BINS)
+    for r in tables["events"].select("event_type", "ts", "value").collect():
+        if r.value is None:
+            continue
+        b = min(int(math.floor(r.value / KS_BIN_WIDTH)), KS_N_BINS - 1)
+        (ref if r.ts < split else cur)[r.event_type][b] += 1
+
+    got = {r.event_type: r for r in ks_drift(tables).collect()}
+    assert set(got) == set(ref) | set(cur)
+    for et, g in got.items():
+        n_ref, n_cur = sum(ref[et]), sum(cur[et])
+        assert g.n_ref == n_ref and g.n_cur == n_cur
+        d, cr, cc = 0, 0, 0
+        for b in range(KS_N_BINS):
+            cr += ref[et][b]
+            cc += cur[et][b]
+            d = max(d, abs(cr * n_cur - cc * n_ref))
+        assert g.d_num == d
+        assert d <= n_ref * n_cur  # the BIGINT-safety bound
+        pn = n_ref * n_cur
+        assert g.ks_micro == (2 * d * 1000000 + pn) // (2 * pn)
+        assert 0 <= g.ks_micro <= 1000000

@@ -682,3 +682,129 @@ def test_dsir_weights_favor_target_language(tables):
     for pn in pts:
         v = (math.log(pn / 1e9) * 1e6 + 0.5) % 1.0
         assert min(v, 1.0 - v) > 1e-3, pn
+
+
+def _unimax_greedy(tokens_by_lang, epoch_cap, budget_epochs):
+    """The paper's sequential greedy loop — the reference the closed-form
+    window implementation must reproduce exactly."""
+    total = sum(tokens_by_lang.values())
+    budget = budget_epochs * total
+    items = sorted(
+        (n * epoch_cap, lang, n) for lang, n in tokens_by_lang.items()
+    )
+    alloc, remaining, m = {}, budget, len(items)
+    pending = []
+    for cap, lang, n in items:
+        if cap * m <= remaining:
+            alloc[lang] = cap
+            remaining -= cap
+            m -= 1
+        else:
+            pending.append(lang)
+    # uniform water level for the uncapped tail, remainder one-each in
+    # sort order so the allocation exhausts the budget exactly
+    if pending:
+        u, rem = divmod(remaining, len(pending))
+        for j, lang in enumerate(pending):
+            alloc[lang] = u + (1 if j < rem else 0)
+    return alloc
+
+
+def test_unimax_matches_greedy_and_exhausts_budget(tables):
+    from databricks_observe_spark.operators.text import (
+        UNIMAX_BUDGET_EPOCHS,
+        UNIMAX_EPOCH_CAP,
+        unimax_allocation,
+    )
+
+    toks = {
+        r.lang: r.n
+        for r in tables["documents"]
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n"))
+        .collect()
+    }
+    want = _unimax_greedy(toks, UNIMAX_EPOCH_CAP, UNIMAX_BUDGET_EPOCHS)
+    got = {r.lang: r for r in unimax_allocation(tables).collect()}
+    assert set(got) == set(want)
+    for lang, r in got.items():
+        assert r.alloc_tokens == want[lang]
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.cap_tokens == UNIMAX_EPOCH_CAP * r.n_tokens
+    total = sum(toks.values())
+    assert sum(r.alloc_tokens for r in got.values()) == min(
+        UNIMAX_BUDGET_EPOCHS * total, UNIMAX_EPOCH_CAP * total
+    )
+
+
+def test_unimax_capped_branch_on_skewed_synthetic_corpus(spark):
+    """The fixture's languages are all uncapped (budget 2x, cap 4x, mild
+    skew); force the capped prefix with a synthetic corpus where one
+    language dwarfs the rest, and check the closed form against the
+    greedy loop including the remainder distribution."""
+    from databricks_observe_spark.operators.text import (
+        UNIMAX_BUDGET_EPOCHS,
+        UNIMAX_EPOCH_CAP,
+        unimax_allocation,
+    )
+
+    sizes = {"aa": 3, "bb": 5, "cc": 7, "huge": 1000}
+    rows = [
+        (f"{lang}-{i}", " ".join(["tok"] * n), lang, "src")
+        for lang, n in sizes.items()
+        for i in range(1)
+    ]
+    docs = spark.createDataFrame(
+        [(i, text, lang, src) for i, (_, text, lang, src) in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {r.lang: r for r in unimax_allocation({"documents": docs}).collect()}
+    want = _unimax_greedy(sizes, UNIMAX_EPOCH_CAP, UNIMAX_BUDGET_EPOCHS)
+    assert {k: v.alloc_tokens for k, v in got.items()} == want
+    # the small languages must actually be capped, the big one not
+    assert all(got[lang].capped == 1 for lang in ("aa", "bb", "cc"))
+    assert got["huge"].capped == 0
+    assert sum(want.values()) == UNIMAX_BUDGET_EPOCHS * sum(sizes.values())
+
+
+def test_score_auc_matches_python_recompute(tables):
+    """Tie-aware Mann-Whitney recompute from the DSIR scores + labels,
+    plus the boundedness facts the scale argument rests on: the milli
+    grid the rank window runs over is provably within +-ln(1e9)*1000."""
+    import math
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.text import (
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+        score_auc,
+    )
+
+    langs = {
+        r.doc_id: r.lang
+        for r in tables["documents"].select("doc_id", "lang").collect()
+    }
+    by_score = defaultdict(lambda: [0, 0])
+    lo = hi = None
+    for r in dsir_importance_weights(tables).collect():
+        s = math.floor(r.avg_lr_micro / 1000.0)
+        by_score[s][0 if langs[r.doc_id] == DSIR_TARGET_LANG else 1] += 1
+        lo = s if lo is None else min(lo, s)
+        hi = s if hi is None else max(hi, s)
+    bound = math.log(1e9) * 1000  # |avg lr| <= ln(1e9) by construction
+    assert -bound <= lo <= hi <= bound
+    num2, neg_below, n_pos, n_neg = 0, 0, 0, 0
+    for s in sorted(by_score):
+        p, n = by_score[s]
+        num2 += p * (2 * neg_below + n)
+        neg_below += n
+        n_pos += p
+        n_neg += n
+    got = score_auc(tables).collect()[0]
+    assert (got.n_pos, got.n_neg, got.auc_num2) == (n_pos, n_neg, num2)
+    assert got.auc_r == math.floor(
+        num2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5
+    ) / 1e6
+    # the score must genuinely rank the target language (else the eval
+    # gate is vacuous)
+    assert got.auc_r > 0.55

@@ -418,6 +418,31 @@ COMMENTARY = {
         "and the broadcast grid fill read it; everything downstream is "
         "type-cardinality arithmetic on exact integer nano/femto units."
     ),
+    "ks_drift": (
+        "Same checkpoint discipline as drift_psi on a 20x finer grid; "
+        "the ECDF prefix window and the max-gap rollup run over the "
+        "constant (types x bins) frame in pure-integer cross-product "
+        "form — no smoothing, no ln sites at all."
+    ),
+    "unimax_allocation": (
+        "One corpus scan collapses to the checkpointed language-count "
+        "frame; the waterfilling closed form (prefix-AND capped flag, "
+        "water level, remainder spread) is windows and broadcast joins "
+        "over that tiny frame — exact-integer budget exhaustion."
+    ),
+    "score_auc": (
+        "DSIR scores re-derive from the memoized tf index (broadcast "
+        "log-ratio join); docs collapse onto the bounded milli-score "
+        "grid (|avg lr| <= ln(1e9) by construction) in one map-side "
+        "combined aggregate, so the tie-aware rank window never sees "
+        "corpus rows."
+    ),
+    "source_overlap_matrix": (
+        "No gram-keyed self-join: grams fold to bounded collect_set "
+        "rows (capped by source cardinality), pairs explode from those "
+        "sets into ONE source^2-sized count whose diagonal doubles as "
+        "the containment denominator — one pass over the shingle index."
+    ),
 }
 
 
