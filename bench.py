@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "unimax_allocation",
     "score_auc",
     "source_overlap_matrix",
+    "score_calibration",
+    "tokenizer_fertility",
 ]
 
 

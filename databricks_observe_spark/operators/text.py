@@ -1439,6 +1439,76 @@ WHERE wk.pos > length(wk.word)
 """
 
 
+def tokenizer_fertility(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-language tokenizer fertility report over the learned BPE
+    vocabulary — units/word (fertility) and chars/unit (compression),
+    the numbers that decide whether a tokenizer trained on the mix
+    penalizes a language (high fertility = more sequence positions per
+    word = that language pays more compute per byte). Completes the
+    tokenizer story: :func:`bpe_pair_counts` trains,
+    :func:`bpe_apply_merges` encodes, this evaluates.
+
+    Scale shape: greedy BPE encoding is a per-WORD property, so the
+    expensive fold runs once per DISTINCT vocabulary word
+    (:func:`bpe_apply_merges`), and the per-language occurrence weights
+    come from one corpus scan collapsed to the (lang, word)-cardinality
+    frame; the two vocab-sized frames join on word (shuffle join — both
+    are vocabulary-bounded, far below corpus size) and fold to the
+    language-cardinality report. Exact integer sums, two final divides.
+    """
+    enc = bpe_apply_merges(t).select("word", "n_units")
+    lw = (
+        fan_out(t["documents"])
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        lw.join(enc, on="word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_units")).alias("n_bpe_units"),
+            F.sum(F.col("cnt") * F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_units",
+            "n_chars",
+            round_half_up(
+                F.col("n_bpe_units").cast("double") / F.col("n_words"), 6
+            ).alias("fertility_r"),
+            round_half_up(
+                F.col("n_chars").cast("double") / F.col("n_bpe_units"), 6
+            ).alias("chars_per_unit_r"),
+        )
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH enc AS ({BPE_APPLY_MERGES_SQL}),
+lw AS (
+  SELECT lang, word, COUNT(*) AS cnt FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE length(word) >= 1 GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(lw.cnt) AS BIGINT) AS n_words,
+         CAST(SUM(lw.cnt * n_units) AS BIGINT) AS n_bpe_units,
+         CAST(SUM(lw.cnt * length(lw.word)) AS BIGINT) AS n_chars
+  FROM lw JOIN enc ON lw.word = enc.word
+  GROUP BY lang
+)
+SELECT lang, n_words, n_bpe_units, n_chars,
+       {sql_round_half_up('CAST(n_bpe_units AS DOUBLE) / n_words', 6)} AS fertility_r,
+       {sql_round_half_up('CAST(n_chars AS DOUBLE) / n_bpe_units', 6)} AS chars_per_unit_r
+FROM agg
+"""
+
+
 # --- TextRank keyword centrality ---------------------------------------------
 
 TEXTRANK_DAMPING = 0.85
@@ -2114,4 +2184,64 @@ SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
            'CAST(SUM(num2) AS DOUBLE) / (2.0 * SUM(pos_n) * SUM(neg_n))', 6
        )} AS auc_r
 FROM terms
+"""
+
+
+CALIB_BAND_MICRO = 5000  # 5-milli-nat score bands for the reliability report
+
+
+def score_calibration(t: dict[str, DataFrame]) -> DataFrame:
+    """Reliability report for the DSIR selection score: per fixed
+    5-milli-nat score band, how many docs land there and what fraction
+    actually is the target language — the monitoring companion to
+    :func:`score_auc` (AUC says the ranking works; this says WHERE the
+    threshold should sit and whether the score drifts band by band).
+
+    Scale shape: one map-side-combinable aggregate collapses the corpus
+    onto the score-band grid, which is bounded by construction (the avg
+    log-ratio lives in +-ln(1e9), so at most ~8300 bands exist at any
+    corpus size). Band edges are exact integer floors of the integer
+    micro score — no ntile/global sort — and the rate is integer basis
+    points.
+    """
+    scores = dsir_importance_weights(t).select("doc_id", "avg_lr_micro")
+    labeled = scores.join(
+        t["documents"].select("doc_id", "lang"), on="doc_id"
+    ).select(
+        F.floor(
+            F.col("avg_lr_micro").cast("double") / F.lit(float(CALIB_BAND_MICRO))
+        ).alias("band"),
+        (F.col("lang") == DSIR_TARGET_LANG).cast("bigint").alias("pos"),
+    )
+    return (
+        labeled.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("n_pos"),
+        )
+        .select(
+            "band",
+            (F.col("band") * F.lit(CALIB_BAND_MICRO)).alias("band_lo_micro"),
+            "n_docs",
+            "n_pos",
+            F.floor(
+                F.col("n_pos") * F.lit(10000.0) / F.col("n_docs") + F.lit(0.5)
+            ).alias("pos_rate_bp"),
+        )
+    )
+
+
+SCORE_CALIBRATION_SQL = f"""
+WITH dsir AS ({DSIR_IMPORTANCE_WEIGHTS_SQL}),
+labeled AS (
+  SELECT FLOOR(CAST(s.avg_lr_micro AS DOUBLE) / {CALIB_BAND_MICRO}.0) AS band,
+         CAST(d.lang = '{DSIR_TARGET_LANG}' AS BIGINT) AS pos
+  FROM dsir s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(band * {CALIB_BAND_MICRO} AS BIGINT) AS band_lo_micro,
+       COUNT(*) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(FLOOR(SUM(pos) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS pos_rate_bp
+FROM labeled GROUP BY band
 """

@@ -346,6 +346,15 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # tie-aware Mann-Whitney AUC of the DSIR score vs the target-lang
     # label (milli-grid grouping bounds the rank frame by construction)
     "score_auc": (text.score_auc, text.SCORE_AUC_SQL),
+    # reliability report: per 0.1-nat score band, target-lang rate in
+    # basis points (bounded band grid, no ntile/global sort)
+    "score_calibration": (text.score_calibration, text.SCORE_CALIBRATION_SQL),
+    # per-lang BPE fertility (units/word) and compression (chars/unit)
+    # over the learned merge vocabulary
+    "tokenizer_fertility": (
+        text.tokenizer_fertility,
+        text.TOKENIZER_FERTILITY_SQL,
+    ),
     # corpus-level distinct-1/distinct-2 diversity per source (tagged
     # single-explode, two-level aggregate — no count_distinct Expand)
     "ngram_diversity": (text.ngram_diversity, text.NGRAM_DIVERSITY_SQL),
@@ -546,6 +555,8 @@ _PRIORITY = [
     "unimax_allocation",
     "score_auc",
     "source_overlap_matrix",
+    "score_calibration",
+    "tokenizer_fertility",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

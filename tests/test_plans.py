@@ -829,3 +829,30 @@ def test_source_overlap_returns_checkpointed_matrix_only(tables):
     assert plan.count("BroadcastHashJoin") == 1
     assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan)) == 0
     assert "SortMergeJoin" not in plan
+
+
+def test_tokenizer_fertility_vocab_join_and_pruned_scan(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.tokenizer_fertility(tables))
+    # the per-word encode walk reads the memoized token index; the only
+    # parquet work is the (lang, text) projection for occurrence weights
+    assert "ReadSchema: struct<text:string,lang:string>" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the merge table rides in as a broadcast 1-row array — never a
+    # shuffle keyed on it
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_score_calibration_single_band_aggregate(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.score_calibration(tables))
+    # identical join discipline to score_auc: DSIR's broadcast log-ratio
+    # joins plus a broadcast label join, then ONE map-side-combined
+    # aggregate onto the bounded band grid — no sort anywhere
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

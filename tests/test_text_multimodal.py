@@ -808,3 +808,79 @@ def test_score_auc_matches_python_recompute(tables):
     # the score must genuinely rank the target language (else the eval
     # gate is vacuous)
     assert got.auc_r > 0.55
+
+
+def test_tokenizer_fertility_matches_weighted_recompute(tables):
+    """The per-lang report must equal the occurrence-weighted rollup of
+    the per-word BPE encodings (which have their own greedy-walk test),
+    and satisfy the algebraic bounds: every word is at least one unit
+    and every unit is 1-2 chars."""
+    import math
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.text import (
+        bpe_apply_merges,
+        tokenizer_fertility,
+    )
+
+    units = {r.word: r.n_units for r in bpe_apply_merges(tables).collect()}
+    agg = defaultdict(lambda: [0, 0, 0])  # words, units, chars
+    for r in tables["documents"].select("lang", "text").collect():
+        for w in r.text.split(" "):
+            if not w:
+                continue
+            a = agg[r.lang]
+            a[0] += 1
+            a[1] += units[w]
+            a[2] += len(w)
+    got = {r.lang: r for r in tokenizer_fertility(tables).collect()}
+    assert set(got) == set(agg)
+    for lang, (nw, nu, nc) in agg.items():
+        r = got[lang]
+        assert (r.n_words, r.n_bpe_units, r.n_chars) == (nw, nu, nc)
+        assert r.fertility_r == math.floor(nu / nw * 1e6 + 0.5) / 1e6
+        assert r.chars_per_unit_r == math.floor(nc / nu * 1e6 + 0.5) / 1e6
+        assert r.fertility_r >= 1.0
+        assert 1.0 <= r.chars_per_unit_r <= 2.0
+
+
+def test_score_calibration_matches_recompute_and_is_discriminative(tables):
+    """Band-level replay from the DSIR scores; the report must cover
+    every doc exactly once and the top band must be purer in the target
+    language than the bottom band (else the reliability report carries
+    no signal)."""
+    import math
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.text import (
+        CALIB_BAND_MICRO,
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+        score_calibration,
+    )
+
+    langs = {
+        r.doc_id: r.lang
+        for r in tables["documents"].select("doc_id", "lang").collect()
+    }
+    bands = defaultdict(lambda: [0, 0])
+    for r in dsir_importance_weights(tables).collect():
+        b = math.floor(r.avg_lr_micro / float(CALIB_BAND_MICRO))
+        bands[b][0] += 1
+        bands[b][1] += int(langs[r.doc_id] == DSIR_TARGET_LANG)
+    got = {r.band: r for r in score_calibration(tables).collect()}
+    assert set(got) == set(bands)
+    for b, (n, p) in bands.items():
+        r = got[b]
+        assert (r.n_docs, r.n_pos) == (n, p)
+        assert r.band_lo_micro == b * CALIB_BAND_MICRO
+        assert r.pos_rate_bp == math.floor(p * 10000.0 / n + 0.5)
+    assert sum(n for n, _ in bands.values()) == len(langs)
+    # discriminative: target docs sit in higher bands ON AVERAGE (the
+    # band-granularity form of AUC > 0.5; single-doc edge bands are too
+    # noisy for an endpoint-purity check)
+    n_pos = sum(p for _, p in bands.values())
+    n_neg = sum(n - p for n, p in bands.values())
+    mean_pos = sum(b * p for b, (_, p) in bands.items()) / n_pos
+    mean_neg = sum(b * (n - p) for b, (n, p) in bands.items()) / n_neg
+    assert mean_pos > mean_neg

@@ -443,6 +443,18 @@ COMMENTARY = {
         "sets into ONE source^2-sized count whose diagonal doubles as "
         "the containment denominator — one pass over the shingle index."
     ),
+    "tokenizer_fertility": (
+        "The greedy BPE walk runs once per DISTINCT vocab word (the "
+        "bpe_apply_merges frame); occurrence weights collapse the "
+        "corpus to the (lang,word) frame in one scan; the two "
+        "vocab-sized frames join and fold to language cardinality."
+    ),
+    "score_calibration": (
+        "Same join discipline as score_auc; the corpus collapses onto "
+        "the 5-milli-nat band grid (bounded by the +-ln(1e9) score "
+        "range) in one map-side-combined aggregate — no ntile, no "
+        "global sort, integer basis points."
+    ),
 }
 
 
