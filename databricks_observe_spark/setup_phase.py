@@ -21,7 +21,7 @@ SETUP_INDEX_NAMES = [
     "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
     "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
     "langid_trained_profiles", "jaccard_pairs_capped", "hist_value_agg",
-    "contam_gram_index", "contam_eval_set",
+    "contam_gram_index", "contam_eval_set", "dsir_score_table",
 ]
 
 
@@ -57,6 +57,7 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
     from databricks_observe_spark.operators.text import (
         _bm25_index,
         _char_trigrams,
+        _dsir_scores,
         _langid_profiles,
         _textrank_graph,
         _tfidf_tf_frame,
@@ -69,7 +70,7 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _centroids_bc, _query_set_bc, _ivf_assigned, _quantized,
         _cluster_labels, _file_stats, _semdedup_assigned,
         ngram_jaccard_pairs_capped, _hist_vals, _contam_grams,
-        _contam_eval_set,
+        _contam_eval_set, _dsir_scores,
     ):
         build(ctx)
 

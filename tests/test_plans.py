@@ -805,9 +805,10 @@ def test_score_auc_grid_window_after_broadcast_joins(tables):
     from databricks_observe_spark.operators import text as T
 
     plan = _plan(T.score_auc(tables))
-    # DSIR's two broadcast joins plus the label join — never a shuffle
-    # join on the 256-bucket key or a cartesian
-    assert plan.count("BroadcastHashJoin") >= 3
+    # scores read from the memoized written score table; the label join
+    # is a broadcast — never a shuffle join or a cartesian
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # the rank window runs over the bounded milli grid AFTER the corpus
@@ -849,10 +850,11 @@ def test_score_calibration_single_band_aggregate(tables):
     from databricks_observe_spark.operators import text as T
 
     plan = _plan(T.score_calibration(tables))
-    # identical join discipline to score_auc: DSIR's broadcast log-ratio
-    # joins plus a broadcast label join, then ONE map-side-combined
-    # aggregate onto the bounded band grid — no sort anywhere
-    assert plan.count("BroadcastHashJoin") >= 3
+    # identical join discipline to score_auc: memoized score table plus
+    # a broadcast label join, then ONE map-side-combined aggregate onto
+    # the bounded band grid — no sort anywhere
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
