@@ -1,5 +1,13 @@
 """Compare Spark wall-clock vs the DuckDB oracle for every registered query.
 
+Per-query time (BOTH engines) is the min of two in-run passes — the same
+steady-state protocol bench.py and tools/scale_sweep.py document (the first
+pass pays whole-stage-codegen JIT for whichever queries the verification
+rotation put early in the run order; that is measurement order, not query
+cost, and a real cluster's JVMs are warm). BASELINE.md then takes the
+per-row minimum across three serialized full runs (tools/merge_bench_runs.py)
+to reject the host's noisy-neighbor episodes.
+
 Usage: python tools/bench_vs_duckdb.py [--sf DIR] [--md]
 Prints one line per query; --md emits a markdown table row format (used to
 refresh the measured table in BASELINE.md).
@@ -46,17 +54,27 @@ def main() -> int:
     build_setup_indexes(spark, ctx, args.sf)
     setup_s = time.time() - t0
 
+    # per-query steady-state = min of two in-run passes, applied to BOTH
+    # engines identically — the same documented protocol bench.py and the
+    # SCALING.md sweep have always used (a real cluster's JVMs are warm;
+    # the first pass pays whole-stage-codegen JIT for whichever queries
+    # the rotation put early in the run order, which is measurement
+    # order, not query cost)
     tot_s = tot_d = 0.0
     rows = []
     for name in qs:
-        t0 = time.time()
-        n = qs[name](spark, args.sf).count()
-        ts = time.time() - t0
+        ts = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, args.sf).count()
+            ts = min(ts, time.time() - t0)
         td = float("nan")
         if name in osql:
-            t0 = time.time()
-            con.execute(osql[name]).fetchall()
-            td = time.time() - t0
+            td = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(osql[name]).fetchall()
+                td = min(td, time.time() - t0)
             tot_d += td
         tot_s += ts
         rows.append((name, ts, td, n))
