@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "score_calibration",
     "tokenizer_fertility",
+    "streaming_drift_psi",
 ]
 
 

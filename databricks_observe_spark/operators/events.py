@@ -833,6 +833,17 @@ def drift_psi(t: dict[str, DataFrame]) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """The PSI tail over a MATERIALIZED ``(event_type, bin, ref_n,
+    cur_n)`` frame — shared by the batch operator (whose frame is one
+    checkpointed corpus aggregate) and the streaming monitor
+    (``streaming/state.py:streaming_drift_psi_query``, whose frame IS
+    the complete-mode aggregation state). Everything here is
+    type-cardinality work on exact integer nano/femto units.
+    """
     totals = counts.groupBy("event_type").agg(
         F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
     )

@@ -402,6 +402,11 @@ def _streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_state.streaming_corpus_dedup_query(spark, sf_dir)
 
 
+def _streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ctx(spark, sf_dir)  # ensure session confs once (cached prepare)
+    return streaming_state.streaming_drift_psi_query(spark, sf_dir)
+
+
 
 
 # --- live-session queries (take (spark, sf_dir) directly: they introspect
@@ -447,6 +452,10 @@ _STREAMING_QUERIES: dict[str, tuple] = {
         _streaming_corpus_dedup,
         streaming_state.STREAMING_CORPUS_DEDUP_SQL,
     ),
+    # the drift monitor in its streaming home: complete-mode (type,bin)
+    # histogram state, PSI computed off the final maintained state —
+    # same oracle as the batch operator by construction
+    "streaming_drift_psi": (_streaming_drift_psi, events.DRIFT_PSI_SQL),
 }
 
 # NOT registered: streaming/state.py also carries the SAME sessionizer on
@@ -557,6 +566,7 @@ _PRIORITY = [
     "source_overlap_matrix",
     "score_calibration",
     "tokenizer_fertility",
+    "streaming_drift_psi",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

@@ -658,6 +658,83 @@ SELECT DISTINCT md5(text) AS text_hash FROM documents
 """
 
 
+def drift_counts_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str
+) -> StreamingQuery:
+    """Complete-mode ``(event_type, bin)`` ref/cur histogram over the
+    event stream — the continuously-maintained state a streaming drift
+    monitor alarms from (the streaming home of
+    operators/events.py:drift_psi, identical bin/split exprs by
+    construction). State is (types x bins)-bounded REGARDLESS of stream
+    volume, so complete mode rewrites a constant-sized memory table per
+    trigger; checkpoint + replay give exactly-once counts across
+    restarts for free because the aggregation is the state.
+    """
+    from databricks_observe_spark.operators.events import (
+        DRIFT_BIN_WIDTH,
+        DRIFT_N_BINS,
+        DRIFT_SPLIT_TS,
+    )
+
+    events = stream_events(spark, sf_dir)
+    split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
+    counts = (
+        events.select(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / F.lit(DRIFT_BIN_WIDTH)),
+                F.lit(DRIFT_N_BINS - 1),
+            ).alias("bin"),
+            (F.col("ts") < split).cast("int").alias("is_ref"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_ref").alias("ref_n"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cur_n"),
+        )
+    )
+    return (
+        counts.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of the streaming drift monitor: run the
+    complete-mode histogram to exhaustion (availableNow) and compute the
+    alarm row off the final maintained state — identical output (and
+    oracle, DRIFT_PSI_SQL) to the batch operator by construction, which
+    pins the batch/stream semantic parity the way the tumbling/sessionize
+    twins do.
+    """
+    import tempfile
+    import uuid
+
+    from databricks_observe_spark.operators.events import psi_from_counts
+
+    name = f"dp_q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dpq_")
+    # complete-mode aggregation re-emits full state every trigger; the
+    # trailing no-data batch would just rewrite the same table
+    with _stream_confs(
+        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+    ):
+        q = drift_counts_stream(spark, sf_dir, ckpt, name)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_drift_psi did not finish its availableNow run within 300s"
+        )
+    # same shared-consumer checkpoint discipline as the batch operator:
+    # the PSI tail reads the tiny final state twice (totals + grid fill)
+    counts = spark.table(name).localCheckpoint()
+    return psi_from_counts(counts)
+
+
 # --- sessionizer on the current-generation arbitrary-state API --------------
 
 

@@ -273,3 +273,38 @@ def test_sessionize_tws_matches_apply_in_pandas_twin(spark, tables):
         for r in ST.streaming_sessionize_tws_query(spark, SF_DIR).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_streaming_drift_psi_matches_batch_and_recovers_state(spark, tables):
+    """The streaming monitor must equal the batch operator row-for-row
+    (same bins, same integer PSI units, same oracle by construction),
+    and a restart against the same checkpoint with no new data must
+    recover the identical complete-mode state."""
+    import uuid
+
+    from databricks_observe_spark.operators.events import drift_psi
+
+    got = {tuple(r) for r in ST.streaming_drift_psi_query(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in drift_psi(tables).collect()}
+    assert got == want and len(got) > 0
+
+    # checkpoint recovery: run the SAME histogram stream twice against
+    # one checkpoint dir; the second availableNow run sees no new files
+    # and must re-emit exactly the maintained state, not double-count
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dp_replay_")
+    n1 = f"dp_r1_{uuid.uuid4().hex[:6]}"
+    n2 = f"dp_r2_{uuid.uuid4().hex[:6]}"
+    with ST._stream_confs(
+        spark, {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+    ):
+        q = ST.drift_counts_stream(spark, SF_DIR, ckpt, n1)
+        q.awaitTermination(120)
+        q = ST.drift_counts_stream(spark, SF_DIR, ckpt, n2)
+        q.awaitTermination(120)
+    first = {tuple(r) for r in spark.table(n1).collect()}
+    second = {tuple(r) for r in spark.table(n2).collect()}
+    # a restart with no new data re-emits the recovered state (complete
+    # mode) or emits nothing if the no-op batch is skipped — either way
+    # it must never double-count
+    assert second == first or second == set()
+    assert sum(r[2] + r[3] for r in first) == tables["events"].count()
