@@ -884,3 +884,41 @@ def test_score_calibration_matches_recompute_and_is_discriminative(tables):
     mean_pos = sum(b * p for b, (_, p) in bands.items()) / n_pos
     mean_neg = sum(b * (n - p) for b, (n, p) in bands.items()) / n_neg
     assert mean_pos > mean_neg
+
+
+def test_unimax_closed_form_matches_greedy_on_random_corpora(spark, monkeypatch):
+    """Property sweep: the windowed closed form must equal the greedy
+    waterfilling loop on adversarial synthetic corpora — heavy skew,
+    singleton languages, tie groups, and (via a raised budget) the
+    all-capped branch where the water level is undefined."""
+    import random
+
+    from databricks_observe_spark.operators import text as T
+
+    rng = random.Random(7)
+    cases = [
+        {"a": 1},                                    # single language
+        {"a": 1, "b": 1, "c": 1},                    # full tie group
+        {"a": 2, "b": 2, "c": 1000},                 # heavy skew
+        {f"l{i}": rng.randint(1, 50) for i in range(8)},
+        {f"l{i}": rng.choice([3, 3, 3, 7, 500]) for i in range(6)},
+    ]
+    for budget_epochs, sizes in [(2, c) for c in cases] + [(10, cases[2])]:
+        monkeypatch.setattr(T, "UNIMAX_BUDGET_EPOCHS", budget_epochs)
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(["tok"] * n), lang, "src")
+                for i, (lang, n) in enumerate(sizes.items())
+            ],
+            "doc_id bigint, text string, lang string, source string",
+        )
+        got = {
+            r.lang: r.alloc_tokens
+            for r in T.unimax_allocation({"documents": docs}).collect()
+        }
+        want = _unimax_greedy(sizes, T.UNIMAX_EPOCH_CAP, budget_epochs)
+        assert got == want, (budget_epochs, sizes)
+        total = sum(sizes.values())
+        assert sum(got.values()) == min(
+            budget_epochs * total, T.UNIMAX_EPOCH_CAP * total
+        )
