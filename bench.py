@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "score_calibration",
     "tokenizer_fertility",
     "streaming_drift_psi",
+    "corpus_card",
 ]
 
 

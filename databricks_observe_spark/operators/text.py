@@ -90,6 +90,86 @@ FROM documents GROUP BY lang
 """
 
 
+def corpus_card(t: dict[str, DataFrame]) -> DataFrame:
+    """The one-row data card a corpus release publishes: sizes,
+    language/source breadth, exact-duplicate rate, and mean lengths —
+    the headline block of a dataset datasheet, computed from the raw
+    corpus instead of hand-maintained.
+
+    Scale shape: two corpus passes, deliberately NOT one — the cell
+    stats collapse in a map-side-combinable ``(lang, source)`` aggregate
+    and the global unique-text count is its own two-phase distinct on
+    the 16-byte digest; fusing them into one aggregate with three
+    COUNT(DISTINCT)s would plan an Expand that multiplies the corpus
+    scan by the number of distinct aggregates. Everything after the two
+    collapses is (lang x source)-cardinality work; ratios are exact
+    integer inputs to final :func:`round_half_up` divides.
+    """
+    d = t["documents"]
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    uniq = d.select(F.md5("text").alias("h")).agg(
+        F.countDistinct("h").alias("n_uniq_texts")
+    )
+    rollup = cell.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return rollup.join(F.broadcast(uniq)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "n_tokens",
+        "n_chars",
+        "n_uniq_texts",
+        F.floor(
+            (F.col("n_docs") - F.col("n_uniq_texts"))
+            * F.lit(10000.0)
+            / F.col("n_docs")
+            + F.lit(0.5)
+        ).alias("dup_bp"),
+        round_half_up(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_tokens_r"),
+        round_half_up(
+            F.col("n_chars").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_chars_r"),
+    )
+
+
+CORPUS_CARD_SQL = f"""
+WITH cell AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang, source
+),
+uniq AS (
+  SELECT COUNT(DISTINCT md5(text)) AS n_uniq_texts FROM documents
+),
+rollup AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM cell
+)
+SELECT n_docs, n_langs, n_sources, n_tokens, n_chars, n_uniq_texts,
+       CAST(FLOOR((n_docs - n_uniq_texts) * 10000.0 / n_docs + 0.5) AS BIGINT)
+         AS dup_bp,
+       {sql_round_half_up('CAST(n_tokens AS DOUBLE) / n_docs', 6)} AS avg_tokens_r,
+       {sql_round_half_up('CAST(n_chars AS DOUBLE) / n_docs', 6)} AS avg_chars_r
+FROM rollup CROSS JOIN uniq
+"""
+
+
 def _char_trigrams(t: dict[str, DataFrame]) -> DataFrame:
     """Distinct (doc_id, lang, tg) character-trigram frame, memoized +
     materialized once per context — the index both langid branches read.

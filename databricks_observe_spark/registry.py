@@ -320,6 +320,8 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         text.mixture_weights_temperature,
         text.MIXTURE_WEIGHTS_TEMPERATURE_SQL,
     ),
+    # one-row corpus data card (two deliberate passes — no Expand)
+    "corpus_card": (text.corpus_card, text.CORPUS_CARD_SQL),
     # UniMax epoch-capped budget allocation: closed-form waterfilling
     # over the language-cardinality frame, exact-integer budget exhaustion
     "unimax_allocation": (text.unimax_allocation, text.UNIMAX_ALLOCATION_SQL),
@@ -567,6 +569,7 @@ _PRIORITY = [
     "score_calibration",
     "tokenizer_fertility",
     "streaming_drift_psi",
+    "corpus_card",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

@@ -858,3 +858,17 @@ def test_score_calibration_single_band_aggregate(tables):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_corpus_card_two_passes_no_expand(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.corpus_card(tables))
+    # two deliberate corpus passes (cell stats + global distinct digest);
+    # fusing the three COUNT(DISTINCT)s would plan an Expand multiplying
+    # the corpus scan — the tiny (lang,source) rollup may keep its own
+    assert plan.count("FileScan") == 2
+    expands = plan.count("Expand")
+    assert expands <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -922,3 +922,23 @@ def test_unimax_closed_form_matches_greedy_on_random_corpora(spark, monkeypatch)
         assert sum(got.values()) == min(
             budget_epochs * total, T.UNIMAX_EPOCH_CAP * total
         )
+
+
+def test_corpus_card_matches_python_recompute(tables):
+    import hashlib as H
+    import math
+
+    docs = tables["documents"].collect()
+    toks = sum(len(r.text.split(" ")) for r in docs)
+    chars = sum(r.n_chars for r in docs)
+    uniq = len({H.md5(r.text.encode()).hexdigest() for r in docs})
+    card = T.corpus_card(tables).collect()
+    assert len(card) == 1
+    c = card[0]
+    assert c.n_docs == len(docs)
+    assert c.n_langs == len({r.lang for r in docs})
+    assert c.n_sources == len({r.source for r in docs})
+    assert c.n_tokens == toks and c.n_chars == chars
+    assert c.n_uniq_texts == uniq
+    assert c.dup_bp == math.floor((len(docs) - uniq) * 10000.0 / len(docs) + 0.5)
+    assert c.avg_tokens_r == math.floor(toks / len(docs) * 1e6 + 0.5) / 1e6
