@@ -980,9 +980,15 @@ def ks_drift(t: dict[str, DataFrame]) -> DataFrame:
 
     Cross-engine determinism: no floats anywhere until the final divide —
     the gap is the exact integer cross-product form
-    ``|cum_ref * n_cur - cum_cur * n_ref|`` and ``ks_micro`` is exact
-    half-up integer division ``(2 * D * 1e6 + PN) div (2 * PN)``
-    (BIGINT-safe: D <= PN <= 4e10 at sf0.1, 2e6 * D < 2^63).
+    ``|cum_ref * n_cur - cum_cur * n_ref|`` (BIGINT-exact at any scale:
+    D <= PN <= 9.2e18 needs window counts beyond 3e9 rows PER TYPE to
+    overflow, and the count columns would overflow first). ``ks_micro``
+    is one correctly-rounded double division of two exact integers —
+    NOT the half-up integer-division form ``(2*D*1e6 + PN) div (2*PN)``,
+    which silently overflows int64 once a type exceeds ~2.1e6 rows per
+    window (2e6 * D > 2^63): identical on both engines because IEEE
+    division of identical operands is deterministic, and a boundary flip
+    would need the true ratio within ~1e-10 of a 0.5 micro boundary.
     """
     split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
     ev = t["events"].select(
@@ -1041,9 +1047,14 @@ def ks_drift(t: dict[str, DataFrame]) -> DataFrame:
         "d_num",
         F.when(
             (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-            F.expr(
-                "(2 * d_num * 1000000 + n_ref * n_cur)"
-                " div (2 * n_ref * n_cur)"
+            F.floor(
+                F.col("d_num").cast("double")
+                * F.lit(1e6)
+                / (
+                    F.col("n_ref").cast("double")
+                    * F.col("n_cur").cast("double")
+                )
+                + F.lit(0.5)
             ),
         ).alias("ks_micro"),
     )
@@ -1084,8 +1095,9 @@ gaps AS (
 SELECT event_type, n_ref, n_cur,
        CAST(MAX(gap) AS BIGINT) AS d_num,
        CASE WHEN n_ref > 0 AND n_cur > 0 THEN
-         CAST((2 * MAX(gap) * 1000000 + n_ref * n_cur)
-              // (2 * n_ref * n_cur) AS BIGINT)
+         CAST(FLOOR(CAST(MAX(gap) AS DOUBLE) * 1000000.0
+                    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+                    + 0.5) AS BIGINT)
        END AS ks_micro
 FROM gaps GROUP BY event_type, n_ref, n_cur
 """

@@ -2201,7 +2201,11 @@ def score_auc(t: dict[str, DataFrame]) -> DataFrame:
     score, order groups ascending, and sum ``pos_g * (2*neg_below + neg_g)``
     — twice the U statistic, so ties contribute their exact 1/2 without
     any fractional arithmetic; ``auc_r = num2 / (2 * P * N)`` is the only
-    float, produced by one final :func:`round_half_up`.
+    float, produced by one final :func:`round_half_up`. The per-band
+    product and its sum run in DECIMAL(18,0)/DECIMAL(38,0) — the product
+    alone exceeds int64 once the corpus passes ~3e9 docs (2*U is
+    O(P*N)); decimal sums are exact and order-independent on both
+    engines up to 1e38.
 
     Scale shape: the scores come from the memoized written score table
     (:func:`_dsir_scores` — the selection pipeline materializes it
@@ -2233,17 +2237,17 @@ def score_auc(t: dict[str, DataFrame]) -> DataFrame:
         "pos_n",
         "neg_n",
         (
-            F.col("pos_n")
+            F.col("pos_n").cast("decimal(18,0)")
             * (
                 F.lit(2) * F.coalesce(F.sum("neg_n").over(w_lt), F.lit(0))
                 + F.col("neg_n")
-            )
+            ).cast("decimal(18,0)")
         ).alias("num2"),
     )
     return terms.agg(
         F.sum("pos_n").alias("n_pos"),
         F.sum("neg_n").alias("n_neg"),
-        F.sum("num2").alias("auc_num2"),
+        F.sum(F.col("num2").cast("decimal(38,0)")).alias("auc_num2"),
     ).select(
         "n_pos",
         "n_neg",
@@ -2271,14 +2275,15 @@ g AS (
 ),
 terms AS (
   SELECT pos_n, neg_n,
-         pos_n * (2 * COALESCE(SUM(neg_n) OVER (ORDER BY s_milli
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + neg_n) AS num2
+         CAST(pos_n AS DECIMAL(18,0))
+           * CAST(2 * COALESCE(SUM(neg_n) OVER (ORDER BY s_milli
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + neg_n AS DECIMAL(18,0)) AS num2
   FROM g
 )
 SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
        CAST(SUM(neg_n) AS BIGINT) AS n_neg,
-       CAST(SUM(num2) AS BIGINT) AS auc_num2,
+       CAST(SUM(CAST(num2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS auc_num2,
        {sql_round_half_up(
            'CAST(SUM(num2) AS DOUBLE) / (2.0 * SUM(pos_n) * SUM(neg_n))', 6
        )} AS auc_r

@@ -453,7 +453,9 @@ def test_ks_drift_matches_python_recompute(tables):
             cc += cur[et][b]
             d = max(d, abs(cr * n_cur - cc * n_ref))
         assert g.d_num == d
-        assert d <= n_ref * n_cur  # the BIGINT-safety bound
-        pn = n_ref * n_cur
-        assert g.ks_micro == (2 * d * 1000000 + pn) // (2 * pn)
+        assert d <= n_ref * n_cur  # D/PN <= 1, so ks_micro is bounded
+        # the same correctly-rounded double division as both engines
+        assert g.ks_micro == math.floor(
+            float(d) * 1e6 / (float(n_ref) * float(n_cur)) + 0.5
+        )
         assert 0 <= g.ks_micro <= 1000000
