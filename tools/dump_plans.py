@@ -455,6 +455,12 @@ COMMENTARY = {
         "range) in one map-side-combined aggregate — no ntile, no "
         "global sort, integer basis points."
     ),
+    "corpus_card": (
+        "Two deliberate corpus passes — map-side-combined (lang,source) "
+        "cell stats plus a two-phase global distinct on the 16-byte "
+        "digest; fusing the three COUNT(DISTINCT)s would plan an Expand "
+        "multiplying the corpus scan (plan-gated)."
+    ),
 }
 
 
