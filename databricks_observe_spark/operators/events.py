@@ -814,10 +814,14 @@ def drift_psi(t: dict[str, DataFrame]) -> DataFrame:
     sum is nonnegative; ``psi_micro`` is one exact integer division.
     """
     split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
-    ev = t["events"].select(
+    # NULL values are excluded EXPLICITLY and out-of-range values clamp
+    # into the edge bins (standard PSI practice) — without the guard a
+    # NULL/negative value lands in a phantom bin that inflates the
+    # window totals while contributing no term
+    ev = t["events"].filter(F.col("value").isNotNull()).select(
         "event_type",
         F.least(
-            F.floor(F.col("value") / F.lit(DRIFT_BIN_WIDTH)),
+            F.greatest(F.floor(F.col("value") / F.lit(DRIFT_BIN_WIDTH)), F.lit(0)),
             F.lit(DRIFT_N_BINS - 1),
         ).alias("bin"),
         (F.col("ts") < split).cast("int").alias("is_ref"),
@@ -906,9 +910,10 @@ def _drift_nano_sql(cnt: str, total: str) -> str:
 DRIFT_PSI_SQL = f"""
 WITH ev AS (
   SELECT event_type,
-         LEAST(FLOOR(value / {DRIFT_BIN_WIDTH}), {DRIFT_N_BINS - 1}) AS bin,
+         LEAST(GREATEST(FLOOR(value / {DRIFT_BIN_WIDTH}), 0),
+               {DRIFT_N_BINS - 1}) AS bin,
          CAST(ts < TIMESTAMP '{DRIFT_SPLIT_TS}' AS INT) AS is_ref
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 counts AS (
   SELECT event_type, bin,
@@ -991,10 +996,11 @@ def ks_drift(t: dict[str, DataFrame]) -> DataFrame:
     would need the true ratio within ~1e-10 of a 0.5 micro boundary.
     """
     split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
-    ev = t["events"].select(
+    # same NULL-exclusion + edge-bin clamp guard as drift_psi
+    ev = t["events"].filter(F.col("value").isNotNull()).select(
         "event_type",
         F.least(
-            F.floor(F.col("value") / F.lit(KS_BIN_WIDTH)),
+            F.greatest(F.floor(F.col("value") / F.lit(KS_BIN_WIDTH)), F.lit(0)),
             F.lit(KS_N_BINS - 1),
         ).alias("bin"),
         (F.col("ts") < split).cast("int").alias("is_ref"),
@@ -1063,9 +1069,10 @@ def ks_drift(t: dict[str, DataFrame]) -> DataFrame:
 KS_DRIFT_SQL = f"""
 WITH ev AS (
   SELECT event_type,
-         LEAST(FLOOR(value / {KS_BIN_WIDTH}), {KS_N_BINS - 1}) AS bin,
+         LEAST(GREATEST(FLOOR(value / {KS_BIN_WIDTH}), 0),
+               {KS_N_BINS - 1}) AS bin,
          CAST(ts < TIMESTAMP '{DRIFT_SPLIT_TS}' AS INT) AS is_ref
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 counts AS (
   SELECT event_type, bin,

@@ -678,11 +678,16 @@ def drift_counts_stream(
 
     events = stream_events(spark, sf_dir)
     split = F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")
+    # same NULL-exclusion + edge-bin clamp as the batch operator, so the
+    # two stay bit-identical under any data
     counts = (
-        events.select(
+        events.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             F.least(
-                F.floor(F.col("value") / F.lit(DRIFT_BIN_WIDTH)),
+                F.greatest(
+                    F.floor(F.col("value") / F.lit(DRIFT_BIN_WIDTH)), F.lit(0)
+                ),
                 F.lit(DRIFT_N_BINS - 1),
             ).alias("bin"),
             (F.col("ts") < split).cast("int").alias("is_ref"),

@@ -386,7 +386,7 @@ def test_drift_psi_matches_python_recompute(tables):
     for r in tables["events"].select("event_type", "ts", "value").collect():
         if r.value is None:
             continue
-        b = min(int(math.floor(r.value / DRIFT_BIN_WIDTH)), DRIFT_N_BINS - 1)
+        b = min(max(int(math.floor(r.value / DRIFT_BIN_WIDTH)), 0), DRIFT_N_BINS - 1)
         (ref if r.ts < split else cur)[r.event_type][b] += 1
 
     def nano(cnt, total):
@@ -439,7 +439,7 @@ def test_ks_drift_matches_python_recompute(tables):
     for r in tables["events"].select("event_type", "ts", "value").collect():
         if r.value is None:
             continue
-        b = min(int(math.floor(r.value / KS_BIN_WIDTH)), KS_N_BINS - 1)
+        b = min(max(int(math.floor(r.value / KS_BIN_WIDTH)), 0), KS_N_BINS - 1)
         (ref if r.ts < split else cur)[r.event_type][b] += 1
 
     got = {r.event_type: r for r in ks_drift(tables).collect()}
