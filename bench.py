@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "streaming_drift_psi",
     "corpus_card",
+    "audio_chunking",
 ]
 
 

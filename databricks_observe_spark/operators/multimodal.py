@@ -223,6 +223,92 @@ FROM vids CROSS JOIN LATERAL (
 """
 
 
+SAMPLE_RATE = 16000  # synthesized audio metadata: fixed sample rate (Hz)
+CHUNK_MS = 5000  # fixed chunk length for the ASR/embedding pass
+CHUNK_OVERLAP_MS = 500  # trailing overlap so boundary speech isn't cut
+
+
+def audio_chunking(t: dict[str, DataFrame]) -> DataFrame:
+    """Chunking PLAN for audio blobs — the audio twin of
+    :func:`frame_sample`: which byte ranges an ASR/embedding pass should
+    decode, chosen from typed metadata alone, one row per (audio, chunk).
+
+    Chunks are fixed {CHUNK_MS} ms windows with {CHUNK_OVERLAP_MS} ms
+    trailing overlap (the standard segmentation in front of a
+    speech model so boundary words survive the cut); duration and sample
+    rate are synthesized deterministically from the blob length here and
+    would be ingest-carried columns in a real table. Byte offsets assume
+    16-bit mono PCM at SAMPLE_RATE — exact integer arithmetic end to
+    end. Pure JVM sequence/explode, no Python, no bytes touched; ONLY
+    the planned ranges ever reach a decoder, which is what makes 100 TB
+    of audio tractable.
+    """
+    auds = media_blobs(t).filter(F.col("media_type") == "audio/wav")
+    step = CHUNK_MS - CHUNK_OVERLAP_MS
+    meta = auds.select(
+        "doc_id",
+        F.length("blob").alias("n_bytes"),
+        ((F.length("blob") % 120 + 1) * 1000).alias("duration_ms"),
+    )
+    return (
+        meta.withColumn(
+            "start_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(step),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "duration_ms",
+            (F.col("start_ms") / F.lit(step)).cast("int").alias("chunk_idx"),
+            "start_ms",
+            F.least(
+                F.col("start_ms") + F.lit(CHUNK_MS), F.col("duration_ms")
+            ).alias("end_ms"),
+        )
+        .withColumn(
+            "byte_off",
+            (
+                F.col("start_ms").cast("bigint")
+                * F.lit(SAMPLE_RATE * 2)
+                / F.lit(1000)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "byte_len",
+            (
+                (F.col("end_ms") - F.col("start_ms")).cast("bigint")
+                * F.lit(SAMPLE_RATE * 2)
+                / F.lit(1000)
+            ).cast("bigint"),
+        )
+    )
+
+
+AUDIO_CHUNKING_SQL = f"""
+WITH auds AS (
+  SELECT doc_id,
+         (octet_length(encode(text)) % 120 + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id, duration_ms,
+       CAST(i.i / {CHUNK_MS - CHUNK_OVERLAP_MS} AS INT) AS chunk_idx,
+       i.i AS start_ms,
+       LEAST(i.i + {CHUNK_MS}, duration_ms) AS end_ms,
+       CAST(i.i * {SAMPLE_RATE * 2} / 1000 AS BIGINT) AS byte_off,
+       CAST((LEAST(i.i + {CHUNK_MS}, duration_ms) - i.i)
+            * {SAMPLE_RATE * 2} / 1000 AS BIGINT) AS byte_len
+FROM auds CROSS JOIN LATERAL (
+  SELECT unnest(range(0, GREATEST(duration_ms - 1, 0) + 1,
+                 {CHUNK_MS - CHUNK_OVERLAP_MS})) AS i
+) i
+"""
+
+
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 

@@ -371,6 +371,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     "media_features": (multimodal.media_features, multimodal.MEDIA_FEATURES_SQL),
     # frame-sampling plan from metadata alone (JVM-only, oracle-paired)
     "frame_sample": (multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
+    # audio twin of frame_sample: metadata-only chunk plan (fixed windows
+    # + trailing overlap, exact-integer PCM byte ranges, no Python)
+    "audio_chunking": (multimodal.audio_chunking, multimodal.AUDIO_CHUNKING_SQL),
     # Arrow resize plumbing; oracle recomputes the deterministic outputs
     "image_resize": (multimodal.image_resize, multimodal.IMAGE_RESIZE_SQL),
 }
@@ -570,6 +573,7 @@ _PRIORITY = [
     "tokenizer_fertility",
     "streaming_drift_psi",
     "corpus_card",
+    "audio_chunking",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

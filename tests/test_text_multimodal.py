@@ -942,3 +942,38 @@ def test_corpus_card_matches_python_recompute(tables):
     assert c.n_uniq_texts == uniq
     assert c.dup_bp == math.floor((len(docs) - uniq) * 10000.0 / len(docs) + 0.5)
     assert c.avg_tokens_r == math.floor(toks / len(docs) * 1e6 + 0.5) / 1e6
+
+
+def test_audio_chunking_plan_covers_every_ms_once_with_overlap(tables):
+    """Chunk plan invariants: full coverage of each audio's duration,
+    fixed step, exact trailing overlap, exact 16-bit PCM byte ranges —
+    and the plan stays JVM-only (no Python, no bytes touched)."""
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.multimodal import (
+        CHUNK_MS,
+        CHUNK_OVERLAP_MS,
+        SAMPLE_RATE,
+        audio_chunking,
+    )
+
+    step = CHUNK_MS - CHUNK_OVERLAP_MS
+    by_doc = defaultdict(list)
+    for r in audio_chunking(tables).collect():
+        by_doc[r.doc_id].append(r)
+    n_audio = tables["documents"].filter("doc_id % 3 = 1").count()
+    assert len(by_doc) == n_audio
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_idx)
+        dur = rs[0].duration_ms
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        assert rs[0].start_ms == 0
+        assert rs[-1].end_ms == dur  # coverage reaches the end exactly
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_ms - a.start_ms == step
+            if a.end_ms == a.start_ms + CHUNK_MS:  # full chunk
+                assert a.end_ms - b.start_ms == CHUNK_OVERLAP_MS
+        for r in rs:
+            assert 0 < r.end_ms - r.start_ms <= CHUNK_MS
+            assert r.byte_off == r.start_ms * SAMPLE_RATE * 2 // 1000
+            assert r.byte_len == (r.end_ms - r.start_ms) * SAMPLE_RATE * 2 // 1000
