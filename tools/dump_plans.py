@@ -461,6 +461,11 @@ COMMENTARY = {
         "digest; fusing the three COUNT(DISTINCT)s would plan an Expand "
         "multiplying the corpus scan (plan-gated)."
     ),
+    "audio_chunking": (
+        "Metadata-only chunk plan: one scan, one Generate (the chunk "
+        "sequence explode), exact integer PCM byte ranges — no Python, "
+        "no blob bytes move; only planned ranges reach a decoder."
+    ),
 }
 
 
