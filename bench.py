@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "streaming_drift_psi",
     "corpus_card",
     "audio_chunking",
+    "rate_anomaly",
 ]
 
 

@@ -1108,3 +1108,144 @@ SELECT event_type, n_ref, n_cur,
        END AS ks_micro
 FROM gaps GROUP BY event_type, n_ref, n_cur
 """
+
+
+# --- rolling-baseline rate anomaly -------------------------------------------
+
+RATE_BASELINE_HOURS = 24  # trailing window the hourly rate is judged against
+RATE_Z = 3  # alarm threshold in baseline standard deviations
+
+
+def rate_anomaly(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type hourly event-rate anomalies against a trailing
+    24-hour baseline — the classic volume alarm (|rate - mean| > 3
+    sigma over the previous day) an observability pipeline pages on;
+    the rolling companion to :func:`user_value_zscores`' global moments.
+
+    Empty hours COUNT: the hourly series is materialized on the full
+    (type x hour) grid before the trailing frame runs, so a silent feed
+    produces n=0 rows that both depress the baseline and can themselves
+    alarm — a present-rows-only window would simply never see the
+    outage. The grid is (types x hours-of-fixture)-sized: tiny, and
+    generated from the checkpointed hourly aggregate's own bounds.
+
+    Exactness at any scale: the z test is the cross-multiplied integer
+    form ``(n*W - S)^2 > Z^2 * (W*SS - S^2)`` — no sqrt, no division,
+    no floats — with every product in DECIMAL(38,0) (n is unbounded at
+    100 TB, so n^2 and SS overflow int64; decimal keeps the comparison
+    exact to 1e38 on both engines). Warm-up rows (fewer than
+    RATE_BASELINE_HOURS trailing hours) and zero-variance baselines
+    emit NULL, the same degenerate-moment convention as
+    user_value_zscores.
+    """
+    counts = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    bounds = counts.agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    filled = grid.join(counts, on=["event_type", "h"], how="left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).cast("decimal(18,0)").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-RATE_BASELINE_HOURS, -1)
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    scored = filled.select(
+        "event_type",
+        "h",
+        "n",
+        F.count(F.lit(1)).over(w).alias("base_cnt"),
+        F.coalesce(F.sum("n").over(w).cast("decimal(38,0)"), zero).alias(
+            "base_sum"
+        ),
+        F.coalesce(
+            F.sum(F.col("n") * F.col("n")).over(w).cast("decimal(38,0)"),
+            zero,
+        ).alias("base_sumsq"),
+    )
+    dev = (
+        F.col("n") * F.col("base_cnt") - F.col("base_sum")
+    ).cast("decimal(18,0)")
+    var_num = (
+        F.col("base_cnt") * F.col("base_sumsq")
+        - F.col("base_sum") * F.col("base_sum")
+    ).cast("decimal(38,0)")
+    return scored.select(
+        "event_type",
+        F.date_format("h", _TS_FMT).alias("window_start"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("base_cnt").cast("int").alias("base_cnt"),
+        F.col("base_sum").cast("bigint").alias("base_sum"),
+        F.when(
+            (F.col("base_cnt") == RATE_BASELINE_HOURS) & (var_num > 0),
+            (dev * dev > F.lit(RATE_Z * RATE_Z) * var_num).cast("int"),
+        ).alias("is_anomaly"),
+    )
+
+
+RATE_ANOMALY_SQL = f"""
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM counts),
+grid AS (
+  SELECT c.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM counts) c
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS h
+  ) g
+),
+filled AS (
+  SELECT g.event_type, g.h,
+         CAST(COALESCE(c.n, 0) AS DECIMAL(18,0)) AS n
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.h = c.h
+),
+scored AS (
+  SELECT event_type, h, n,
+         COUNT(*) OVER w AS base_cnt,
+         COALESCE(CAST(SUM(n) OVER w AS DECIMAL(38,0)),
+                  CAST(0 AS DECIMAL(38,0))) AS base_sum,
+         COALESCE(CAST(SUM(n * n) OVER w AS DECIMAL(38,0)),
+                  CAST(0 AS DECIMAL(38,0))) AS base_sumsq
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {RATE_BASELINE_HOURS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(h, '{_TS_FMT_DUCK}') AS window_start,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(base_cnt AS INT) AS base_cnt,
+       CAST(base_sum AS BIGINT) AS base_sum,
+       CASE WHEN base_cnt = {RATE_BASELINE_HOURS}
+                 AND base_cnt * base_sumsq - base_sum * base_sum > 0
+            THEN CAST(CAST(n * base_cnt - base_sum AS DECIMAL(18,0))
+                      * CAST(n * base_cnt - base_sum AS DECIMAL(18,0))
+                      > {RATE_Z * RATE_Z} * (base_cnt * base_sumsq
+                                             - base_sum * base_sum) AS INT)
+       END AS is_anomaly
+FROM scored
+"""

@@ -214,6 +214,9 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
     # two-sample Kolmogorov-Smirnov drift: max ECDF gap on a fixed fine
     # grid, pure-integer cross-product form (no smoothing, no ln sites)
     "ks_drift": (events.ks_drift, events.KS_DRIFT_SQL),
+    # trailing-24h rate alarm: grid-filled hourly series, decimal-exact
+    # cross-multiplied z^2 test (no sqrt/floats; empty hours count)
+    "rate_anomaly": (events.rate_anomaly, events.RATE_ANOMALY_SQL),
     # --- deduplication (extension surface: BASELINE.json north star) ---
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     # normalization-based near-exact dedup (the first rung of the ladder)
@@ -574,6 +577,7 @@ _PRIORITY = [
     "streaming_drift_psi",
     "corpus_card",
     "audio_chunking",
+    "rate_anomaly",
     # (d) round_half_up-changed, newest green row r05
     "chunk_dedup",
     "column_histograms",

@@ -872,3 +872,17 @@ def test_corpus_card_two_passes_no_expand(tables):
     assert expands <= 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rate_anomaly_window_runs_on_checkpointed_grid(tables):
+    from databricks_observe_spark.operators import events as E
+
+    plan = _plan(E.rate_anomaly(tables))
+    # the events scan collapsed into the checkpointed hourly aggregate;
+    # the grid fill, trailing frame, and z^2 test are (types x hours)
+    # work only
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -459,3 +459,61 @@ def test_ks_drift_matches_python_recompute(tables):
             float(d) * 1e6 / (float(n_ref) * float(n_cur)) + 0.5
         )
         assert 0 <= g.ks_micro <= 1000000
+
+
+def test_rate_anomaly_matches_python_recompute(tables):
+    """Exact replay of the grid-filled trailing-baseline z^2 test —
+    including the empty-hour fill, the warm-up NULL convention, and the
+    integer cross-multiplied comparison."""
+    import datetime
+    from collections import defaultdict
+
+    from databricks_observe_spark.operators.events import (
+        RATE_BASELINE_HOURS,
+        RATE_Z,
+        rate_anomaly,
+    )
+
+    counts = defaultdict(lambda: defaultdict(int))
+    hours = []
+    for r in tables["events"].select("event_type", "ts").collect():
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        counts[r.event_type][h] += 1
+        hours.append(h)
+    h_min, h_max = min(hours), max(hours)
+    all_hours = []
+    h = h_min
+    while h <= h_max:
+        all_hours.append(h)
+        h += datetime.timedelta(hours=1)
+
+    got = {
+        (r.event_type, r.window_start): r for r in rate_anomaly(tables).collect()
+    }
+    assert len(got) == len(counts) * len(all_hours)
+    n_flagged = n_null = 0
+    for et, by_h in counts.items():
+        series = [by_h.get(h, 0) for h in all_hours]
+        for i, h in enumerate(all_hours):
+            key = (et, h.strftime("%Y-%m-%d %H:%M:%S.%f"))
+            r = got[key]
+            assert r.n_events == series[i]
+            base = series[max(i - RATE_BASELINE_HOURS, 0) : i]
+            assert r.base_cnt == len(base)
+            assert r.base_sum == sum(base)
+            if len(base) < RATE_BASELINE_HOURS:
+                assert r.is_anomaly is None  # warm-up convention
+                n_null += 1
+                continue
+            w, s, ss = len(base), sum(base), sum(x * x for x in base)
+            var_num = w * ss - s * s
+            if var_num == 0:
+                assert r.is_anomaly is None
+                n_null += 1
+                continue
+            dev = series[i] * w - s
+            assert r.is_anomaly == int(dev * dev > RATE_Z * RATE_Z * var_num)
+            n_flagged += r.is_anomaly
+    assert n_null > 0  # the fixture always has warm-up rows
+    # scored rows dominate: the alarm is live on virtually the whole grid
+    assert len(got) - n_null > len(got) // 2

@@ -466,6 +466,13 @@ COMMENTARY = {
         "sequence explode), exact integer PCM byte ranges — no Python, "
         "no blob bytes move; only planned ranges reach a decoder."
     ),
+    "rate_anomaly": (
+        "The events scan collapses in the checkpointed hourly "
+        "aggregate; the (types x hours) grid fill, the trailing-24h "
+        "frame, and the decimal-exact cross-multiplied z^2 test all "
+        "run on that tiny frame — empty hours are materialized so a "
+        "silent feed can alarm."
+    ),
 }
 
 
