@@ -510,7 +510,11 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # term quantization, streaming_sessionize, curation_pipeline_e2e,
 # kmeans_assign, mixture_weights).
 #
-# ROUND-8 ROTATION DEBT (assuming the ~50 rows below go green in r07):
+# ROUND-8 ROTATION DEBT (assuming the first ~50 rows below go green in
+# r07 — note the sixteen (c)-block queries NEW this round push blocks
+# (d)/(e) past the observed ~50-row driver cap, so those rows rely on
+# the committed ORACLE_LOCAL_r07.log for r07 evidence and should ALSO
+# be considered for r08's head):
 # the 33 r05-green rows NOT refreshed here head r08's _PRIORITY —
 # ann_recall, asset_specs, balance_percent_rank, bpe_pair_counts,
 # compaction_plan, curated_corpus, dedup_retention, describe_detail,
