@@ -173,16 +173,37 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "setup_sec": setup_sec,
         "setup": setup_built,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     print(json.dumps(out))
+    # LAST stdout line = a compact (<1 kB) machine-readable summary. The
+    # driver archives only the final ~2 kB of stdout and parses the last
+    # line; the full per-query map above overflows that window (BENCH_r07
+    # recorded parsed=null), so the authoritative totals repeat here in a
+    # line that always fits. `ex_kmeans_sec` excludes the one row whose
+    # DuckDB oracle is variance-prone (see BASELINE.md's dual ratios).
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "setup_sec": setup_sec,
+        "ex_kmeans_sec": round(total - timings.get("kmeans_clusters", 0.0), 3),
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        ),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -901,9 +901,15 @@ def psi_from_counts(counts: DataFrame) -> DataFrame:
 
 
 def _drift_nano_sql(cnt: str, total: str) -> str:
+    # CAST(... AS BIGINT): DuckDB's FLOOR/GREATEST return DOUBLE, and the
+    # terms CTE multiplies this nano-share by the micro-ln factor — for a
+    # fully-drifted type diff_nano*lr_micro can reach ~2.1e16 > 2^53, where
+    # a DOUBLE product rounds while Spark's int64 product stays exact.
+    # Casting each factor keeps the oracle's arithmetic in exact BIGINT,
+    # matching Spark's integer pipeline at any drift magnitude.
     return (
-        f"GREATEST(FLOOR(({cnt} + 1) / CAST({total} + {DRIFT_N_BINS} AS DOUBLE)"
-        f" * 1000000000.0 + 0.5), 1)"
+        f"CAST(GREATEST(FLOOR(({cnt} + 1) / CAST({total} + {DRIFT_N_BINS} AS DOUBLE)"
+        f" * 1000000000.0 + 0.5), 1) AS BIGINT)"
     )
 
 
@@ -941,11 +947,11 @@ filled AS (
 ),
 terms AS (
   SELECT event_type, ref_n, cur_n,
-         CAST(({_drift_nano_sql('ref_n', 'ref_total')}
-               - {_drift_nano_sql('cur_n', 'cur_total')})
-              * (FLOOR(ln({_drift_nano_sql('ref_n', 'ref_total')}) * 1000000.0 + 0.5)
-                 - FLOOR(ln({_drift_nano_sql('cur_n', 'cur_total')}) * 1000000.0 + 0.5))
-              AS BIGINT) AS term_femto
+         ({_drift_nano_sql('ref_n', 'ref_total')}
+          - {_drift_nano_sql('cur_n', 'cur_total')})
+         * (CAST(FLOOR(ln({_drift_nano_sql('ref_n', 'ref_total')}) * 1000000.0 + 0.5) AS BIGINT)
+            - CAST(FLOOR(ln({_drift_nano_sql('cur_n', 'cur_total')}) * 1000000.0 + 0.5) AS BIGINT))
+         AS term_femto
   FROM filled
 )
 SELECT event_type,

@@ -494,117 +494,100 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
 # the first ~50 registry entries (budget cutoff observed every round), so
-# order = verification priority. Round-7 plan, per the freshness rule (no
-# query's newest green driver row may age past two rounds):
-# (a) the smoke anchor; (b) the THIRTY-THREE queries whose newest green
-# driver row is r04 (the 32 named in the round-6 verdict plus
-# approx_user_counts, the rows-only sketch row from the same cohort) —
-# the mandatory head; (c) queries NEW this round (appended as built);
-# (d) queries whose CODE or ORACLE changed in the round-7 round_half_up
-# hardening AND whose newest green row is r05 (chunk_dedup,
-# column_histograms, contamination_check, embedding_near_dup,
-# embedding_near_dup_lsh, percentile_sketch_accuracy, semantic_dedup,
-# skew_report, user_count_accuracy — the r06-green changed rows age a
-# round later and take the r08 head instead); (e) the most structurally
-# changed r06-green rows that fit under the cap (unigram_kl's pico-unit
-# term quantization, streaming_sessionize, curation_pipeline_e2e,
-# kmeans_assign, mixture_weights).
+# order = verification priority. Round-8 plan, per the freshness rule (no
+# query's newest green driver row may age past two rounds) and the
+# round-7 verdict's explicit rotation directive:
+# (a) the smoke anchor; (b) `score_auc` — the ONLY red r07 driver row
+# (hash FAIL recorded before the round-7 round_half_up hardening commits;
+# it passes tools/check_oracle.py bit-for-bit at HEAD, so the fix needs a
+# green DRIVER row, not code); (c) the THIRTY-THREE queries whose newest
+# green driver row is r05 (the verdict-enumerated cohort); (d) the
+# round-7-changed rows whose newest green row is r06 (quality_filter,
+# repetition_signals, sequence_packing, vocab_coverage, length_outliers);
+# (e) rows whose CODE or ORACLE changed THIS round — the drift oracle's
+# BIGINT-cast hardening (drift_psi, streaming_drift_psi — hash-neutral on
+# fixtures but the oracle text changed) and the two composite-floor perf
+# reworks (lineage_closure_deep, observability_report); (f) queries NEW
+# this round (capped at ~2-3 per the verdict's freshness-before-breadth
+# budget). `approx_user_counts` moves to the very TAIL of the full
+# ordering (see _ordered_names): its row is permanently `no_oracle`
+# (engine-specific HLL sketch values — rows-only by design) and must not
+# burn a head-of-rotation slot again.
 #
-# ROUND-8 ROTATION DEBT (assuming the first ~50 rows below go green in
-# r07 — note the sixteen (c)-block queries NEW this round push blocks
-# (d)/(e) past the observed ~50-row driver cap, so those rows rely on
-# the committed ORACLE_LOCAL_r07.log for r07 evidence and should ALSO
-# be considered for r08's head):
-# the 33 r05-green rows NOT refreshed here head r08's _PRIORITY —
-# ann_recall, asset_specs, balance_percent_rank, bpe_pair_counts,
-# compaction_plan, curated_corpus, dedup_retention, describe_detail,
-# epoch_shuffle, event_dedup_windowed, event_type_pivot,
-# event_type_stats, expectations_report, funnel_conversion,
-# fuzzy_match_probe, incremental_dedup, incremental_pricing_summary,
-# int8_quantize, latest_update_per_entity, lineage_closure,
-# merge_upsert, near_dup_clusters, ngram_jaccard_pairs,
-# ngram_jaccard_pairs_capped, per_source_dedup_rate, retention_cohorts,
-# run_output_lookup, scd2_history, sensor_cursor_roundtrip,
-# simhash_near_dup_pairs, table_files_meta, topo_levels, zorder_key —
-# plus the round-7-changed r06-green rows (quality_filter,
-# repetition_signals, sequence_packing, vocab_coverage, length_outliers,
-# order-of-round()-hardening cohort) and r08's own new/changed queries.
+# Expected r08 head usage: 1+1+33+5+4+3 = 47 rows, ~3 under the observed
+# cap, so every green-row-older-than-two-rounds violation clears this
+# round. ROUND-9 ROTATION DEBT: the 49 queries whose newest green row is
+# r06 (the round-6 cohort: quality gates, multimodal, relational r5b,
+# streaming harnesses 1-5, catalog walk — see CORRECTNESS_r06.json keys
+# minus rows refreshed here) age to the freshness boundary in r09 and
+# should head r09's _PRIORITY, again capping new queries at ~5.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) r04-stale — mandatory refresh this round
-    "tumbling_hourly",
-    "first_completed",
-    "state_transitions",
-    "user_sessions",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "asof_last_error_before_purchase",
-    "deterministic_sample",
-    "dormant_customers",
-    "events_cube",
-    "exact_dedup",
-    "hash_split",
-    "high_value_events",
-    "ivf_ann_topk",
-    "kmeans_clusters",
-    "local_supplier_revenue",
-    "lsh_bucket_stats",
-    "media_features",
-    "minhash_lsh_pairs",
-    "nation_market_share",
-    "order_priority_rollup",
-    "order_value_percentiles",
-    "returned_item_revenue",
-    "segment_order_stats",
-    "signup_purchase_window",
-    "simhash_fingerprints",
-    "sliding_daily",
-    "text_stats",
-    "tfidf_keywords",
-    "top_balance_per_nation",
-    "urgent_order_customers",
-    "user_value_zscores",
-    "approx_user_counts",
-    # (c) new this round — first driver rows
-    "bpe_apply_merges",
-    "mixture_weights_temperature",
-    "perplexity_buckets",
-    "dsir_importance_weights",
-    "ngram_diversity",
-    "drift_psi",
-    "ks_drift",
-    "unimax_allocation",
+    # (b) the red r07 row — first, per the verdict
     "score_auc",
-    "source_overlap_matrix",
-    "score_calibration",
-    "tokenizer_fertility",
+    # (c) r05-stale — mandatory refresh this round
+    "ann_recall",
+    "asset_specs",
+    "balance_percent_rank",
+    "bpe_pair_counts",
+    "compaction_plan",
+    "curated_corpus",
+    "dedup_retention",
+    "describe_detail",
+    "epoch_shuffle",
+    "event_dedup_windowed",
+    "event_type_pivot",
+    "event_type_stats",
+    "expectations_report",
+    "funnel_conversion",
+    "fuzzy_match_probe",
+    "incremental_dedup",
+    "incremental_pricing_summary",
+    "int8_quantize",
+    "latest_update_per_entity",
+    "lineage_closure",
+    "merge_upsert",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
+    "per_source_dedup_rate",
+    "retention_cohorts",
+    "run_output_lookup",
+    "scd2_history",
+    "sensor_cursor_roundtrip",
+    "simhash_near_dup_pairs",
+    "table_files_meta",
+    "topo_levels",
+    "zorder_key",
+    # (d) round-7-changed, newest green row r06
+    "quality_filter",
+    "repetition_signals",
+    "sequence_packing",
+    "vocab_coverage",
+    "length_outliers",
+    # (e) changed THIS round (oracle hardening / perf rework)
+    "drift_psi",
     "streaming_drift_psi",
-    "corpus_card",
-    "audio_chunking",
-    "rate_anomaly",
-    # (d) round_half_up-changed, newest green row r05
-    "chunk_dedup",
-    "column_histograms",
-    "contamination_check",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "percentile_sketch_accuracy",
-    "semantic_dedup",
-    "skew_report",
-    "user_count_accuracy",
-    # (e) most structurally changed r06-green rows
-    "unigram_kl",
-    "streaming_sessionize",
-    "curation_pipeline_e2e",
-    "kmeans_assign",
-    "mixture_weights",
+    "lineage_closure_deep",
+    "observability_report",
+    # (f) new this round — first driver rows
+    "url_canonical_dedup",
+    "bloom_contamination_check",
 ]
+
+
+# Permanently `no_oracle` rows (engine-specific sketch values, rows-only
+# by design) — pinned to the very tail so they never consume one of the
+# driver's ~50 hash-checkable CORRECTNESS slots (they burned a head slot
+# in r04 and r07).
+_TAIL = ["approx_user_counts"]
 
 
 def _ordered_names() -> list[str]:
     all_names = list(_REGISTRY) + list(_LIVE_QUERIES) + list(_STREAMING_QUERIES)
-    rest = [n for n in all_names if n not in _PRIORITY]
-    return _PRIORITY + rest
+    head = [n for n in _PRIORITY if n in all_names and n not in _TAIL]
+    rest = [n for n in all_names if n not in _PRIORITY and n not in _TAIL]
+    return head + rest + [n for n in _TAIL if n in all_names]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

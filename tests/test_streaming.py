@@ -307,4 +307,10 @@ def test_streaming_drift_psi_matches_batch_and_recovers_state(spark, tables):
     # mode) or emits nothing if the no-op batch is skipped — either way
     # it must never double-count
     assert second == first or second == set()
-    assert sum(r[2] + r[3] for r in first) == tables["events"].count()
+    # the drift operators exclude NULL values by contract, so the state's
+    # total must match the non-NULL event count (not the raw row count —
+    # the raw form silently assumes a NULL-free fixture)
+    assert (
+        sum(r[2] + r[3] for r in first)
+        == tables["events"].filter(F.col("value").isNotNull()).count()
+    )
