@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "corpus_card",
     "audio_chunking",
     "rate_anomaly",
+    "url_canonical_dedup",
+    "bloom_contamination_check",
 ]
 
 

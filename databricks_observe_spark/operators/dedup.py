@@ -1172,6 +1172,177 @@ FROM hits JOIN sizes USING (doc_id)
 """
 
 
+# --- Bloom-filter decontamination (the 100-TB form of the eval anti-set) ----
+
+# published filter geometry (a contract, like DRIFT_BIN_WIDTH): m = 2^20
+# bits = 128 KiB regardless of eval-set size; k = 3 independent hash
+# functions derived as disjoint salted-md5 slices (same
+# independent-bits-of-a-cryptographic-hash stance as minhash_expr)
+BLOOM_M_BITS = 1 << 20
+_BLOOM_WORDS = BLOOM_M_BITS // 64
+_BLOOM_TAGS = ("#0", "#1", "#2")
+# 2^i masks as int64 literals; i = 63 wraps to the sign bit in two's
+# complement (Python's 1 << 63 overflows a signed long literal)
+_POW2 = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _bloom_bit(scol: F.Column, tag: str) -> F.Column:
+    """Bit position of hash function ``tag`` for one shingle: first 13 hex
+    chars (52 bits) of the salted md5, mod m — the repo's cross-engine
+    hash idiom (DuckDB twin: ``('0x' || substr(md5(s || tag), 1, 13))::
+    BIGINT % m``)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(scol, F.lit(tag))), 1, 13), 16, 10)
+        .cast("bigint")
+        % BLOOM_M_BITS
+    )
+
+
+def _bloom_filter_words(t: dict[str, DataFrame]) -> list[int]:
+    """Memoized eval-set Bloom bitmap: ``_BLOOM_WORDS`` int64 words built
+    from :func:`_contam_eval_set` with ONE distinct-bits pass and a
+    ``bit_or`` aggregate — ≤16384 (word, bits) rows ever reach the driver,
+    a constant bounded by the filter geometry, never by the eval-set or
+    corpus size (the house bounded-collect policy)."""
+    if "_bloom_words" not in t:
+        ev = _contam_eval_set(t)
+        bits = ev.select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col("s"), tag) for tag in _BLOOM_TAGS])
+            ).alias("bit")
+        ).distinct()
+        pow2 = F.lit(_POW2)
+        rows = (
+            bits.select(
+                F.floor(F.col("bit") / 64).cast("int").alias("w"),
+                F.get(pow2, (F.col("bit") % 64).cast("int")).alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("m").alias("word"))
+            .collect()
+        )
+        words = [0] * _BLOOM_WORDS
+        for r in rows:
+            words[r["w"]] = r["word"]
+        t["_bloom_words"] = words
+    return t["_bloom_words"]
+
+
+def _bloom_filter_df(t: dict[str, DataFrame]) -> DataFrame:
+    """The built filter as a ONE-ROW relation ``(bm array<bigint>,
+    p2 array<bigint>)`` — Spark's idiomatic scalar channel for shipping a
+    constant blob to every task is a one-row broadcast (the same shape
+    its own runtime Bloom row-filters use via scalar subquery), NOT an
+    array literal: ``F.lit(words)`` expands to a CreateArray with 16384
+    child expressions, and with six references in the probe tree the
+    optimizer crawls ~100k expression nodes per pass — measured 6.8x
+    slower end-to-end than this broadcast form on the sf0.1 probe."""
+    if "_bloom_filter_df" not in t:
+        spark = t["documents"].sparkSession
+        t["_bloom_filter_df"] = spark.createDataFrame(
+            [(_bloom_filter_words(t), _POW2)],
+            "bm array<bigint>, p2 array<bigint>",
+        ).localCheckpoint()
+    return t["_bloom_filter_df"]
+
+
+def bloom_contamination_check(t: dict[str, DataFrame]) -> DataFrame:
+    """Bloom-filter decontamination — the 100-TB form of
+    :func:`contamination_check`'s broadcast eval-gram anti-set (and of the
+    broadcast id-set anti-join in ``operators/pipeline.py`` stage 4): the
+    held-out eval grams compress into a FIXED 128 KiB bitmap (m = 2^20
+    bits, k = 3 salted-md5 hashes), so the probe side pays three hashes
+    and two array lookups per gram with no gram-keyed join at all — at a
+    scale where the eval set itself is too large to broadcast as a join
+    table, the filter still ships to every executor as a 128 KiB one-row
+    broadcast. One-sided error is the contract: no contaminated gram is
+    ever missed; false-positive flags (~(1-e^(-kn/m))^k) mark docs for
+    the exact re-check, which is why the report column is named
+    ``n_bloom_hits``, not ``n_overlap``.
+
+    Cross-engine determinism: bit positions are salted-md5 slices (the
+    minhash_expr idiom), so the DuckDB oracle reproduces the EXACT same
+    filter — including its false positives — via set-membership over the
+    same bit values; the hash match proves the Bloom semantics, not just
+    the happy path. Steady-state plan: the one-row broadcast fans onto
+    the memoized setup-phase gram index (BroadcastNestedLoopJoin against
+    a single row = a per-task constant, no shuffle), then ONE map-side-
+    combined per-doc aggregate — nothing gram- or eval-sized ever joins
+    or shuffles.
+    """
+    sh = _contam_grams(t)
+    probe = sh.filter(F.col("doc_id") % EVAL_MOD != 0).crossJoin(
+        F.broadcast(_bloom_filter_df(t))
+    )
+
+    def _member(bit: F.Column) -> F.Column:
+        word = F.get(F.col("bm"), F.floor(bit / 64).cast("int"))
+        mask = F.get(F.col("p2"), (bit % 64).cast("int"))
+        return word.bitwiseAND(mask) != 0
+
+    hit = (
+        _member(_bloom_bit(F.col("s"), _BLOOM_TAGS[0]))
+        & _member(_bloom_bit(F.col("s"), _BLOOM_TAGS[1]))
+        & _member(_bloom_bit(F.col("s"), _BLOOM_TAGS[2]))
+    )
+    return (
+        probe.select("doc_id", hit.cast("int").alias("hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("hit").alias("n_bloom_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            F.floor(
+                F.col("n_bloom_hits") * F.lit(10000.0) / F.col("n_shingles")
+                + F.lit(0.5)
+            ).alias("bloom_bp"),
+        )
+    )
+
+
+def _bloom_bit_sql(scol: str, tag: str) -> str:
+    """DuckDB twin of :func:`_bloom_bit`."""
+    return f"('0x' || substr(md5({scol} || '{tag}'), 1, 13))::BIGINT % {BLOOM_M_BITS}"
+
+
+BLOOM_CONTAMINATION_CHECK_SQL = f"""
+WITH sh AS ({shingled_sql(CONTAM_K)}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+evbits AS (
+  SELECT {_bloom_bit_sql('shingle', _BLOOM_TAGS[0])} AS bit FROM ev
+  UNION SELECT {_bloom_bit_sql('shingle', _BLOOM_TAGS[1])} FROM ev
+  UNION SELECT {_bloom_bit_sql('shingle', _BLOOM_TAGS[2])} FROM ev
+),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+probe AS (
+  SELECT shingle,
+         {_bloom_bit_sql('shingle', _BLOOM_TAGS[0])} AS b0,
+         {_bloom_bit_sql('shingle', _BLOOM_TAGS[1])} AS b1,
+         {_bloom_bit_sql('shingle', _BLOOM_TAGS[2])} AS b2
+  FROM (SELECT DISTINCT shingle FROM train)
+),
+flag AS (
+  SELECT shingle,
+         CASE WHEN b0 IN (SELECT bit FROM evbits)
+               AND b1 IN (SELECT bit FROM evbits)
+               AND b2 IN (SELECT bit FROM evbits) THEN 1 ELSE 0 END AS hit
+  FROM probe
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(f.hit) AS BIGINT) AS n_bloom_hits,
+       CAST(FLOOR(SUM(f.hit) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS bloom_bp
+FROM train t JOIN flag f USING (shingle)
+GROUP BY t.doc_id
+HAVING SUM(f.hit) > 0
+"""
+
+
 INCR_BATCH_MOD = 10  # doc_id % 10 == 9 -> the "newly ingested" batch
 
 
@@ -1264,6 +1435,189 @@ SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_ha
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_variants
 FROM documents
+GROUP BY 1
+"""
+
+
+# --- URL canonicalization dedup (rung 0 of the web-corpus dedup ladder) ------
+
+# canonical-identity moduli: two docs share a canonical URL iff they share
+# (source, lang, doc_id % PAGE_MOD, doc_id % REF_MOD); the surface-form
+# mess (case, ports, slashes, param order, tracking params, fragments) is
+# driven off n_chars so the SAME canonical page arrives under DIFFERENT
+# raw spellings — the exact situation URL canonicalization exists for.
+# Chosen against the fixture's source=doc_id%20 layout so refetches exist
+# at EVERY sf (50/7 made every URL unique below sf0.1): ~53% of fetches
+# are refetches of an already-seen canonical URL, at all three SFs.
+URL_PAGE_MOD = 10
+URL_REF_MOD = 3
+
+# deterministic messy-URL derivation (fixture plumbing, NOT the operator:
+# the corpus has no URL column, so both engines derive an identical raw
+# `url` from (doc_id, source, lang, n_chars) — same stance as the
+# multimodal fake-format path, which is likewise hash-checked end to end)
+_MESSY_URL_SQL = f"""
+  SELECT doc_id,
+         (CASE WHEN n_chars % 4 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+         || (CASE WHEN n_chars % 3 = 0 THEN 'WWW.' || upper(source || '.example.com')
+                  ELSE source || '.example.com' END)
+         || (CASE WHEN n_chars % 5 = 0 THEN ':443'
+                  WHEN n_chars % 5 = 1 THEN ':8080' ELSE '' END)
+         || '/docs' || (CASE WHEN n_chars % 6 = 0 THEN '//' ELSE '/' END)
+         || lang || '/page-' || CAST(doc_id % {URL_PAGE_MOD} AS VARCHAR)
+         || (CASE WHEN n_chars % 2 = 0 THEN '/' ELSE '' END)
+         || '?'
+         || (CASE WHEN n_chars % 2 = 0
+                  THEN 'ref=' || CAST(doc_id % {URL_REF_MOD} AS VARCHAR) || '&v=2'
+                  ELSE 'v=2&ref=' || CAST(doc_id % {URL_REF_MOD} AS VARCHAR) END)
+         || (CASE WHEN n_chars % 3 = 1 THEN '&utm_source=feed&utm_medium=rss' ELSE '' END)
+         || (CASE WHEN n_chars % 3 = 2 THEN '#sec-1' ELSE '' END) AS url
+  FROM documents
+"""
+
+
+def _messy_url_col() -> F.Column:
+    """Spark twin of ``_MESSY_URL_SQL``'s ``url`` expression."""
+    page = (F.col("doc_id") % URL_PAGE_MOD).cast("string")
+    ref = (F.col("doc_id") % URL_REF_MOD).cast("string")
+    m2, m3 = F.col("n_chars") % 2, F.col("n_chars") % 3
+    m4, m5, m6 = F.col("n_chars") % 4, F.col("n_chars") % 5, F.col("n_chars") % 6
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    return F.concat(
+        F.when(m4 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(m3 == 0, F.concat(F.lit("WWW."), F.upper(host))).otherwise(host),
+        F.when(m5 == 0, F.lit(":443"))
+        .when(m5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/docs"),
+        F.when(m6 == 0, F.lit("//")).otherwise(F.lit("/")),
+        F.col("lang"),
+        F.lit("/page-"),
+        page,
+        F.when(m2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(m2 == 0, F.concat(F.lit("ref="), ref, F.lit("&v=2"))).otherwise(
+            F.concat(F.lit("v=2&ref="), ref)
+        ),
+        F.when(m3 == 1, F.lit("&utm_source=feed&utm_medium=rss")).otherwise(
+            F.lit("")
+        ),
+        F.when(m3 == 2, F.lit("#sec-1")).otherwise(F.lit("")),
+    )
+
+
+# tracking params stripped by the canonicalizer (the industry-standard
+# click-attribution noise set; extend per crawl source)
+_URL_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonical_url_expr(url: F.Column) -> F.Column:
+    """RFC-3986-shaped URL canonicalization entirely in whole-stage-codegen
+    string expressions (zero UDFs): lowercase scheme+host, strip a ``www.``
+    host prefix and the scheme's default port, collapse duplicate path
+    slashes and the trailing slash, drop tracking query params
+    (``utm_*``/``fbclid``/``gclid``), sort the surviving params, drop the
+    fragment. The crawl-dedup rung BEFORE content hashing: two fetches of
+    the same page under different URL spellings never reach the text
+    deduper (reference-shaped anchor: the format-normalization CASE at
+    dagster_databricks_observer/assets/dlt_assets.py:114-119 — same
+    "canonicalize the surface form before keying" move, applied to URLs).
+
+    Every step is a regexp/array built-in, so Catalyst keeps the whole
+    chain in one codegen stage; the per-URL param lists are tiny and
+    bounded, and ``rlike`` inside the higher-order ``filter`` lambda stays
+    JVM-side.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, "/{2,}", "/"), "/$", "")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    qcanon = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def url_canonical_dedup(t: dict[str, DataFrame]) -> DataFrame:
+    """URL-canonicalization dedup — the missing FIRST rung of the dedup
+    ladder for a web corpus (before :func:`normalized_dedup`'s content
+    normalization and :func:`exact_dedup`'s raw hashing): collapse every
+    raw URL spelling to its canonical form, then keep the first fetch per
+    canonical URL. ``n_variants > 1`` rows are refetches a crawler should
+    never have handed to the content pipeline.
+
+    Scale shape: identical to the other ladder rungs — ONE projection
+    (the codegen canonicalization chain) feeding ONE shuffle keyed on the
+    canonical URL string (bounded length by construction; at 100 TB the
+    groupBy key would be ``md5(canonical_url)`` to fix the shuffle width
+    at 16 bytes, kept as the readable string here because the canonical
+    form IS the report column).
+    """
+    canon = canonical_url_expr(_messy_url_col())
+    return (
+        t["documents"]
+        .select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+URL_CANONICAL_DEDUP_SQL = f"""
+WITH raw AS ({_MESSY_URL_SQL}),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(path0, '/{{2,}}', '/', 'g'), '/$', '') AS path,
+         array_to_string(list_sort(list_filter(string_split(query0, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))), '&') AS qcanon
+  FROM parts
+)
+SELECT scheme || '://' || host
+       || CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                              AND NOT (scheme = 'http' AND port = '80')
+               THEN ':' || port ELSE '' END
+       || path
+       || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS canonical_url,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_variants
+FROM norm
 GROUP BY 1
 """
 

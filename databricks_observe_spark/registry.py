@@ -281,6 +281,18 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         dedup.contamination_check,
         dedup.CONTAMINATION_CHECK_SQL,
     ),
+    # r8: the 100-TB Bloom-bitmap form of the eval anti-set — the oracle
+    # reproduces the filter's false positives exactly (salted-md5 bits)
+    "bloom_contamination_check": (
+        dedup.bloom_contamination_check,
+        dedup.BLOOM_CONTAMINATION_CHECK_SQL,
+    ),
+    # r8: rung 0 of the web-corpus dedup ladder — canonicalize the URL
+    # surface form before any content hashing
+    "url_canonical_dedup": (
+        dedup.url_canonical_dedup,
+        dedup.URL_CANONICAL_DEDUP_SQL,
+    ),
     # --- similarity search ---
     "ann_bruteforce_topk": (
         similarity.ann_bruteforce_topk,

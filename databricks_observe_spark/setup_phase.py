@@ -22,6 +22,7 @@ SETUP_INDEX_NAMES = [
     "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
     "langid_trained_profiles", "jaccard_pairs_capped", "hist_value_agg",
     "contam_gram_index", "contam_eval_set", "dsir_score_table",
+    "bloom_eval_bitmap",
 ]
 
 
@@ -35,6 +36,7 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _hist_vals,
     )
     from databricks_observe_spark.operators.dedup import (
+        _bloom_filter_df,
         _cluster_labels,
         _contam_eval_set,
         _contam_grams,
@@ -70,7 +72,7 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _centroids_bc, _query_set_bc, _ivf_assigned, _quantized,
         _cluster_labels, _file_stats, _semdedup_assigned,
         ngram_jaccard_pairs_capped, _hist_vals, _contam_grams,
-        _contam_eval_set, _dsir_scores,
+        _contam_eval_set, _dsir_scores, _bloom_filter_df,
     ):
         build(ctx)
 

@@ -886,3 +886,39 @@ def test_rate_anomaly_window_runs_on_checkpointed_grid(tables):
     assert plan.count("Window") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonical_dedup_single_exchange_no_python(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.url_canonical_dedup(tables))
+    # rung 0 of the dedup ladder: one codegen projection, one aggregate
+    # exchange on the canonical key — no joins, nothing leaves the JVM
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_bloom_contamination_has_no_gram_keyed_join(tables):
+    from databricks_observe_spark.operators import dedup as D
+    import re as _re
+
+    plan = _plan(D.bloom_contamination_check(tables))
+    # the whole point vs contamination_check: the eval set ships as a
+    # fixed 128 KiB ONE-ROW broadcast (BroadcastNestedLoopJoin against a
+    # single row = a per-task constant), so nothing gram- or eval-SIZED
+    # ever joins or shuffles — three hashes + two array lookups per gram,
+    # then the one map-side-combined per-doc aggregate exchange
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no keyed join side at all
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the one-row fan
+    assert "EvalPython" not in plan
+    keys = {
+        m.split(",")[0].split("#")[0]
+        for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"doc_id"}, keys
+    assert "partial_sum" in plan
