@@ -473,6 +473,19 @@ COMMENTARY = {
         "run on that tiny frame — empty hours are materialized so a "
         "silent feed can alarm."
     ),
+    "url_canonical_dedup": (
+        "Rung 0 of the dedup ladder: the whole canonicalization chain "
+        "(regexp parses, param filter+sort, recompose) is ONE codegen "
+        "projection; the only exchange is the aggregate on the "
+        "canonical key. No joins, nothing leaves the JVM (plan-gated)."
+    ),
+    "bloom_contamination_check": (
+        "The eval anti-set ships as a fixed 128 KiB ONE-ROW broadcast "
+        "(BroadcastNestedLoopJoin against a single row = a per-task "
+        "constant), so the gram probe has no keyed join at all — three "
+        "salted-md5 bits + two array lookups per gram, then the one "
+        "map-side-combined per-doc aggregate (plan-gated)."
+    ),
 }
 
 
