@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "rate_anomaly",
     "url_canonical_dedup",
     "bloom_contamination_check",
+    "url_host_stats",
+    "dedup_threshold_sweep",
 ]
 
 

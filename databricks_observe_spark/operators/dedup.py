@@ -206,6 +206,93 @@ inter AS (
 """
 
 
+def dedup_threshold_sweep(t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup threshold sensitivity report — for each candidate Jaccard
+    cutoff on a 0.50..0.95 basis-point grid, how many pairs would be
+    flagged and how many documents are touched: the tuning run a pipeline
+    does BEFORE committing a dedup policy (too low melts distinct
+    documents together, too high leaves boilerplate; the knee of this
+    curve is where the policy goes). Reads the memoized exact pair table
+    (:func:`ngram_jaccard_pairs` — a written stage output at scale).
+
+    Exactness: the pair table's ``jaccard`` is a double ratio of exact
+    integers (bit-identical cross-engine), so ``bp = floor(j*10000+0.5)``
+    is an exact integer on both engines and every threshold compare is
+    integer-vs-integer. Scale shape: TWO pair-table-sized aggregates
+    (pair buckets; per-doc max via one union) collapse everything onto
+    <= 21-row bucket frames, then the 10-row grid theta-joins those
+    constant frames — the sweep never rescans the corpus and never
+    replicates the pair table per threshold.
+    """
+    pairs = ngram_jaccard_pairs(t)
+    pbp = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * F.lit(10000.0) + F.lit(0.5)).alias("bp"),
+    )
+    pair_bkts = (
+        pbp.groupBy(F.floor(F.col("bp") / 500).alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    docmax = (
+        pbp.select(F.col("doc_a").alias("doc_id"), "bp")
+        .unionByName(pbp.select(F.col("doc_b").alias("doc_id"), "bp"))
+        .groupBy("doc_id")
+        .agg(F.max("bp").alias("bp"))
+    )
+    doc_bkts = (
+        docmax.groupBy(F.floor(F.col("bp") / 500).alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = t["documents"].sparkSession
+    grid = spark.range(0, 10).select(
+        (F.lit(5000) + F.col("id") * 500).alias("threshold_bp")
+    )
+    # bucket k holds bp in [500k, 500k+500); thresholds are 500-aligned,
+    # so bp >= T  <=>  bucket*500 >= T — the theta join is exact
+    n_pairs = (
+        grid.join(pair_bkts, pair_bkts["bkt"] * 500 >= grid["threshold_bp"], "left")
+        .groupBy("threshold_bp")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_pairs"))
+    )
+    n_docs = (
+        grid.join(doc_bkts, doc_bkts["bkt"] * 500 >= grid["threshold_bp"], "left")
+        .groupBy("threshold_bp")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"))
+    )
+    # both sides are the 10-row grid — broadcast, never sort-merge
+    return n_pairs.join(F.broadcast(n_docs), on="threshold_bp")
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS ({_JACCARD_TAIL_SQL}),
+pbp AS (SELECT doc_a, doc_b,
+               CAST(FLOOR(jaccard * 10000.0 + 0.5) AS BIGINT) AS bp
+        FROM pairs),
+docmax AS (
+  SELECT doc_id, MAX(bp) AS bp FROM (
+    SELECT doc_a AS doc_id, bp FROM pbp
+    UNION ALL SELECT doc_b AS doc_id, bp FROM pbp
+  ) GROUP BY 1
+),
+grid AS (SELECT 5000 + 500 * CAST(i.i AS BIGINT) AS threshold_bp
+         FROM (SELECT unnest(range(0, 10)) AS i) i)
+SELECT g.threshold_bp,
+       CAST((SELECT COUNT(*) FROM pbp WHERE bp >= g.threshold_bp) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT COUNT(*) FROM docmax WHERE bp >= g.threshold_bp) AS BIGINT)
+         AS n_docs
+FROM grid g
+"""
+
+
 MAX_SHINGLE_DF = 50  # stop-shingle document-frequency cap (capped variant)
 
 
@@ -1618,6 +1705,112 @@ SELECT scheme || '://' || host
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_variants
 FROM norm
+GROUP BY 1
+"""
+
+
+def url_host_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-host crawl-health report — the ops dashboard next to
+    :func:`url_canonical_dedup`: for every canonical host, how many
+    fetches arrived, how many DISTINCT canonical pages they collapse to,
+    the refetch rate (fetches that re-crawled an already-seen page — the
+    crawler budget being burned), and how much of the feed carries
+    tracking params (a proxy for link-farm/campaign traffic a curation
+    pipeline often down-weights). Rates in integer basis points.
+
+    Scale shape: one projection (the same codegen canonicalization
+    chain) feeding ONE host-keyed aggregate; hosts are web-scale small
+    (millions) next to fetches (trillions), so the aggregate output is
+    always the tiny side. COUNT(DISTINCT canonical_url) per host is a
+    two-level hash aggregate on (host, url) — no Expand, no second scan.
+    """
+    url = _messy_url_col()
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_extract(
+                F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+                r"^([^:]*)",
+                1,
+            )
+        ),
+        r"^www\.",
+        "",
+    )
+    tracked = url.rlike(r"[?&](utm_[^=]*|fbclid|gclid)=").cast("int")
+    return (
+        t["documents"]
+        .select(
+            host.alias("host"),
+            canonical_url_expr(url).alias("canonical_url"),
+            tracked.alias("tracked"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.countDistinct("canonical_url").alias("n_pages"),
+            F.sum("tracked").alias("n_tracked"),
+        )
+        .select(
+            "host",
+            "n_fetches",
+            "n_pages",
+            (F.col("n_fetches") - F.col("n_pages")).alias("n_refetches"),
+            F.floor(
+                (F.col("n_fetches") - F.col("n_pages"))
+                * F.lit(10000.0)
+                / F.col("n_fetches")
+                + F.lit(0.5)
+            ).alias("refetch_bp"),
+            "n_tracked",
+            F.floor(
+                F.col("n_tracked") * F.lit(10000.0) / F.col("n_fetches")
+                + F.lit(0.5)
+            ).alias("tracked_bp"),
+        )
+    )
+
+
+URL_HOST_STATS_SQL = f"""
+WITH raw AS ({_MESSY_URL_SQL}),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(path0, '/{{2,}}', '/', 'g'), '/$', '') AS path,
+         array_to_string(list_sort(list_filter(string_split(query0, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))), '&') AS qcanon,
+         CASE WHEN regexp_matches(url, '[?&](utm_[^=]*|fbclid|gclid)=')
+              THEN 1 ELSE 0 END AS tracked
+  FROM parts
+),
+canon AS (
+  SELECT host, tracked,
+         scheme || '://' || host
+         || CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                                AND NOT (scheme = 'http' AND port = '80')
+                 THEN ':' || port ELSE '' END
+         || path
+         || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS canonical_url
+  FROM norm
+)
+SELECT host,
+       COUNT(*) AS n_fetches,
+       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS BIGINT) AS n_refetches,
+       CAST(FLOOR((COUNT(*) - COUNT(DISTINCT canonical_url)) * 10000.0
+                  / COUNT(*) + 0.5) AS BIGINT) AS refetch_bp,
+       CAST(SUM(tracked) AS BIGINT) AS n_tracked,
+       CAST(FLOOR(SUM(tracked) * 10000.0 / COUNT(*) + 0.5) AS BIGINT) AS tracked_bp
+FROM canon
 GROUP BY 1
 """
 

@@ -293,6 +293,13 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         dedup.url_canonical_dedup,
         dedup.URL_CANONICAL_DEDUP_SQL,
     ),
+    # r8: per-host crawl-health report off the same canonicalization chain
+    "url_host_stats": (dedup.url_host_stats, dedup.URL_HOST_STATS_SQL),
+    # r8: near-dup threshold sensitivity off the memoized exact pair table
+    "dedup_threshold_sweep": (
+        dedup.dedup_threshold_sweep,
+        dedup.DEDUP_THRESHOLD_SWEEP_SQL,
+    ),
     # --- similarity search ---
     "ann_bruteforce_topk": (
         similarity.ann_bruteforce_topk,
@@ -526,7 +533,7 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # (engine-specific HLL sketch values — rows-only by design) and must not
 # burn a head-of-rotation slot again.
 #
-# Expected r08 head usage: 1+1+33+5+4+3 = 47 rows, ~3 under the observed
+# Expected r08 head usage: 1+1+33+5+4+4 = 48 rows, ~2 under the observed
 # cap, so every green-row-older-than-two-rounds violation clears this
 # round. ROUND-9 ROTATION DEBT: the 49 queries whose newest green row is
 # r06 (the round-6 cohort: quality gates, multimodal, relational r5b,
@@ -585,6 +592,8 @@ _PRIORITY = [
     # (f) new this round — first driver rows
     "url_canonical_dedup",
     "bloom_contamination_check",
+    "url_host_stats",
+    "dedup_threshold_sweep",
 ]
 
 

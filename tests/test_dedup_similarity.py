@@ -710,3 +710,39 @@ def test_url_canonical_dedup_partitions_corpus(tables):
     assert {r.canonical_doc_id for r in df.collect()} <= docs
     # variants exist in the fixture (the derivation guarantees refetches)
     assert df.filter(F.col("n_variants") > 1).count() > 0
+
+
+def test_dedup_threshold_sweep_matches_python_recompute(tables):
+    """Set-arithmetic replay from the pair table itself: exact pair/doc
+    counts at every grid threshold, plus the monotone-non-increasing
+    shape the knee-finding read of the curve depends on."""
+    import math
+
+    pairs = D.ngram_jaccard_pairs(tables).collect()
+    bps = [(r.doc_a, r.doc_b, math.floor(r.jaccard * 10000.0 + 0.5)) for r in pairs]
+    rows = sorted(
+        D.dedup_threshold_sweep(tables).collect(), key=lambda r: r.threshold_bp
+    )
+    assert [r.threshold_bp for r in rows] == list(range(5000, 10000, 500))
+    for r in rows:
+        want_pairs = sum(1 for _, _, bp in bps if bp >= r.threshold_bp)
+        docs = {d for a, b, bp in bps if bp >= r.threshold_bp for d in (a, b)}
+        assert r.n_pairs == want_pairs
+        assert r.n_docs == len(docs)
+    for lo, hi in zip(rows[1:], rows):
+        assert lo.n_pairs <= hi.n_pairs and lo.n_docs <= hi.n_docs
+
+
+def test_url_host_stats_consistent_with_canonical_dedup(tables):
+    """Cross-operator identities: host stats and the dedup rung must
+    agree on fetch totals, page counts, and the refetch mass."""
+    hosts = D.url_host_stats(tables).collect()
+    dedup = D.url_canonical_dedup(tables).collect()
+    assert sum(r.n_fetches for r in hosts) == tables["documents"].count()
+    assert sum(r.n_pages for r in hosts) == len(dedup)
+    assert sum(r.n_refetches for r in hosts) == sum(
+        r.n_variants - 1 for r in dedup
+    )
+    for r in hosts:
+        assert r.n_refetches == r.n_fetches - r.n_pages
+        assert 0 <= r.n_tracked <= r.n_fetches

@@ -81,3 +81,72 @@ def test_shingle_regex_matches_slice_semantics(spark):
             ).collect()
         }
         assert ref == got, f"k={k}"
+
+
+def test_canonical_url_expr_matches_python_reference(spark):
+    """Randomized differential check of the URL canonicalization chain:
+    200 seeded messy URLs (case/port/slash/param-order/tracking/fragment
+    combinations, including no-query, tracking-only, root-path and
+    portless shapes) against a Python reference that applies the SAME
+    regex spec — catches any Spark expression-chain mistake (wrong arg
+    order, missed step, non-global replace) without depending on
+    urllib's divergent parsing opinions."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from databricks_observe_spark.operators.dedup import (
+        _URL_TRACKING_RE,
+        canonical_url_expr,
+    )
+
+    def reference(url: str) -> str:
+        scheme = re.search(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url)
+        scheme = (scheme.group(1) if scheme else "").lower()
+        m = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", url)
+        hostport = m.group(1) if m else ""
+        host = re.sub(r"^www\.", "", re.match(r"^([^:]*)", hostport).group(1).lower())
+        pm = re.search(r":([0-9]+)$", hostport)
+        port = pm.group(1) if pm else ""
+        keep = port != "" and not (
+            (scheme == "https" and port == "443")
+            or (scheme == "http" and port == "80")
+        )
+        m = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url)
+        path = re.sub(r"/$", "", re.sub(r"/{2,}", "/", m.group(1) if m else ""))
+        qm = re.search(r"\?([^#]*)", url)
+        params = sorted(
+            p
+            for p in (qm.group(1) if qm else "").split("&")
+            if p != "" and not re.match(_URL_TRACKING_RE, p)
+        )
+        q = "&".join(params)
+        return (
+            scheme + "://" + host + (":" + port if keep else "")
+            + path + ("?" + q if q else "")
+        )
+
+    rng = random.Random(42)
+    pool = ["a=1", "b=2", "ref=7", "z=x", "utm_source=f", "utm_medium=rss",
+            "gclid=abc", "fbclid=9", "v=2"]
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS", "Ftp"])
+        www = rng.choice(["", "www.", "WWW."])
+        host = rng.choice(["Host.COM", "src3.example.com", "A.b.C"])
+        port = rng.choice(["", ":80", ":443", ":8080", ":8443"])
+        segs = ["seg%d" % rng.randrange(5) for _ in range(rng.randrange(4))]
+        path = "".join(rng.choice(["/", "//"]) + s for s in segs)
+        path += rng.choice(["", "/", "//"])
+        params = rng.sample(pool, rng.randrange(len(pool)))
+        query = "?" + "&".join(params) if rng.random() < 0.8 else ""
+        frag = rng.choice(["", "#f", "#sec?x=1"])
+        urls.append(f"{scheme}://{www}{host}{port}{path}{query}{frag}")
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.c
+        for r in df.select(canonical_url_expr(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [reference(u) for u in urls]

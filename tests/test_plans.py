@@ -922,3 +922,33 @@ def test_bloom_contamination_has_no_gram_keyed_join(tables):
     }
     assert keys <= {"doc_id"}, keys
     assert "partial_sum" in plan
+
+
+def test_url_host_stats_two_level_distinct_no_expand(tables):
+    from databricks_observe_spark.operators import dedup as D
+    import re as _re
+
+    plan = _plan(D.url_host_stats(tables))
+    # the COUNT(DISTINCT canonical_url) must plan as the two-level
+    # (host, url) -> host hash aggregate, never as an Expand that
+    # multiplies the corpus scan per aggregate arm
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    keys = {
+        tuple(sorted(p.split("#")[0] for p in m.split(", ")[:-1]))
+        for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {("host",), ("canonical_url", "host")}, keys
+
+
+def test_dedup_threshold_sweep_joins_only_grid_frames(tables):
+    from databricks_observe_spark.operators import dedup as D
+
+    plan = _plan(D.dedup_threshold_sweep(tables))
+    # the two theta joins fan the 10-row grid onto <=21-row bucket
+    # frames; nothing pair-table-sized may reach a join or be replicated
+    # per threshold (the final grid-grid equijoin broadcasts too)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2

@@ -486,6 +486,19 @@ COMMENTARY = {
         "salted-md5 bits + two array lookups per gram, then the one "
         "map-side-combined per-doc aggregate (plan-gated)."
     ),
+    "url_host_stats": (
+        "One scan through the codegen canonicalization chain, then the "
+        "COUNT(DISTINCT canonical_url) plans as the two-level "
+        "(host, url) -> host hash aggregate — no Expand multiplying the "
+        "scan, no joins (plan-gated)."
+    ),
+    "dedup_threshold_sweep": (
+        "Two pair-table-sized aggregates collapse everything onto "
+        "<=21-row bucket frames; the 10-row threshold grid theta-joins "
+        "those constants (2 BroadcastNestedLoopJoins on tiny frames) — "
+        "the sweep never rescans the corpus and never replicates the "
+        "pair table per threshold (plan-gated)."
+    ),
 }
 
 
