@@ -1595,8 +1595,39 @@ def _messy_url_col() -> F.Column:
 
 
 # tracking params stripped by the canonicalizer (the industry-standard
-# click-attribution noise set; extend per crawl source)
-_URL_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+# click-attribution noise set; extend per crawl source). ONE param
+# pattern, two anchors: per-param (the filter lambda sees one param at a
+# time) and within-query (the tracked flag sees the whole query region).
+_URL_TRACKING_PARAMS = "(utm_[^=]*|fbclid|gclid)="
+_URL_TRACKING_RE = "^" + _URL_TRACKING_PARAMS
+_URL_TRACKED_QUERY_RE = "(^|&)" + _URL_TRACKING_PARAMS
+
+# the query region: everything after the FIRST '?' that precedes any '#'.
+# The lazy ^[^#]*? prefix pins the match before the fragment — an
+# unanchored \?([^#]*) would let a '?' INSIDE the fragment parse as a
+# query when no real query exists, leaking fragment content into the
+# canonical URL (caught in the round-8 review; the randomized
+# differential test generates exactly that shape).
+_URL_QUERY_RE = r"^[^#]*?\?([^#]*)"
+
+
+def _url_hostport_expr(url: F.Column) -> F.Column:
+    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+
+def _url_host_expr(url: F.Column) -> F.Column:
+    """Canonical host: lowercased, ``www.`` prefix stripped, port dropped —
+    shared by :func:`canonical_url_expr` and :func:`url_host_stats` so the
+    host spec lives in one place."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(_url_hostport_expr(url), r"^([^:]*)", 1)),
+        r"^www\.",
+        "",
+    )
+
+
+def _url_query_expr(url: F.Column) -> F.Column:
+    return F.regexp_extract(url, _URL_QUERY_RE, 1)
 
 
 def canonical_url_expr(url: F.Column) -> F.Column:
@@ -1617,10 +1648,8 @@ def canonical_url_expr(url: F.Column) -> F.Column:
     JVM-side.
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
-    )
+    hostport = _url_hostport_expr(url)
+    host = _url_host_expr(url)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     keep_port = (
         (port != "")
@@ -1629,7 +1658,7 @@ def canonical_url_expr(url: F.Column) -> F.Column:
     )
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(F.regexp_replace(path, "/{2,}", "/"), "/$", "")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = _url_query_expr(url)
     qcanon = F.array_join(
         F.array_sort(
             F.filter(
@@ -1676,18 +1705,19 @@ def url_canonical_dedup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-URL_CANONICAL_DEDUP_SQL = f"""
-WITH raw AS ({_MESSY_URL_SQL}),
-parts AS (
+# the SQL spec lives ONCE (the _JACCARD_TAIL_SQL precedent): parse + norm
+# CTEs and the recompose expression are shared verbatim by the dedup and
+# host-stats oracles, so a spec change cannot silently diverge the twins
+_URL_NORM_SQL = f"""parts AS (
   SELECT doc_id,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+         regexp_extract(url, '{_URL_QUERY_RE}', 1) AS query0
   FROM raw
 ),
 norm AS (
-  SELECT doc_id, scheme,
+  SELECT doc_id, scheme, query0,
          regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
                         '^www\\.', '') AS host,
          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
@@ -1695,13 +1725,19 @@ norm AS (
          array_to_string(list_sort(list_filter(string_split(query0, '&'),
              p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))), '&') AS qcanon
   FROM parts
-)
-SELECT scheme || '://' || host
+)"""
+
+_CANON_URL_SQL = """scheme || '://' || host
        || CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
                               AND NOT (scheme = 'http' AND port = '80')
                THEN ':' || port ELSE '' END
        || path
-       || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS canonical_url,
+       || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END"""
+
+URL_CANONICAL_DEDUP_SQL = f"""
+WITH raw AS ({_MESSY_URL_SQL}),
+{_URL_NORM_SQL}
+SELECT {_CANON_URL_SQL} AS canonical_url,
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_variants
 FROM norm
@@ -1718,6 +1754,12 @@ def url_host_stats(t: dict[str, DataFrame]) -> DataFrame:
     tracking params (a proxy for link-farm/campaign traffic a curation
     pipeline often down-weights). Rates in integer basis points.
 
+    The tracked flag is scoped to the QUERY REGION (the same
+    ``_URL_QUERY_RE`` extraction the canonicalizer uses), so a
+    tracking-shaped key inside a fragment — which the canonicalizer
+    drops — never counts as campaign traffic; the two reports agree on
+    what "tracked" means by construction.
+
     Scale shape: one projection (the same codegen canonicalization
     chain) feeding ONE host-keyed aggregate; hosts are web-scale small
     (millions) next to fetches (trillions), so the aggregate output is
@@ -1725,18 +1767,8 @@ def url_host_stats(t: dict[str, DataFrame]) -> DataFrame:
     two-level hash aggregate on (host, url) — no Expand, no second scan.
     """
     url = _messy_url_col()
-    host = F.regexp_replace(
-        F.lower(
-            F.regexp_extract(
-                F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
-                r"^([^:]*)",
-                1,
-            )
-        ),
-        r"^www\.",
-        "",
-    )
-    tracked = url.rlike(r"[?&](utm_[^=]*|fbclid|gclid)=").cast("int")
+    host = _url_host_expr(url)
+    tracked = _url_query_expr(url).rlike(_URL_TRACKED_QUERY_RE).cast("int")
     return (
         t["documents"]
         .select(
@@ -1772,34 +1804,12 @@ def url_host_stats(t: dict[str, DataFrame]) -> DataFrame:
 
 URL_HOST_STATS_SQL = f"""
 WITH raw AS ({_MESSY_URL_SQL}),
-parts AS (
-  SELECT doc_id, url,
-         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query0
-  FROM raw
-),
-norm AS (
-  SELECT doc_id, scheme,
-         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
-                        '^www\\.', '') AS host,
-         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-         regexp_replace(regexp_replace(path0, '/{{2,}}', '/', 'g'), '/$', '') AS path,
-         array_to_string(list_sort(list_filter(string_split(query0, '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))), '&') AS qcanon,
-         CASE WHEN regexp_matches(url, '[?&](utm_[^=]*|fbclid|gclid)=')
-              THEN 1 ELSE 0 END AS tracked
-  FROM parts
-),
+{_URL_NORM_SQL},
 canon AS (
-  SELECT host, tracked,
-         scheme || '://' || host
-         || CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
-                                AND NOT (scheme = 'http' AND port = '80')
-                 THEN ':' || port ELSE '' END
-         || path
-         || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS canonical_url
+  SELECT host,
+         CASE WHEN regexp_matches(query0, '{_URL_TRACKED_QUERY_RE}')
+              THEN 1 ELSE 0 END AS tracked,
+         {_CANON_URL_SQL} AS canonical_url
   FROM norm
 )
 SELECT host,

@@ -130,18 +130,24 @@ def transitive_closure_doubling(
     (UNION-dedup against the accumulated set reaches the finite
     fixpoint). Returns (closure, rounds) so callers can log the cadence.
     """
-    # checkpoint partitioning tracks the MEASURED closure size (one
-    # partition per ~200k pairs, min 1) instead of inheriting the session
-    # shuffle width: a metadata-sized graph otherwise pays 32 task-launch
-    # floors per scan per round — at O(log d) rounds that scheduling tax
-    # WAS the dominant cost (measured 2.2-2.5 s; ~35% off with sized
-    # partitions) — while a genuinely huge closure still spreads.
+    # Partitioning tracks the MEASURED closure size (one partition per
+    # ~200k pairs, min 1) instead of inheriting the session shuffle
+    # width: a metadata-sized graph otherwise pays 32 task-launch floors
+    # per scan per round — at O(log d) rounds that scheduling tax WAS the
+    # dominant cost (r07 merged-min 2.52 s -> 1.91 s) — while a genuinely
+    # huge closure still spreads. Sizing is applied on BOTH sides of the
+    # per-round dedup shuffle: the union's map side coalesces before the
+    # exchange (caps shuffle-write tasks) and the post-distinct result
+    # coalesces before the checkpoint, so the MATERIALIZED closure — what
+    # every later round scans and broadcasts — actually has _parts(n)
+    # partitions (a pre-distinct coalesce alone would leave the
+    # checkpoint at the exchange's width; round-8 review finding).
     def _parts(n_pairs: int) -> int:
         return max(1, n_pairs // 200_000)
 
-    base = base_edges(edges)
-    closure = base.coalesce(1).localCheckpoint()
-    n = closure.count()
+    base = base_edges(edges).localCheckpoint()
+    n = base.count()
+    closure = base.coalesce(_parts(n))
     for it in range(1, max_iters + 1):
         # the hop side is the accumulated closure — metadata-sized for a
         # lineage graph (tables x upstream sets, not data rows), so it
@@ -164,6 +170,7 @@ def transitive_closure_doubling(
             closure.union(stepped)
             .coalesce(_parts(n))
             .distinct()
+            .coalesce(_parts(n))
             .localCheckpoint(eager=False)
         )
         n2 = closure.count()

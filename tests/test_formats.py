@@ -97,6 +97,7 @@ def test_canonical_url_expr_matches_python_reference(spark):
     from pyspark.sql import functions as F
 
     from databricks_observe_spark.operators.dedup import (
+        _URL_QUERY_RE,
         _URL_TRACKING_RE,
         canonical_url_expr,
     )
@@ -115,7 +116,11 @@ def test_canonical_url_expr_matches_python_reference(spark):
         )
         m = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url)
         path = re.sub(r"/$", "", re.sub(r"/{2,}", "/", m.group(1) if m else ""))
-        qm = re.search(r"\?([^#]*)", url)
+        # the shared anchored regex: the query must precede any fragment,
+        # so a '?' inside the fragment never parses as a query (the
+        # unanchored form failed exactly the frag='#sec?x=1', no-query
+        # shape this generator emits)
+        qm = re.search(_URL_QUERY_RE, url)
         params = sorted(
             p
             for p in (qm.group(1) if qm else "").split("&")
