@@ -91,3 +91,20 @@ def test_batch_ts_equals_streaming_ts(spark, tables):
         F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
     ).collect()[0]
     assert (got.lo, got.hi, got.n) == (batch.lo, batch.hi, batch.n)
+
+
+def test_priority_rotation_names_all_resolve():
+    """_ordered_names() silently drops unregistered _PRIORITY entries (so
+    a typo would quietly lose a driver verification slot); pin that every
+    rotation name resolves and the no-oracle tail row stays last."""
+    from databricks_observe_spark import registry as R
+
+    qs = R.queries()
+    missing = [n for n in R._PRIORITY if n not in qs]
+    assert missing == [], missing
+    names = list(qs)
+    assert names[-1] == "approx_user_counts"
+    assert len(names) == len(set(names))
+    # every query has an oracle except the declared rows-only tail
+    no_oracle = set(qs) - set(R.oracle_sql())
+    assert no_oracle == {"approx_user_counts"}

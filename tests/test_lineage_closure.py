@@ -114,3 +114,18 @@ def test_deep_closure_converges_logarithmically(tables):
     )
     # cycle members reach themselves transitively (only DIRECT self-edges drop)
     assert "cyc_x" in up["cyc_x"]
+
+
+def test_doubling_checkpoint_partitions_track_closure_size(tables):
+    """The round-8 review fix pinned: the MATERIALIZED closure (what every
+    doubling round scans and broadcasts) must carry the size-tracked
+    partition count, not the session shuffle width — a pre-distinct
+    coalesce alone leaves the checkpoint at the exchange's width."""
+    from databricks_observe_spark.operators.lineage import (
+        transitive_closure_doubling,
+    )
+
+    closure, _ = transitive_closure_doubling(tables["lineage_edges_deep"])
+    n = closure.count()
+    expect = max(1, n // 200_000)
+    assert closure.rdd.getNumPartitions() == expect
