@@ -1597,8 +1597,11 @@ def _messy_url_col() -> F.Column:
 # tracking params stripped by the canonicalizer (the industry-standard
 # click-attribution noise set; extend per crawl source). ONE param
 # pattern, two anchors: per-param (the filter lambda sees one param at a
-# time) and within-query (the tracked flag sees the whole query region).
-_URL_TRACKING_PARAMS = "(utm_[^=]*|fbclid|gclid)="
+# time) and within-query (the tracked flag sees the whole query region —
+# which is why the key char class excludes '&' too: a plain [^=]* could
+# consume a param boundary and fire on 'utm_x&a=1', a valueless utm key
+# the per-param filter correctly leaves intact).
+_URL_TRACKING_PARAMS = "(utm_[^=&]*|fbclid|gclid)="
 _URL_TRACKING_RE = "^" + _URL_TRACKING_PARAMS
 _URL_TRACKED_QUERY_RE = "(^|&)" + _URL_TRACKING_PARAMS
 

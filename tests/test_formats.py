@@ -134,7 +134,9 @@ def test_canonical_url_expr_matches_python_reference(spark):
 
     rng = random.Random(42)
     pool = ["a=1", "b=2", "ref=7", "z=x", "utm_source=f", "utm_medium=rss",
-            "gclid=abc", "fbclid=9", "v=2"]
+            "gclid=abc", "fbclid=9", "v=2", "utm_x"]  # utm_x: valueless key —
+    # the per-param filter must KEEP it (no '='), and the whole-query
+    # tracked flag must not let utm_[^=]* span the following '&'
     urls = []
     for _ in range(200):
         scheme = rng.choice(["http", "https", "HTTP", "HTTPS", "Ftp"])
