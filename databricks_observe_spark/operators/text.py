@@ -2191,21 +2191,21 @@ def _dsir_scores(t: dict[str, DataFrame]) -> DataFrame:
     return t["_dsir_scores"]
 
 
-def score_auc(t: dict[str, DataFrame]) -> DataFrame:
-    """Exact ROC-AUC of the DSIR importance score against the
-    target-language label — the eval gate a pipeline runs before trusting
-    a learned quality/selection score to rank real data (here: does the
-    hashed-unigram log-ratio actually rank ``en`` docs above the rest?).
+def _auc_terms(t: dict[str, DataFrame]) -> DataFrame:
+    """Shared integer core of the AUC eval gate: the tie-aware
+    Mann-Whitney statistic of the DSIR importance score against the
+    target-language label, as THREE exact integers — ``n_pos``,
+    ``n_neg``, and ``auc_num2`` (twice the U statistic, so ties
+    contribute their exact 1/2 without fractional arithmetic).
 
-    Computed in the tie-aware Mann-Whitney rank form: group docs by
-    score, order groups ascending, and sum ``pos_g * (2*neg_below + neg_g)``
-    — twice the U statistic, so ties contribute their exact 1/2 without
-    any fractional arithmetic; ``auc_r = num2 / (2 * P * N)`` is the only
-    float, produced by one final :func:`round_half_up`. The per-band
-    product and its sum run in DECIMAL(18,0)/DECIMAL(38,0) — the product
-    alone exceeds int64 once the corpus passes ~3e9 docs (2*U is
-    O(P*N)); decimal sums are exact and order-independent on both
-    engines up to 1e38.
+    Every step is integer/decimal-exact: group docs by milli-quantized
+    score, order groups ascending, sum ``pos_g * (2*neg_below + neg_g)``
+    in DECIMAL(18,0)/DECIMAL(38,0) — the product alone exceeds int64
+    once the corpus passes ~3e9 docs (2*U is O(P*N)); decimal sums are
+    exact and order-independent on both engines up to 1e38. No doubles
+    touch the output, so the frame hashes identically on any
+    engine/libm/platform combination (the r07/r08 driver divergence
+    class).
 
     Scale shape: the scores come from the memoized written score table
     (:func:`_dsir_scores` — the selection pipeline materializes it
@@ -2248,19 +2248,52 @@ def score_auc(t: dict[str, DataFrame]) -> DataFrame:
         F.sum("pos_n").alias("n_pos"),
         F.sum("neg_n").alias("n_neg"),
         F.sum(F.col("num2").cast("decimal(38,0)")).alias("auc_num2"),
-    ).select(
-        "n_pos",
-        "n_neg",
-        "auc_num2",
-        round_half_up(
-            F.col("auc_num2").cast("double")
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
-            6,
-        ).alias("auc_r"),
     )
 
 
-SCORE_AUC_SQL = f"""
+def score_auc_parts(t: dict[str, DataFrame]) -> DataFrame:
+    """The integer-only Mann-Whitney parts (``n_pos``, ``n_neg``,
+    ``auc_num2``) — the localization companion the r08 verdict
+    prescribed: this row and :func:`score_auc` differ ONLY in the final
+    derived column, so a green/red driver pair pins any cross-engine
+    divergence to one projection. See :func:`_auc_terms` for semantics
+    and the scale argument.
+    """
+    return _auc_terms(t)
+
+
+def score_auc(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact ROC-AUC of the DSIR importance score against the
+    target-language label — the eval gate a pipeline runs before trusting
+    a learned quality/selection score to rank real data (here: does the
+    hashed-unigram log-ratio actually rank ``en`` docs above the rest?).
+
+    Semantics and scale shape: :func:`_auc_terms`. The reported AUC is
+    ``auc_micro`` — the half-up micro-unit quantization of
+    ``auc_num2 / (2*P*N)``, computed as ONE exact integer floor-division
+    ``(1000000*auc_num2 + P*N) div (2*P*N)`` in DECIMAL(38,0) (adding
+    ``P*N`` is adding exactly 0.5 ulp of the micro grid, so floor = half
+    up). NO double arithmetic anywhere: the float form of this row was
+    red in the r07 AND r08 driver environments while passing the local
+    differential check bit-for-bit, so the double is retired from the
+    hashed projection entirely (its display form, ``auc_micro / 1e6``,
+    is pinned in ``tests/test_text_multimodal.py``). Exact while
+    ``1e6 * P * N < 1e38`` — i.e. up to ~1e16 documents per class.
+    """
+    return _auc_terms(t).select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * auc_num2"
+            " + CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DECIMAL(38,0))"
+            " div CAST(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg"
+            " AS DECIMAL(38,0))"
+        ).alias("auc_micro"),
+    )
+
+
+_AUC_TERMS_SQL = f"""
 WITH dsir AS ({DSIR_IMPORTANCE_WEIGHTS_SQL}),
 labeled AS (
   SELECT FLOOR(CAST(s.avg_lr_micro AS DOUBLE) / 1000.0) AS s_milli,
@@ -2280,14 +2313,29 @@ terms AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  + neg_n AS DECIMAL(18,0)) AS num2
   FROM g
+),
+parts AS (
+  SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+         CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+         CAST(SUM(CAST(num2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS auc_num2
+  FROM terms
 )
-SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
-       CAST(SUM(neg_n) AS BIGINT) AS n_neg,
-       CAST(SUM(CAST(num2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS auc_num2,
-       {sql_round_half_up(
-           'CAST(SUM(num2) AS DOUBLE) / (2.0 * SUM(pos_n) * SUM(neg_n))', 6
-       )} AS auc_r
-FROM terms
+"""
+
+SCORE_AUC_PARTS_SQL = f"""
+{_AUC_TERMS_SQL}
+SELECT n_pos, n_neg, auc_num2 FROM parts
+"""
+
+# auc_micro: all arithmetic in HUGEINT (int128) — exact to ~1.7e38, the
+# same envelope as the Spark side's DECIMAL(38,0) div. No doubles.
+SCORE_AUC_SQL = f"""
+{_AUC_TERMS_SQL}
+SELECT n_pos, n_neg, auc_num2,
+       CAST((1000000 * CAST(auc_num2 AS HUGEINT)
+               + CAST(n_pos AS HUGEINT) * n_neg)
+            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_micro
+FROM parts
 """
 
 

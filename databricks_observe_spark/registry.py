@@ -368,8 +368,13 @@ _REGISTRY: dict[str, tuple[Callable[[dict], DataFrame], str | None]] = {
         text.DSIR_IMPORTANCE_WEIGHTS_SQL,
     ),
     # tie-aware Mann-Whitney AUC of the DSIR score vs the target-lang
-    # label (milli-grid grouping bounds the rank frame by construction)
+    # label (milli-grid grouping bounds the rank frame by construction);
+    # integer-only projection since r09 — auc_micro is an exact DECIMAL
+    # div, the double form was env-red in r07+r08 (see score_auc_parts)
     "score_auc": (text.score_auc, text.SCORE_AUC_SQL),
+    # the r08-verdict localization companion: the same row MINUS the one
+    # derived column, so a green/red driver pair pins any divergence
+    "score_auc_parts": (text.score_auc_parts, text.SCORE_AUC_PARTS_SQL),
     # reliability report: per 0.1-nat score band, target-lang rate in
     # basis points (bounded band grid, no ntile/global sort)
     "score_calibration": (text.score_calibration, text.SCORE_CALIBRATION_SQL),
@@ -513,87 +518,100 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 
 # Driver-facing iteration order. The driver records CORRECTNESS rows for
 # the first ~50 registry entries (budget cutoff observed every round), so
-# order = verification priority. Round-8 plan, per the freshness rule (no
-# query's newest green driver row may age past two rounds) and the
-# round-7 verdict's explicit rotation directive:
-# (a) the smoke anchor; (b) `score_auc` — the ONLY red r07 driver row
-# (hash FAIL recorded before the round-7 round_half_up hardening commits;
-# it passes tools/check_oracle.py bit-for-bit at HEAD, so the fix needs a
-# green DRIVER row, not code); (c) the THIRTY-THREE queries whose newest
-# green driver row is r05 (the verdict-enumerated cohort); (d) the
-# round-7-changed rows whose newest green row is r06 (quality_filter,
-# repetition_signals, sequence_packing, vocab_coverage, length_outliers);
-# (e) rows whose CODE or ORACLE changed THIS round — the drift oracle's
-# BIGINT-cast hardening (drift_psi, streaming_drift_psi — hash-neutral on
-# fixtures but the oracle text changed) and the two composite-floor perf
-# reworks (lineage_closure_deep, observability_report); (f) queries NEW
-# this round (capped at ~2-3 per the verdict's freshness-before-breadth
-# budget). `approx_user_counts` moves to the very TAIL of the full
-# ordering (see _ordered_names): its row is permanently `no_oracle`
-# (engine-specific HLL sketch values — rows-only by design) and must not
-# burn a head-of-rotation slot again.
+# order = verification priority.
 #
-# Expected r08 head usage: 1+1+33+5+4+4 = 48 rows, ~2 under the observed
-# cap, so every green-row-older-than-two-rounds violation clears this
-# round. ROUND-9 ROTATION DEBT: the 49 queries whose newest green row is
-# r06 (the round-6 cohort: quality gates, multimodal, relational r5b,
-# streaming harnesses 1-5, catalog walk — see CORRECTNESS_r06.json keys
-# minus rows refreshed here) age to the freshness boundary in r09 and
-# should head r09's _PRIORITY, again capping new queries at ~5.
+# FRESHNESS RULE (risk-tiered — codified in r09 per the r08 verdict,
+# replacing the unsatisfiable flat "<=2 rounds" form: 145 queries / ~50
+# driver slots makes a flat 2-round cadence mathematically impossible in
+# steady state; ~3 rounds is the floor):
+#   tier 1 — rows whose CODE or ORACLE changed this round: NEXT round's
+#            head, always;
+#   tier 2 — frozen rows: newest green driver row must not age past
+#            THREE rounds;
+#   tier 3 — explicitly named deferrals (frozen code, flat SCALING
+#            class, a same-code-path sibling in the head): may slip to
+#            four rounds, at most once, named in this comment.
+#
+# Round-9 plan derived from the rule:
+# (a) the smoke anchor; (b) `score_auc` + NEW `score_auc_parts` — the
+# decisive experiment the r08 verdict prescribed: score_auc's hashed
+# projection is now integer-only (exact DECIMAL-div auc_micro; the
+# double auc_r was red in BOTH the r07 and r08 driver envs while passing
+# the local differential bit-for-bit) and parts is the same row minus
+# the derived column, so the green/red pair localizes any remaining
+# divergence in one driver round; (c) the NINE queries stranded at r05 —
+# three rounds stale, the oldest evidence in the repo — mandatory;
+# (d) 37 of the 40 r06-cohort rows (tier 2 at the 3-round boundary);
+# (e) tier-1 rows changed THIS round: observability_report (broadcast
+# hints + plan gate, ADVICE item). ZERO new queries besides the
+# score_auc_parts localization companion, per the verdict's cap.
+#
+# Tier-3 deferrals to r10 (named; each has a same-code-path sibling in
+# this head): discovered_objects_live (twin of discovered_objects,
+# same catalog_model walk), image_resize and frame_sample (multimodal.py
+# frozen since r06; sibling multimodal_meta heads, and media_features
+# covers the Arrow-decode path at r07). These three MUST head r10.
+#
+# Expected r09 head usage: 1 + 2 + 9 + 37 + 1 = 50 rows, exactly the
+# observed cap. `approx_user_counts` stays pinned to the very TAIL of
+# the full ordering (see _ordered_names): its row is permanently
+# `no_oracle` (engine-specific HLL sketch values — rows-only by design)
+# and must not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) the red r07 row — first, per the verdict
+    # (b) the AUC experiment pair — positions 2-3, per the r08 verdict
     "score_auc",
-    # (c) r05-stale — mandatory refresh this round
-    "ann_recall",
-    "asset_specs",
-    "balance_percent_rank",
-    "bpe_pair_counts",
-    "compaction_plan",
-    "curated_corpus",
-    "dedup_retention",
-    "describe_detail",
-    "epoch_shuffle",
-    "event_dedup_windowed",
-    "event_type_pivot",
-    "event_type_stats",
-    "expectations_report",
-    "funnel_conversion",
-    "fuzzy_match_probe",
-    "incremental_dedup",
-    "incremental_pricing_summary",
-    "int8_quantize",
-    "latest_update_per_entity",
-    "lineage_closure",
-    "merge_upsert",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped",
-    "per_source_dedup_rate",
-    "retention_cohorts",
-    "run_output_lookup",
-    "scd2_history",
-    "sensor_cursor_roundtrip",
-    "simhash_near_dup_pairs",
-    "table_files_meta",
-    "topo_levels",
-    "zorder_key",
-    # (d) round-7-changed, newest green row r06
-    "quality_filter",
-    "repetition_signals",
-    "sequence_packing",
-    "vocab_coverage",
-    "length_outliers",
-    # (e) changed THIS round (oracle hardening / perf rework)
-    "drift_psi",
-    "streaming_drift_psi",
-    "lineage_closure_deep",
+    "score_auc_parts",
+    # (c) r05-stale — three rounds, mandatory this round
+    "chunk_dedup",
+    "column_histograms",
+    "contamination_check",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "percentile_sketch_accuracy",
+    "semantic_dedup",
+    "skew_report",
+    "user_count_accuracy",
+    # (d) r06 cohort at the tier-2 boundary (40 minus 3 named deferrals)
+    "bm25_scores",
+    "columns_schema",
+    "curation_pipeline_e2e",
+    "discovered_objects",
+    "doc_fingerprints",
+    "duplicated_spans",
+    "heavy_hitter_tokens",
+    "kmeans_assign",
+    "lang_profile",
+    "langid_trigram",
+    "lateness_report",
+    "lsh_dedup_recall",
+    "mixture_weights",
+    "multimodal_meta",
+    "named_assets",
+    "normalized_dedup",
+    "object_count_rollup",
+    "pii_redaction",
+    "range_join_incidents",
+    "schema_drift",
+    "stratified_sample",
+    "streaming_click_attribution",
+    "streaming_corpus_dedup",
+    "streaming_first_completed",
+    "streaming_sessionize",
+    "streaming_tumbling_hourly",
+    "table_profiles",
+    "tables_enriched",
+    "textrank_keywords",
+    "time_rollup_multigrain",
+    "token_count_regex",
+    "top_orders_per_customer",
+    "unigram_kl",
+    "unigram_logprob",
+    "value_deciles",
+    "weighted_sample_topk",
+    "zone_map_plan",
+    # (e) tier-1: code changed this round
     "observability_report",
-    # (f) new this round — first driver rows
-    "url_canonical_dedup",
-    "bloom_contamination_check",
-    "url_host_stats",
-    "dedup_threshold_sweep",
 ]
 
 

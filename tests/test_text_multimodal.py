@@ -802,12 +802,29 @@ def test_score_auc_matches_python_recompute(tables):
         n_neg += n
     got = score_auc(tables).collect()[0]
     assert (got.n_pos, got.n_neg, got.auc_num2) == (n_pos, n_neg, num2)
-    assert got.auc_r == math.floor(
+    # auc_micro is the exact integer half-up of auc*1e6: adding P*N to
+    # 1e6*num2 before the 2*P*N floor-division adds exactly 0.5 micro
+    assert got.auc_micro == (1000000 * num2 + n_pos * n_neg) // (
+        2 * n_pos * n_neg
+    )
+    # the retired float form (auc_r) is pinned here as the display form:
+    # auc_micro/1e6 must equal the old round_half_up(num2/(2PN), 6)
+    assert got.auc_micro / 1e6 == math.floor(
         num2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5
     ) / 1e6
     # the score must genuinely rank the target language (else the eval
     # gate is vacuous)
-    assert got.auc_r > 0.55
+    assert got.auc_micro > 550000
+    # the localization companion is the same row minus the derived col
+    from databricks_observe_spark.operators.text import score_auc_parts
+
+    parts = score_auc_parts(tables).collect()[0]
+    assert (parts.n_pos, parts.n_neg, parts.auc_num2) == (
+        n_pos,
+        n_neg,
+        num2,
+    )
+    assert parts.asDict().keys() == {"n_pos", "n_neg", "auc_num2"}
 
 
 def test_tokenizer_fertility_matches_weighted_recompute(tables):
