@@ -195,8 +195,14 @@ def main() -> None:
     # recorded parsed=null), so the authoritative totals repeat here in a
     # line that always fits. `ex_kmeans_sec` excludes the one row whose
     # DuckDB oracle is variance-prone (see BASELINE.md's dual ratios).
+    # `compact: true` is the structural discriminator between the two
+    # lines (the full line above carries `queries` instead) — consumers
+    # must select by KEY, never by line position: the driver tail-parses
+    # the last line, tools/scale_sweep.py selects the line with a
+    # `queries` map, and json.loads-the-whole-stdout was never supported.
     compact = {
         "metric": "headline_queries_total_wall",
+        "compact": True,
         "value": total,
         "unit": "sec",
         "sf": sf_val,

@@ -1043,9 +1043,13 @@ def observability_report(t: dict[str, DataFrame]) -> DataFrame:
     # the three catalog-sized sides fuse into ONE broadcast build (inner
     # joins on the same key are associative) — one broadcast exchange and
     # one probe pass instead of three of each; the sub-joins inside the
-    # build side are themselves tiny local broadcasts (r8, verdict perf
-    # item: share the file-index work across the sub-reports)
-    side = files.join(drift, on="table").join(bins, on="table")
+    # build side carry explicit broadcast hints (not just Catalyst size
+    # estimates for aggregate outputs, which can exceed the threshold and
+    # silently plan SortMergeJoins inside the build — r8 ADVICE), and the
+    # plan gate in test_plans.py pins zero SortMergeJoins
+    side = files.join(F.broadcast(drift), on="table").join(
+        F.broadcast(bins), on="table"
+    )
     return (
         profiles.join(F.broadcast(side), on="table")
         .select(

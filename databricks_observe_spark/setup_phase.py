@@ -12,24 +12,28 @@ separately as ``setup_sec``.
 
 from __future__ import annotations
 
-# names published in bench.py's "setup" JSON field — keep in sync with
-# the builder sequence in build_setup_indexes()
+# names published in bench.py's "setup" JSON field. 1:1 with the
+# builders, in builder order — `setup_builders()` returns the same
+# names keyed to their builder callables and a test pins the equality,
+# so the two can no longer drift (they did through r8: two builders had
+# no published name).
 SETUP_INDEX_NAMES = [
-    "doc_tokens", "shingle_index", "lsh_buckets", "char_trigrams",
-    "tfidf_tf", "vector_norms", "ivf_assignment", "kmeans_fixed_point",
-    "simhash_fingerprints", "minhash_signatures", "near_dup_cluster_labels",
-    "file_listing", "semdedup_assignment", "shingle_df", "shingle_sizes",
-    "textrank_cooccurrence_graph", "bm25_doclen_df_stats",
-    "langid_trained_profiles", "jaccard_pairs_capped", "hist_value_agg",
-    "contam_gram_index", "contam_eval_set", "dsir_score_table",
-    "bloom_eval_bitmap",
+    "doc_tokens", "shingle_index", "shingle_df", "shingle_sizes",
+    "simhash_fingerprints", "minhash_signatures", "lsh_buckets",
+    "char_trigrams", "tfidf_tf", "bm25_doclen_df_stats",
+    "langid_trained_profiles", "textrank_cooccurrence_graph",
+    "vector_norms", "kmeans_fixed_point", "ann_query_set",
+    "ivf_assignment", "int8_quantized_vectors", "near_dup_cluster_labels",
+    "file_listing", "semdedup_assignment", "jaccard_pairs_capped",
+    "hist_value_agg", "contam_gram_index", "contam_eval_set",
+    "dsir_score_table", "bloom_eval_bitmap",
 ]
 
 
-def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
-    """Materialize every shared derived index into ``ctx`` and warm the
-    long-lived runtimes (Arrow python workers, Structured Streaming
-    execution threads — both persistent on a real cluster)."""
+def setup_builders() -> dict:
+    """Published name -> builder callable, in build order. The single
+    source of truth `build_setup_indexes` iterates and the pin
+    `tests/test_fixture_contract.py` holds against SETUP_INDEX_NAMES."""
     from databricks_observe_spark.functions.textfns import doc_tokens
     from databricks_observe_spark.operators.catalog_ops import (
         _file_stats,
@@ -65,15 +69,41 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         _tfidf_tf_frame,
     )
 
-    for build in (
-        doc_tokens, _shingled, _shingle_df, _shingle_sizes, _simhash_fps,
-        minhash_signatures, _bucketed, _char_trigrams, _tfidf_tf_frame,
-        _bm25_index, _langid_profiles, _textrank_graph, _doubled,
-        _centroids_bc, _query_set_bc, _ivf_assigned, _quantized,
-        _cluster_labels, _file_stats, _semdedup_assigned,
-        ngram_jaccard_pairs_capped, _hist_vals, _contam_grams,
-        _contam_eval_set, _dsir_scores, _bloom_filter_df,
-    ):
+    return {
+        "doc_tokens": doc_tokens,
+        "shingle_index": _shingled,
+        "shingle_df": _shingle_df,
+        "shingle_sizes": _shingle_sizes,
+        "simhash_fingerprints": _simhash_fps,
+        "minhash_signatures": minhash_signatures,
+        "lsh_buckets": _bucketed,
+        "char_trigrams": _char_trigrams,
+        "tfidf_tf": _tfidf_tf_frame,
+        "bm25_doclen_df_stats": _bm25_index,
+        "langid_trained_profiles": _langid_profiles,
+        "textrank_cooccurrence_graph": _textrank_graph,
+        "vector_norms": _doubled,
+        "kmeans_fixed_point": _centroids_bc,
+        "ann_query_set": _query_set_bc,
+        "ivf_assignment": _ivf_assigned,
+        "int8_quantized_vectors": _quantized,
+        "near_dup_cluster_labels": _cluster_labels,
+        "file_listing": _file_stats,
+        "semdedup_assignment": _semdedup_assigned,
+        "jaccard_pairs_capped": ngram_jaccard_pairs_capped,
+        "hist_value_agg": _hist_vals,
+        "contam_gram_index": _contam_grams,
+        "contam_eval_set": _contam_eval_set,
+        "dsir_score_table": _dsir_scores,
+        "bloom_eval_bitmap": _bloom_filter_df,
+    }
+
+
+def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
+    """Materialize every shared derived index into ``ctx`` and warm the
+    long-lived runtimes (Arrow python workers, Structured Streaming
+    execution threads — both persistent on a real cluster)."""
+    for build in setup_builders().values():
         build(ctx)
 
     # warm the Arrow python workers (long-lived on a real cluster) so

@@ -108,3 +108,15 @@ def test_priority_rotation_names_all_resolve():
     # every query has an oracle except the declared rows-only tail
     no_oracle = set(qs) - set(R.oracle_sql())
     assert no_oracle == {"approx_user_counts"}
+
+
+def test_setup_names_one_to_one_with_builders():
+    """bench.py publishes SETUP_INDEX_NAMES as the declared setup phase;
+    it must be exactly the builder map's keys IN ORDER (the two drifted
+    through r8: 24 published names vs 26 builders)."""
+    from databricks_observe_spark.setup_phase import (
+        SETUP_INDEX_NAMES,
+        setup_builders,
+    )
+
+    assert list(setup_builders().keys()) == SETUP_INDEX_NAMES

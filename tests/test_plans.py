@@ -952,3 +952,16 @@ def test_dedup_threshold_sweep_joins_only_grid_frames(tables):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_observability_report_broadcast_build_no_smj(tables):
+    from databricks_observe_spark.operators import catalog_ops as C
+
+    plan = _plan(C.observability_report(tables))
+    # the fused catalog-sized build side (files + drift + bins) must stay
+    # all-broadcast by HINT, not by Catalyst size estimates for aggregate
+    # outputs (which can exceed autoBroadcastJoinThreshold and silently
+    # plan SortMergeJoins inside the build — r8 ADVICE item)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -43,11 +43,17 @@ def run_bench(sf: str) -> dict:
         text=True,
         check=True,
     ).stdout
+    # bench.py prints TWO JSON lines; select the full one by KEY (it
+    # carries the per-query map, the compact one carries `compact: true`)
+    # rather than by line position, so reordering can't break this.
     for line in out.splitlines():
         line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON line from bench.py at {sf}")
+        if not line.startswith("{"):
+            continue
+        parsed = json.loads(line)
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return parsed
+    raise RuntimeError(f"no full JSON line (with 'queries') from bench.py at {sf}")
 
 
 def classify(growth: float) -> str:
