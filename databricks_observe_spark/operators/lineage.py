@@ -129,6 +129,17 @@ def transitive_closure_doubling(
     output-sized. Cycle-tolerant for the same reason as the BFS form
     (UNION-dedup against the accumulated set reaches the finite
     fixpoint). Returns (closure, rounds) so callers can log the cadence.
+
+    Rejected alternatives (measured r09, kept so they aren't re-tried):
+    (a) fusing TWO doubling steps per job (quadrupling) to halve the job
+    count — 3.20 s vs 1.85 s best-of-3 at the deep fixture: each fused
+    job pays ~3x the broadcast/shuffle work (the un-checkpointed first
+    step recomputes as the second step's broadcast build), and the
+    per-step exchange cost, not the driver round-trip, dominates; (b)
+    Spark 4.1's native WITH RECURSIVE — it supports only UNION ALL
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), and without UNION-dedup a
+    cyclic lineage graph never reaches the fixpoint (the deep fixture's
+    cyc_x/y/z triangle would hit the recursion limit, not terminate).
     """
     # Partitioning tracks the MEASURED closure size (one partition per
     # ~200k pairs, min 1) instead of inheriting the session shuffle
