@@ -965,3 +965,17 @@ def test_observability_report_broadcast_build_no_smj(tables):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_score_auc_parts_same_plan_discipline(tables):
+    from databricks_observe_spark.operators import text as T
+
+    plan = _plan(T.score_auc_parts(tables))
+    # identical shape to score_auc minus the final integer-div projection:
+    # memoized score table, broadcast label join, corpus collapsed onto
+    # the bounded milli grid before the rank window
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
