@@ -552,6 +552,13 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # frozen since r06; sibling multimodal_meta heads, and media_features
 # covers the Arrow-decode path at r07). These three MUST head r10.
 #
+# R10 NOTE: tokenizer_fertility and perplexity_buckets changed code in
+# r09 (memoized written-artifact reads: _bpe_encodings / _unigram_lp,
+# bit-identical output, local-oracle green) — they are r07-cohort rows
+# that hit the tier-2 boundary in r10 anyway, so the change costs no
+# extra slot; r10's head = the 3 deferrals + the 45-query r07 cohort
+# (which includes both) + the smoke anchor, leaving ~1 slot spare.
+#
 # Expected r09 head usage: 1 + 2 + 9 + 37 + 1 = 50 rows, exactly the
 # observed cap. `approx_user_counts` stays pinned to the very TAIL of
 # the full ordering (see _ordered_names): its row is permanently

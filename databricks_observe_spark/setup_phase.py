@@ -26,7 +26,8 @@ SETUP_INDEX_NAMES = [
     "ivf_assignment", "int8_quantized_vectors", "near_dup_cluster_labels",
     "file_listing", "semdedup_assignment", "jaccard_pairs_capped",
     "hist_value_agg", "contam_gram_index", "contam_eval_set",
-    "dsir_score_table", "bloom_eval_bitmap",
+    "dsir_score_table", "unigram_lp_table", "bpe_encoded_vocab",
+    "bloom_eval_bitmap",
 ]
 
 
@@ -62,11 +63,13 @@ def setup_builders() -> dict:
     )
     from databricks_observe_spark.operators.text import (
         _bm25_index,
+        _bpe_encodings,
         _char_trigrams,
         _dsir_scores,
         _langid_profiles,
         _textrank_graph,
         _tfidf_tf_frame,
+        _unigram_lp,
     )
 
     return {
@@ -95,6 +98,8 @@ def setup_builders() -> dict:
         "contam_gram_index": _contam_grams,
         "contam_eval_set": _contam_eval_set,
         "dsir_score_table": _dsir_scores,
+        "unigram_lp_table": _unigram_lp,
+        "bpe_encoded_vocab": _bpe_encodings,
         "bloom_eval_bitmap": _bloom_filter_df,
     }
 

@@ -836,14 +836,16 @@ def test_tokenizer_fertility_vocab_join_and_pruned_scan(tables):
     from databricks_observe_spark.operators import text as T
 
     plan = _plan(T.tokenizer_fertility(tables))
-    # the per-word encode walk reads the memoized token index; the only
-    # parquet work is the (lang, text) projection for occurrence weights
-    assert "ReadSchema: struct<text:string,lang:string>" in plan
+    # the per-word encode walk lives in the memoized encoded-vocab table
+    # and the occurrence weights come from the memoized tf index (two
+    # Scan ExistingRDD) — the only parquet work is the (doc_id, lang)
+    # projection, and the merge-table broadcast no longer appears in
+    # this plan at all
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+    assert plan.count("Scan ExistingRDD") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the merge table rides in as a broadcast 1-row array — never a
-    # shuffle keyed on it
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_score_calibration_single_band_aggregate(tables):
