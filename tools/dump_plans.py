@@ -303,8 +303,9 @@ COMMENTARY = {
         "(row-group-metadata-cheap, scheduled concurrently); catalog "
         "enrichment, schema sizes, the memoized 10-row file stats, the "
         "driver-side drift diff, and the file-index compaction bins all "
-        "broadcast onto it — one job replaces the reference's 3N+1 "
-        "serial remote round-trips."
+        "broadcast onto it (explicit hints since r09, plan-gated: no "
+        "SortMergeJoin can appear inside the fused build) — one job "
+        "replaces the reference's 3N+1 serial remote round-trips."
     ),
     "bm25_scores": (
         "BM25 probe retrieval: the memoized tf index joins the broadcast "
@@ -431,11 +432,12 @@ COMMENTARY = {
         "over that tiny frame — exact-integer budget exhaustion."
     ),
     "score_auc": (
-        "DSIR scores re-derive from the memoized tf index (broadcast "
-        "log-ratio join); docs collapse onto the bounded milli-score "
-        "grid (|avg lr| <= ln(1e9) by construction) in one map-side "
-        "combined aggregate, so the tie-aware rank window never sees "
-        "corpus rows."
+        "DSIR scores read from the memoized written score table; docs "
+        "collapse onto the bounded milli-score grid (|avg lr| <= "
+        "ln(1e9) by construction) in one map-side combined aggregate, "
+        "so the tie-aware rank window never sees corpus rows. Since "
+        "r09 the hashed output is integer-only: auc_micro is one exact "
+        "DECIMAL(38,0) integral division (no doubles anywhere)."
     ),
     "source_overlap_matrix": (
         "No gram-keyed self-join: grams fold to bounded collect_set "
@@ -444,9 +446,9 @@ COMMENTARY = {
         "the containment denominator — one pass over the shingle index."
     ),
     "tokenizer_fertility": (
-        "The greedy BPE walk runs once per DISTINCT vocab word (the "
-        "bpe_apply_merges frame); occurrence weights collapse the "
-        "corpus to the (lang,word) frame in one scan; the two "
+        "The greedy BPE walk lives in the memoized encoded-vocab table "
+        "and occurrence weights come from the memoized tf index joined "
+        "to the (doc_id,lang) projection — no re-tokenize; the two "
         "vocab-sized frames join and fold to language cardinality."
     ),
     "score_calibration": (
