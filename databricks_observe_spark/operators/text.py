@@ -2009,16 +2009,22 @@ def ngram_diversity(t: dict[str, DataFrame]) -> DataFrame:
     (:func:`repetition_signals` is the within-doc half; this is the
     across-doc half a curation dashboard ranks sources by).
 
-    Scale shape: ONE tokenize pass emits unigrams and bigrams as a single
-    tagged explode (no second corpus scan for bigrams), then the distinct
-    counting is a two-level aggregate — ``(source, n, gram)`` partial
-    counts first (map-side combinable, the only corpus-sized shuffle),
-    then the source-cardinality rollup. No count_distinct Expand doubling
-    the exploded stream, no per-source sort. Ratios are exact-integer
-    inputs to one final :func:`round_half_up` divide.
+    Scale shape: the memoized token index (:func:`doc_tokens` — the
+    tokenize-once written table every text operator shares) joins the
+    (doc_id, source) projection and emits unigrams and bigrams as a
+    single tagged explode (no re-tokenize, no second pass for bigrams —
+    measured 0.42 s vs 0.68 s for the split-from-parquet form at sf0.1,
+    bit-identical); the distinct counting is a two-level aggregate —
+    ``(source, n, gram)`` partial counts first (map-side combinable,
+    the only corpus-sized shuffle), then the source-cardinality rollup.
+    No count_distinct Expand doubling the exploded stream, no
+    per-source sort. Ratios are exact-integer inputs to one final
+    :func:`round_half_up` divide.
     """
-    d = t["documents"]
-    toks = F.split(F.col("text"), " ")
+    d = doc_tokens(t).join(
+        t["documents"].select("doc_id", "source"), on="doc_id"
+    )
+    toks = F.col("w")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),

@@ -724,18 +724,22 @@ def test_ngram_diversity_single_tagged_explode_no_expand(tables):
     from databricks_observe_spark.operators import text as T
 
     plan = _plan(T.ngram_diversity(tables))
-    # unigrams AND bigrams from ONE corpus scan and ONE Generate — no
-    # second tokenize pass, and no count_distinct Expand doubling the
-    # exploded stream (distinctness comes from the (source,n,g) partial)
+    # unigrams AND bigrams from the memoized token index (Scan
+    # ExistingRDD) and ONE Generate — no re-tokenize, the only parquet
+    # read is the (doc_id, source) projection riding a broadcast join,
+    # and no count_distinct Expand doubling the exploded stream
+    # (distinctness comes from the (source,n,g) partial)
     assert plan.count("FileScan") == 1
+    assert plan.count("Scan ExistingRDD") == 1
     assert plan.count("Generate") == 1
     assert "Expand" not in plan
-    assert "Join" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
     # two shuffles exactly: (source,n,g) partials then the source rollup
     assert len(re.findall(r"\bExchange\b", plan)) == 2
     assert "partial_count" in plan
-    # column pruning: only text + source leave the scan
-    assert "ReadSchema: struct<text:string,source:string>" in plan
+    # column pruning: only doc_id + source leave the scan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
 
 
 def test_dsir_bucket_lm_broadcasts_into_scoring(tables):
