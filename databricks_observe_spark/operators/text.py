@@ -1243,21 +1243,26 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     corpus distribution — the distribution-shift score a curation pass uses
     to flag outlier/templated documents (high KL = atypical vocabulary).
 
-    p = tf/len(doc), q = cf/total; KL = sum p*ln(p/q). Per-term doubles are
-    deterministic (fixed expression per row); the per-doc SUM is made
-    order-independent by quantizing each term to integer pico-units
-    (``floor(x*1e12 + 0.5)``, the round_half_up formula kept integral)
+    p = tf/len(doc), q = cf/total; KL = sum p*ln(p/q). The per-doc SUM is
+    made order-independent by quantizing each term to integer pico-units
     and summing as DECIMAL — bit-identical across engines and
     partitionings. Two corpus
     shuffles (doc-term, corpus-term), both map-side combined; the corpus
     frequency side is vocab-sized -> joined without a forced broadcast.
 
-    Shares :func:`unigram_logprob`'s transcendental guard: the p/q ratio
-    is quantized to the 1e-9 grid (clamped >= 1 nano) BEFORE ``ln``, so
-    the log's input is an identical grid-discrete double on both engines
-    and the attained set is finite — tests verify every attained point
-    rounds with margin, so a 1-ulp libm divergence cannot flip the
-    12-decimal term rounding."""
+    Transcendental guard, HARDENED r09: the p/q ratio is quantized to
+    the 1e-9 grid (clamped >= 1 nano) BEFORE ``ln`` as everywhere, and —
+    new — the log is floored to the integer micro grid (``lr_micro``)
+    BEFORE the p-weighting, so the ONLY engine-variant operation
+    (``ln``) is isolated behind a floor whose attained points clear
+    their boundaries by >=2.5e5 ulp (tests/test_ln_boundary.py, both
+    fixture scales). The pico term ``floor((p*lr_micro)*1e6 + 0.5)``
+    then uses exclusively correctly-rounded IEEE ops on bit-identical
+    inputs, so it CANNOT diverge cross-engine regardless of boundary
+    proximity. The previous form floored ``p*ln(...)*1e12`` directly —
+    at sf0.01 its worst attained point sat only 1.66x the propagated
+    1-ulp error from a boundary (measured r09), i.e. one adverse libm
+    pairing from the score_auc r07/r08 failure class."""
     # every moment derives from the memoized (doc_id, tok, tf) index —
     # n = sum(tf) per doc, cf = sum(tf) per tok, total = sum(tf) — the
     # same exact integers the old three corpus re-explodes computed, at
@@ -1272,13 +1277,18 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     p = F.col("tf").cast("double") / F.col("n")
     q = F.col("cf").cast("double") / F.col("total")
     r_nano = F.greatest(F.floor(p / q * F.lit(1e9) + F.lit(0.5)), F.lit(1))
-    # per-term pico-units (1e-12): floor(x*1e12 + 0.5) is a BIGINT-valued
-    # half-up quantization — the same engine-free formula as round_half_up
-    # but kept integral so the per-doc SUM is exact decimal arithmetic
-    # (no double->decimal cast, which would reintroduce the engine-
-    # specific shortest-repr conversion this round removed).
+    # the ln is floored to the integer micro grid FIRST (the only
+    # engine-variant op, wide-margin by test), then the pico term is
+    # pure IEEE arithmetic on bit-identical inputs: ((p * lr) * 1e6)
+    # with this exact association on both engines. floor(x + 0.5) is
+    # the round_half_up formula kept integral so the per-doc SUM is
+    # exact decimal arithmetic (no double->decimal cast, which would
+    # reintroduce the engine-specific shortest-repr conversion).
+    lr_micro = F.floor(
+        F.log(r_nano / F.lit(1e9)) * F.lit(1000000.0) + F.lit(0.5)
+    )
     term_units = F.floor(
-        p * F.log(r_nano / F.lit(1e9)) * F.lit(1e12) + F.lit(0.5)
+        (p * lr_micro) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("decimal(38,0)")
     # cf carries one row per distinct token — vocab-sized at 100 TB, so no
     # broadcast hint (AQE decides); tot is a scalar and always ships.
@@ -1295,11 +1305,17 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-_KL_TERM_UNITS_SQL = """CAST(floor((CAST(tf AS DOUBLE) / n) *
+# ln floored to integer micro FIRST (the only engine-variant op), then
+# the pico term is ((p * lr_micro) * 1e6) — the exact association the
+# Spark twin uses, all correctly-rounded IEEE ops on identical inputs.
+_KL_LR_MICRO_SQL = """CAST(FLOOR(
                      ln(GREATEST(FLOOR((CAST(tf AS DOUBLE) / n)
                                        / (CAST(cf AS DOUBLE) / total)
                                        * 1000000000.0 + 0.5), 1)
-                        / 1000000000.0) * 1000000000000.0 + 0.5)
+                        / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT)"""
+
+_KL_TERM_UNITS_SQL = f"""CAST(floor(((CAST(tf AS DOUBLE) / n)
+                     * {_KL_LR_MICRO_SQL}) * 1000000.0 + 0.5)
                AS DECIMAL(38,0))"""
 
 UNIGRAM_KL_SQL = f"""

@@ -541,7 +541,12 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # the derived column, so the green/red pair localizes any remaining
 # divergence in one driver round; (c) the NINE queries stranded at r05 —
 # three rounds stale, the oldest evidence in the repo — mandatory;
-# (d) 37 of the 40 r06-cohort rows (tier 2 at the 3-round boundary);
+# (d) 37 of the 40 r06-cohort rows (tier 2 at the 3-round boundary) —
+# of these, unigram_kl ALSO changed code+oracle this round (the
+# lr-micro ln hardening: the old direct p*ln*1e12 floor measured a
+# worst attained boundary margin of 1.66x the propagated error at
+# sf0.01, one adverse libm pairing from the score_auc failure class),
+# so its tier-1 and tier-2 obligations land on the same slot;
 # (e) tier-1 rows changed THIS round: observability_report (broadcast
 # hints + plan gate, ADVICE item). ZERO new queries besides the
 # score_auc_parts localization companion, per the verdict's cap.

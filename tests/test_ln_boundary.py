@@ -5,7 +5,7 @@ cross-libm ``ln`` divergence (the score_auc r07/r08 driver-env class)
 fails loudly here as a named test instead of silently as a red
 CORRECTNESS row.
 
-Three hashed families, checked at BOTH fixture scales — sf0.001 (the
+Six hashed families, checked at BOTH fixture scales — sf0.001 (the
 pytest scale) and sf0.01 (the scale the driver's differential oracle
 actually runs at, which the pre-existing Spark-side margin tests in
 ``test_text_multimodal.py`` / ``test_runs_events.py`` never touched):
@@ -17,6 +17,10 @@ actually runs at, which the pre-existing Spark-side margin tests in
   perplexity_buckets and unigram_kl's r_nano side.
 - drift nano grid (``events.py:psi_from_counts``) — feeds drift_psi and
   streaming_drift_psi (same constants, same counts frame).
+- unigram-kl lr-micro grid (``text.py:unigram_kl``, r09 hardened form:
+  the ln floors to integer micro BEFORE the p-weighting, so this grid
+  is the query's ONLY engine-variant site).
+- bm25 idf grid (``text.py:bm25_scores``) over the probe-query tokens.
 
 Margin rule (error-relative, house form): a 1-ulp ln error moves the
 scaled pre-floor value by at most ``|y| * 1.2e-16``; we assert every
@@ -155,3 +159,69 @@ FROM grid g LEFT JOIN counts c
         pts.add(max(math.floor((rn + 1) / float(rt + DRIFT_N_BINS) * 1e9 + 0.5), 1))
         pts.add(max(math.floor((cn + 1) / float(ct + DRIFT_N_BINS) * 1e9 + 0.5), 1))
     _assert_margins([math.log(float(p)) * 1e6 + 0.5 for p in pts], "drift")
+
+
+def test_unigram_kl_lr_micro_grid_boundary_distance(con):
+    """The r09 hardening's load-bearing fact: kl's only engine-variant
+    op is this ln grid (observed minima 2.5e5 ulp at sf0.001, 2e6 at
+    sf0.01); the pre-r09 direct p*ln*1e12 floor measured a worst
+    attained margin of only 1.66x the propagated error at sf0.01."""
+    rows = con.execute(
+        """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf)
+SELECT DISTINCT tf.tf, n.n, cf.cf, tot.total
+FROM tf JOIN n USING (doc_id) JOIN cf USING (tok) CROSS JOIN tot
+"""
+    ).fetchall()
+    pts = set()
+    for tf_, n_, cf_, total in rows:
+        p = tf_ / n_
+        pts.add(max(math.floor(p / (cf_ / total) * 1e9 + 0.5), 1))
+    _assert_margins([math.log(p / 1e9) * 1e6 + 0.5 for p in pts], "kl_lr")
+
+
+def test_bm25_idf_grid_boundary_distance(con):
+    from databricks_observe_spark.operators.text import BM25_QUERIES
+
+    probe = sorted({tok for _, toks in BM25_QUERIES for tok in toks})
+    toklist = ", ".join(f"'{tok}'" for tok in probe)
+    rows = con.execute(
+        f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+       WHERE tok IN ({toklist}) GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT df.df, nd.n_docs FROM df CROSS JOIN nd
+"""
+    ).fetchall()
+    pts = {
+        max(math.floor((1.0 + (nd - df_ + 0.5) / (df_ + 0.5)) * 1e9 + 0.5), 1)
+        for df_, nd in rows
+    }
+    _assert_margins([math.log(p / 1e9) * 1e6 + 0.5 for p in pts], "bm25")
+
+
+def test_tfidf_product_grid_boundary_distance(con):
+    """tfidf's hashed score floors tf * ln(n_docs/df) * 1e6 directly (a
+    product-form floor like kl's pre-r09 shape) — measured safe at HEAD
+    (min 5.7e7 ulp, the tf multipliers are small and the attained set
+    tiny), so no hardening needed; this canary keeps it visible."""
+    rows = con.execute(
+        """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT DISTINCT tf.tf, df.df, n.n_docs
+FROM tf JOIN df USING (tok) CROSS JOIN n
+"""
+    ).fetchall()
+    ys = [tf_ * math.log(nd / df_) * 1e6 + 0.5 for tf_, df_, nd in rows]
+    _assert_margins(ys, "tfidf")
