@@ -48,3 +48,18 @@ def sql_round_half_up(expr: str, n: int) -> str:
     Spark SQL; both floor/divide the same IEEE doubles)."""
     s = repr(_scale(n))
     return f"(floor(({expr}) * {s} + 0.5) / {s})"
+
+
+def sql_nano_grid(expr: str) -> str:
+    """The package's quantize-before-transcendental grid, as ONE shared
+    SQL fragment: ``GREATEST(FLOOR((expr) * 1e9 + 0.5), 1)`` — the 1e-9
+    half-up quantization (clamped >= 1 nano so ``ln(0)`` is unreachable)
+    every ln/pow oracle applies to its input BEFORE the transcendental.
+
+    Single-sourced here so the oracle SQL constants (logprob, DSIR, kl,
+    bm25) and the boundary canaries in ``tests/test_ln_boundary.py``
+    compose the IDENTICAL text: a formula change in one place re-derives
+    both the shipped oracle and the canary's attained grid, closing the
+    silent de-sync the r09 self-review flagged (valid in DuckDB and
+    Spark SQL; pure IEEE ops either side of the floor)."""
+    return f"GREATEST(FLOOR(({expr}) * 1000000000.0 + 0.5), 1)"

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from databricks_observe_spark.functions.rounding import (
     round_half_up,
+    sql_nano_grid,
     sql_round_half_up,
 )
 from databricks_observe_spark.functions.textfns import doc_tokens
@@ -485,14 +486,18 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-UNIGRAM_LOGPROB_SQL = """
+# the unigram corpus-probability nano grid — shared by the logprob and
+# perplexity oracles and the boundary canary (same CTE aliases there)
+_UNIGRAM_NANO_SQL = sql_nano_grid("ctf.ctf / tot.total")
+
+UNIGRAM_LOGPROB_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY tok),
 tot AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS total FROM ctf),
 scored AS (
   SELECT tf.doc_id, tf.tf,
-         CAST(FLOOR(ln(GREATEST(FLOOR(ctf.ctf / tot.total * 1000000000.0 + 0.5), 1)
+         CAST(FLOOR(ln({_UNIGRAM_NANO_SQL}
                        / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
   FROM tf JOIN ctf ON tf.tok = ctf.tok CROSS JOIN tot
 )
@@ -564,14 +569,14 @@ def perplexity_buckets(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-PERPLEXITY_BUCKETS_SQL = """
+PERPLEXITY_BUCKETS_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY tok),
 tot AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS total FROM ctf),
 lpterm AS (
   SELECT tf.doc_id, tf.tf,
-         CAST(FLOOR(ln(GREATEST(FLOOR(ctf.ctf / tot.total * 1000000000.0 + 0.5), 1)
+         CAST(FLOOR(ln({_UNIGRAM_NANO_SQL}
                        / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
   FROM tf JOIN ctf ON tf.tok = ctf.tok CROSS JOIN tot
 ),
@@ -1308,10 +1313,13 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
 # ln floored to integer micro FIRST (the only engine-variant op), then
 # the pico term is ((p * lr_micro) * 1e6) — the exact association the
 # Spark twin uses, all correctly-rounded IEEE ops on identical inputs.
-_KL_LR_MICRO_SQL = """CAST(FLOOR(
-                     ln(GREATEST(FLOOR((CAST(tf AS DOUBLE) / n)
-                                       / (CAST(cf AS DOUBLE) / total)
-                                       * 1000000000.0 + 0.5), 1)
+# the kl p/q ratio nano grid — shared by the oracle and the canary
+_KL_NANO_SQL = sql_nano_grid(
+    "(CAST(tf AS DOUBLE) / n) / (CAST(cf AS DOUBLE) / total)"
+)
+
+_KL_LR_MICRO_SQL = f"""CAST(FLOOR(
+                     ln({_KL_NANO_SQL}
                         / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT)"""
 
 _KL_TERM_UNITS_SQL = f"""CAST(floor(((CAST(tf AS DOUBLE) / n)
@@ -1974,6 +1982,13 @@ def bm25_scores(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# the bm25 idf nano grid (aliases: s = corpus stats, d = df frame) —
+# shared by the oracle and the boundary canary
+_BM25_IDF_NANO_SQL = sql_nano_grid(
+    "1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)"
+)
+
+
 def _bm25_sql() -> str:
     terms = ", ".join(
         f"('{qid}', '{tok}')" for qid, toks in BM25_QUERIES for tok in toks
@@ -1988,8 +2003,7 @@ terms AS (SELECT * FROM (VALUES {terms}) AS v(query_id, tok)),
 scored AS (
   SELECT t.query_id, tf.doc_id,
          CAST(SUM(FLOOR(
-           FLOOR(ln(GREATEST(FLOOR((1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                                   * 1000000000.0 + 0.5), 1)
+           FLOOR(ln({_BM25_IDF_NANO_SQL}
                      / 1000000000.0) * 1000000.0 + 0.5)
            * ((tf.tf * CAST({BM25_K1 + 1.0} AS DOUBLE)) /
               (tf.tf + CAST({BM25_K1} AS DOUBLE)
@@ -2191,10 +2205,16 @@ def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _dsir_nano_sql(cnt: str, total: str) -> str:
+    """The DSIR Laplace-smoothed nano grid — shared by the oracle and
+    the boundary canary so the two can never de-sync."""
+    return sql_nano_grid(f"({cnt} + 1) / ({total} + {DSIR_BUCKETS}.0)")
+
+
 def _dsir_lp_micro_sql(cnt: str, total: str) -> str:
     return (
-        f"FLOOR(ln(GREATEST(FLOOR(({cnt} + 1) / ({total} + {DSIR_BUCKETS}.0)"
-        f" * 1000000000.0 + 0.5), 1) / 1000000000.0) * 1000000.0 + 0.5)"
+        f"FLOOR(ln({_dsir_nano_sql(cnt, total)} / 1000000000.0)"
+        " * 1000000.0 + 0.5)"
     )
 
 

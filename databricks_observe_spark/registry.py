@@ -542,14 +542,17 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # divergence in one driver round; (c) the NINE queries stranded at r05 —
 # three rounds stale, the oldest evidence in the repo — mandatory;
 # (d) 37 of the 40 r06-cohort rows (tier 2 at the 3-round boundary) —
-# of these, unigram_kl ALSO changed code+oracle this round (the
+# one of them, unigram_kl, ALSO changed code+oracle this round (the
 # lr-micro ln hardening: the old direct p*ln*1e12 floor measured a
 # worst attained boundary margin of 1.66x the propagated error at
 # sf0.01, one adverse libm pairing from the score_auc failure class),
-# so its tier-1 and tier-2 obligations land on the same slot;
-# (e) tier-1 rows changed THIS round: observability_report (broadcast
-# hints + plan gate, ADVICE item). ZERO new queries besides the
-# score_auc_parts localization companion, per the verdict's cap.
+# so it is PROMOTED into the tier-1 block below;
+# (e) tier-1 rows changed THIS round — observability_report (broadcast
+# hints + plan gate, ADVICE item) and the promoted unigram_kl — listed
+# EARLY (positions 4-5), not at the cap boundary, so a 1-2 row driver
+# budget shortfall cannot drop a mandatory tier-1 refresh. ZERO new
+# queries besides the score_auc_parts localization companion, per the
+# verdict's cap.
 #
 # Tier-3 deferrals to r10 (named; each has a same-code-path sibling in
 # this head): discovered_objects_live (twin of discovered_objects,
@@ -557,14 +560,16 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # frozen since r06; sibling multimodal_meta heads, and media_features
 # covers the Arrow-decode path at r07). These three MUST head r10.
 #
-# R10 NOTE: tokenizer_fertility and perplexity_buckets changed code in
-# r09 (memoized written-artifact reads: _bpe_encodings / _unigram_lp,
-# bit-identical output, local-oracle green) — they are r07-cohort rows
-# that hit the tier-2 boundary in r10 anyway, so the change costs no
-# extra slot; r10's head = the 3 deferrals + the 45-query r07 cohort
-# (which includes both) + the smoke anchor, leaving ~1 slot spare.
+# R10 NOTE: tokenizer_fertility, perplexity_buckets AND ngram_diversity
+# changed code in r09 (memoized written-artifact reads: _bpe_encodings /
+# _unigram_lp / doc_tokens, bit-identical output, local-oracle green) —
+# all three are r07-cohort rows that hit the tier-2 boundary in r10
+# anyway, so the changes cost no extra slot; r10's head = the 3
+# deferrals + the 45-query r07 cohort (which includes all three) + the
+# smoke anchor, leaving ~1 slot spare. Per the r09 self-review: list
+# tier-1 rows EARLY in the head, not at the cap boundary.
 #
-# Expected r09 head usage: 1 + 2 + 9 + 37 + 1 = 50 rows, exactly the
+# Expected r09 head usage: 1 + 2 + 2 + 9 + 36 = 50 rows, exactly the
 # observed cap. `approx_user_counts` stays pinned to the very TAIL of
 # the full ordering (see _ordered_names): its row is permanently
 # `no_oracle` (engine-specific HLL sketch values — rows-only by design)
@@ -574,6 +579,11 @@ _PRIORITY = [
     # (b) the AUC experiment pair — positions 2-3, per the r08 verdict
     "score_auc",
     "score_auc_parts",
+    # (e) tier-1 rows changed THIS round — early, NOT at the cap
+    # boundary, so a 1-2 row driver budget shortfall cannot drop a
+    # mandatory tier-1 refresh (r09 self-review finding)
+    "observability_report",
+    "unigram_kl",
     # (c) r05-stale — three rounds, mandatory this round
     "chunk_dedup",
     "column_histograms",
@@ -617,13 +627,10 @@ _PRIORITY = [
     "time_rollup_multigrain",
     "token_count_regex",
     "top_orders_per_customer",
-    "unigram_kl",
     "unigram_logprob",
     "value_deciles",
     "weighted_sample_topk",
     "zone_map_plan",
-    # (e) tier-1: code changed this round
-    "observability_report",
 ]
 
 

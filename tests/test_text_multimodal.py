@@ -816,11 +816,17 @@ def test_score_auc_matches_python_recompute(tables):
     assert got.auc_micro == (1000000 * num2 + n_pos * n_neg) // (
         2 * n_pos * n_neg
     )
-    # the retired float form (auc_r) is pinned here as the display form:
-    # auc_micro/1e6 must equal the old round_half_up(num2/(2PN), 6)
-    assert got.auc_micro / 1e6 == math.floor(
-        num2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5
-    ) / 1e6
+    # the retired float form (auc_r) is pinned here as the display form.
+    # Tolerance of ONE micro-unit: the reference value below is computed
+    # in double arithmetic (exactly the boundary-unsafe form the r09
+    # change retired), so on a future fixture whose exact quotient sits
+    # within a double-rounding of a k+0.5 boundary the DOUBLE side may
+    # flip — the exact integer auc_micro is the authoritative one and is
+    # already pinned bit-exactly above (r09 self-review finding).
+    assert (
+        abs(got.auc_micro - math.floor(num2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5))
+        <= 1
+    )
     # the score must genuinely rank the target language (else the eval
     # gate is vacuous)
     assert got.auc_micro > 550000
