@@ -2341,8 +2341,25 @@ def score_auc_parts(t: dict[str, DataFrame]) -> DataFrame:
     derived column, so a green/red driver pair pins any cross-engine
     divergence to one projection. See :func:`_auc_terms` for semantics
     and the scale argument.
+
+    r10: the hashed projection is all-BIGINT. The r09 localization run
+    showed BOTH rows red at the driver while bit-identical locally, with
+    ``auc_num2`` the only DECIMAL-typed output column in the whole
+    146-query registry — the driver's order-insensitive hasher evidently
+    canonicalizes Spark ``DecimalType(38,0)`` and DuckDB
+    ``DECIMAL(38,0)`` differently (e.g. Arrow decimal128 vs int64
+    paths). So the DECIMAL(38,0) envelope stays INTERNAL to
+    :func:`_auc_terms` (where it is load-bearing: 2*U is O(P*N) and
+    exceeds int64 past ~3e9 docs) and the output is
+    ``CAST(auc_num2 AS BIGINT)`` on both engines — safe at any fixture
+    scale where ``2*P*N < 2^63`` (~9.2e18; the envelope pin lives in
+    ``tests/test_text_multimodal.py``).
     """
-    return _auc_terms(t)
+    return _auc_terms(t).select(
+        "n_pos",
+        "n_neg",
+        F.col("auc_num2").cast("bigint").alias("auc_num2"),
+    )
 
 
 def score_auc(t: dict[str, DataFrame]) -> DataFrame:
@@ -2362,11 +2379,24 @@ def score_auc(t: dict[str, DataFrame]) -> DataFrame:
     hashed projection entirely (its display form, ``auc_micro / 1e6``,
     is pinned in ``tests/test_text_multimodal.py``). Exact while
     ``1e6 * P * N < 1e38`` — i.e. up to ~1e16 documents per class.
+
+    r10: ``auc_num2`` is output as BIGINT (see :func:`score_auc_parts`
+    for the driver-hasher rationale; the DECIMAL(38,0) arithmetic stays
+    internal). ``auc_micro`` was already BIGINT — Spark's ``div``
+    (IntegralDivide) returns LONG even on decimal operands.
+
+    Overflow semantics at the envelope edge (informational, pinned in
+    tests): past ~1e38 the Spark DECIMAL(38,0) product silently returns
+    NULL under the default non-ANSI mode, while DuckDB's HUGEINT twin
+    raises — a breach would surface as a NULL/hash divergence here, not
+    a loud error. Unreachable below ~1e16 docs per class; the envelope
+    pin test asserts non-null outputs so a future fixture regime change
+    fails loudly.
     """
     return _auc_terms(t).select(
         "n_pos",
         "n_neg",
-        "auc_num2",
+        F.col("auc_num2").cast("bigint").alias("auc_num2"),
         F.expr(
             "CAST(CAST(1000000 AS DECIMAL(38,0)) * auc_num2"
             " + CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DECIMAL(38,0))"
@@ -2405,16 +2435,19 @@ parts AS (
 )
 """
 
+# r10: hashed projections are all-BIGINT on both engines — the DECIMAL/
+# HUGEINT envelope stays internal to the CTE arithmetic (see
+# score_auc_parts docstring for the driver-hasher rationale).
 SCORE_AUC_PARTS_SQL = f"""
 {_AUC_TERMS_SQL}
-SELECT n_pos, n_neg, auc_num2 FROM parts
+SELECT n_pos, n_neg, CAST(auc_num2 AS BIGINT) AS auc_num2 FROM parts
 """
 
 # auc_micro: all arithmetic in HUGEINT (int128) — exact to ~1.7e38, the
 # same envelope as the Spark side's DECIMAL(38,0) div. No doubles.
 SCORE_AUC_SQL = f"""
 {_AUC_TERMS_SQL}
-SELECT n_pos, n_neg, auc_num2,
+SELECT n_pos, n_neg, CAST(auc_num2 AS BIGINT) AS auc_num2,
        CAST((1000000 * CAST(auc_num2 AS HUGEINT)
                + CAST(n_pos AS HUGEINT) * n_neg)
             // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_micro

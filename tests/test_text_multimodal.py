@@ -842,6 +842,42 @@ def test_score_auc_matches_python_recompute(tables):
     assert parts.asDict().keys() == {"n_pos", "n_neg", "auc_num2"}
 
 
+def test_score_auc_type_envelope(tables):
+    """r10 type contract for the AUC pair (the r07-r09 driver-red class):
+    the HASHED projections are all-BIGINT — auc_num2 was the only
+    DECIMAL-typed output column in the registry and exactly the only
+    hash failure — while the 2*U arithmetic INSIDE _auc_terms stays
+    DECIMAL(38,0) (load-bearing past ~3e9 docs where O(P*N) exceeds
+    int64). Also pins the overflow-behavior difference the r09 ADVICE
+    flagged: a breach of the int64 output envelope would surface as a
+    NULL under non-ANSI Spark (vs DuckDB's loud HUGEINT error), so
+    assert non-null and the 2*P*N < 2^63 safety margin explicitly."""
+    from pyspark.sql.types import DecimalType, LongType
+
+    from databricks_observe_spark.operators.text import (
+        _auc_terms,
+        score_auc,
+        score_auc_parts,
+    )
+
+    internal = _auc_terms(tables)
+    assert isinstance(
+        internal.schema["auc_num2"].dataType, DecimalType
+    ), "the >int64 envelope must stay in the internal arithmetic"
+    for df in (score_auc(tables), score_auc_parts(tables)):
+        for fld in df.schema.fields:
+            assert isinstance(fld.dataType, LongType), (
+                fld.name,
+                fld.dataType,
+            )
+    row = score_auc(tables).collect()[0]
+    assert None not in (row.n_pos, row.n_neg, row.auc_num2, row.auc_micro)
+    # BIGINT output is exact while 2*P*N < 2^63 (auc_num2 <= 2*P*N);
+    # the fixture corpus sits ~10 orders of magnitude inside that.
+    assert 2 * row.n_pos * row.n_neg < 2**63
+    assert 0 <= row.auc_num2 <= 2 * row.n_pos * row.n_neg
+
+
 def test_tokenizer_fertility_matches_weighted_recompute(tables):
     """The per-lang report must equal the occurrence-weighted rollup of
     the per-word BPE encodings (which have their own greedy-walk test),
