@@ -532,105 +532,99 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-9 plan derived from the rule:
-# (a) the smoke anchor; (b) `score_auc` + NEW `score_auc_parts` — the
-# decisive experiment the r08 verdict prescribed: score_auc's hashed
-# projection is now integer-only (exact DECIMAL-div auc_micro; the
-# double auc_r was red in BOTH the r07 and r08 driver envs while passing
-# the local differential bit-for-bit) and parts is the same row minus
-# the derived column, so the green/red pair localizes any remaining
-# divergence in one driver round; (c) the NINE queries stranded at r05 —
-# three rounds stale, the oldest evidence in the repo — mandatory;
-# (d) 37 of the 40 r06-cohort rows (tier 2 at the 3-round boundary) —
-# one of them, unigram_kl, ALSO changed code+oracle this round (the
-# lr-micro ln hardening: the old direct p*ln*1e12 floor measured a
-# worst attained boundary margin of 1.66x the propagated error at
-# sf0.01, one adverse libm pairing from the score_auc failure class),
-# so it is PROMOTED into the tier-1 block below;
-# (e) tier-1 rows changed THIS round — observability_report (broadcast
-# hints + plan gate, ADVICE item) and the promoted unigram_kl — listed
-# EARLY (positions 4-5), not at the cap boundary, so a 1-2 row driver
-# budget shortfall cannot drop a mandatory tier-1 refresh. ZERO new
-# queries besides the score_auc_parts localization companion, per the
-# verdict's cap.
+# Round-10 plan derived from the rule:
+# (a) the smoke anchor; (b) `score_auc` + `score_auc_parts` — tier 1
+# (code AND oracle changed this round: the hashed projection is now
+# all-BIGINT on both engines; the r09 localization run proved the values
+# identical and left the DECIMAL(38,0) output type as the only
+# remaining difference — auc_num2 was the single decimal-typed output
+# column in the registry and exactly the two decimal-hashing rows were
+# the only failures, so the DECIMAL envelope moved INTERNAL and the
+# output casts down; see score_auc_parts' docstring); (c) the THREE
+# r09-named tier-3 deferrals, last driver-green r06, the stalest rows
+# in the registry — discovered_objects_live, image_resize, frame_sample
+# — mandatory, may not slip again; (d) the r07 cohort at the tier-2
+# boundary (45 rows last green r07), which includes the three
+# r09-changed memoized-read rows tokenizer_fertility /
+# perplexity_buckets / ngram_diversity (tier 1, listed EARLY per the
+# r09 self-review so a 1-2 row driver budget shortfall cannot drop a
+# mandatory refresh).
 #
-# Tier-3 deferrals to r10 (named; each has a same-code-path sibling in
-# this head): discovered_objects_live (twin of discovered_objects,
-# same catalog_model walk), image_resize and frame_sample (multimodal.py
-# frozen since r06; sibling multimodal_meta heads, and media_features
-# covers the Arrow-decode path at r07). These three MUST head r10.
+# Head math: 1 anchor + 2 auc + 3 deferrals + 45 cohort = 51 > the
+# observed ~50-row cap, so ONE cohort row is named a tier-3 deferral to
+# r11: `tumbling_hourly` (events.py windowed agg, frozen since r06;
+# flat SCALING class; THREE same-code-path siblings in this head —
+# sliding_daily and user_sessions share the events.py window/session
+# path, and streaming_tumbling_hourly, driver-green r09, checks the
+# SAME hourly aggregation semantics against the same oracle family).
+# tumbling_hourly MUST head r11. ZERO new queries this round, per the
+# r09 verdict's cap ("spend the spare slot on nothing").
 #
-# R10 NOTE: tokenizer_fertility, perplexity_buckets AND ngram_diversity
-# changed code in r09 (memoized written-artifact reads: _bpe_encodings /
-# _unigram_lp / doc_tokens, bit-identical output, local-oracle green) —
-# all three are r07-cohort rows that hit the tier-2 boundary in r10
-# anyway, so the changes cost no extra slot; r10's head = the 3
-# deferrals + the 45-query r07 cohort (which includes all three) + the
-# smoke anchor, leaving ~1 slot spare. Per the r09 self-review: list
-# tier-1 rows EARLY in the head, not at the cap boundary.
-#
-# Expected r09 head usage: 1 + 2 + 2 + 9 + 36 = 50 rows, exactly the
-# observed cap. `approx_user_counts` stays pinned to the very TAIL of
-# the full ordering (see _ordered_names): its row is permanently
-# `no_oracle` (engine-specific HLL sketch values — rows-only by design)
-# and must not burn a head-of-rotation slot.
+# Expected r10 head usage: 1 + 2 + 3 + 44 = 50 rows, exactly the
+# observed cap. After the run no query's last driver-green round is
+# older than r07 (tumbling_hourly sits exactly at r07).
+# `approx_user_counts` stays pinned to the very TAIL of the full
+# ordering (see _ordered_names): its row is permanently `no_oracle`
+# (engine-specific HLL sketch values — rows-only by design) and must
+# not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) the AUC experiment pair — positions 2-3, per the r08 verdict
+    # (b) tier 1: the AUC pair — all-BIGINT hashed projection this round
     "score_auc",
     "score_auc_parts",
-    # (e) tier-1 rows changed THIS round — early, NOT at the cap
-    # boundary, so a 1-2 row driver budget shortfall cannot drop a
-    # mandatory tier-1 refresh (r09 self-review finding)
-    "observability_report",
-    "unigram_kl",
-    # (c) r05-stale — three rounds, mandatory this round
-    "chunk_dedup",
-    "column_histograms",
-    "contamination_check",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "percentile_sketch_accuracy",
-    "semantic_dedup",
-    "skew_report",
-    "user_count_accuracy",
-    # (d) r06 cohort at the tier-2 boundary (40 minus 3 named deferrals)
-    "bm25_scores",
-    "columns_schema",
-    "curation_pipeline_e2e",
-    "discovered_objects",
-    "doc_fingerprints",
-    "duplicated_spans",
-    "heavy_hitter_tokens",
-    "kmeans_assign",
-    "lang_profile",
-    "langid_trigram",
-    "lateness_report",
-    "lsh_dedup_recall",
-    "mixture_weights",
-    "multimodal_meta",
-    "named_assets",
-    "normalized_dedup",
-    "object_count_rollup",
-    "pii_redaction",
-    "range_join_incidents",
-    "schema_drift",
-    "stratified_sample",
-    "streaming_click_attribution",
-    "streaming_corpus_dedup",
-    "streaming_first_completed",
-    "streaming_sessionize",
-    "streaming_tumbling_hourly",
-    "table_profiles",
-    "tables_enriched",
-    "textrank_keywords",
-    "time_rollup_multigrain",
-    "token_count_regex",
-    "top_orders_per_customer",
-    "unigram_logprob",
-    "value_deciles",
-    "weighted_sample_topk",
-    "zone_map_plan",
+    # (c) the three r09-named tier-3 deferrals (last green r06) — the
+    # stalest rows in the registry, mandatory, may not slip again
+    "discovered_objects_live",
+    "image_resize",
+    "frame_sample",
+    # (d) tier 1: the three r09-changed memoized-read rows (all in the
+    # r07 cohort anyway) — listed early, never at the cap boundary
+    "tokenizer_fertility",
+    "perplexity_buckets",
+    "ngram_diversity",
+    # (d) the rest of the r07 cohort at the tier-2 boundary, minus the
+    # named tumbling_hourly deferral to r11 (see comment above)
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "asof_last_error_before_purchase",
+    "audio_chunking",
+    "bpe_apply_merges",
+    "corpus_card",
+    "deterministic_sample",
+    "dormant_customers",
+    "dsir_importance_weights",
+    "events_cube",
+    "exact_dedup",
+    "first_completed",
+    "hash_split",
+    "high_value_events",
+    "ivf_ann_topk",
+    "kmeans_clusters",
+    "ks_drift",
+    "local_supplier_revenue",
+    "lsh_bucket_stats",
+    "media_features",
+    "minhash_lsh_pairs",
+    "mixture_weights_temperature",
+    "nation_market_share",
+    "order_priority_rollup",
+    "order_value_percentiles",
+    "rate_anomaly",
+    "returned_item_revenue",
+    "score_calibration",
+    "segment_order_stats",
+    "signup_purchase_window",
+    "simhash_fingerprints",
+    "sliding_daily",
+    "source_overlap_matrix",
+    "state_transitions",
+    "text_stats",
+    "tfidf_keywords",
+    "top_balance_per_nation",
+    "unimax_allocation",
+    "urgent_order_customers",
+    "user_sessions",
+    "user_value_zscores",
 ]
 
 
