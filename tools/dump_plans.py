@@ -436,8 +436,12 @@ COMMENTARY = {
         "collapse onto the bounded milli-score grid (|avg lr| <= "
         "ln(1e9) by construction) in one map-side combined aggregate, "
         "so the tie-aware rank window never sees corpus rows. Since "
-        "r09 the hashed output is integer-only: auc_micro is one exact "
-        "DECIMAL(38,0) integral division (no doubles anywhere)."
+        "r09 the hashed output is integer-only (auc_micro is one exact "
+        "DECIMAL(38,0) integral division, no doubles anywhere); since "
+        "r10 it is all-BIGINT — the DECIMAL(38,0) 2*U envelope stays "
+        "internal and the output casts down (the r09 driver "
+        "localization proved the decimal OUTPUT TYPE was the only "
+        "cross-engine divergence)."
     ),
     "source_overlap_matrix": (
         "No gram-keyed self-join: grams fold to bounded collect_set "
