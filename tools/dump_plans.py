@@ -408,10 +408,12 @@ COMMENTARY = {
         "256-value bucket key."
     ),
     "ngram_diversity": (
-        "Unigrams and bigrams leave ONE Generate as tagged structs; "
-        "distinctness comes from the (source,n,gram) partial aggregate "
-        "— no second tokenize pass, no count_distinct Expand doubling "
-        "the exploded stream."
+        "The memoized token index (doc_tokens, the tokenize-once "
+        "written table — the Scan ExistingRDD side) broadcast-joins the "
+        "(doc_id,source) projection, then unigrams and bigrams leave "
+        "ONE Generate as tagged structs; distinctness comes from the "
+        "(source,n,gram) partial aggregate — no re-tokenize, no "
+        "count_distinct Expand doubling the exploded stream."
     ),
     "drift_psi": (
         "The events scan collapses in one map-side-combined (type,bin) "
