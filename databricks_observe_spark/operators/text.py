@@ -2345,15 +2345,19 @@ def score_auc_parts(t: dict[str, DataFrame]) -> DataFrame:
     r10: the hashed projection is all-BIGINT. The r09 localization run
     showed BOTH rows red at the driver while bit-identical locally, with
     ``auc_num2`` the only DECIMAL-typed output column in the whole
-    146-query registry — the driver's order-insensitive hasher evidently
-    canonicalizes Spark ``DecimalType(38,0)`` and DuckDB
-    ``DECIMAL(38,0)`` differently (e.g. Arrow decimal128 vs int64
-    paths). So the DECIMAL(38,0) envelope stays INTERNAL to
-    :func:`_auc_terms` (where it is load-bearing: 2*U is O(P*N) and
-    exceeds int64 past ~3e9 docs) and the output is
-    ``CAST(auc_num2 AS BIGINT)`` on both engines — safe at any fixture
-    scale where ``2*P*N < 2^63`` (~9.2e18; the envelope pin lives in
-    ``tests/test_text_multimodal.py``).
+    146-query registry. The divergence mechanism was then REPRODUCED
+    locally on the pandas conversion path: for ``DECIMAL(38,0)``,
+    DuckDB's ``.df()`` converts to float64 (``78724.0``) while Spark's
+    ``toPandas`` yields an object column of ``Decimal('78724')`` — any
+    hasher that canonicalizes pandas values diverges on the identical
+    number (collect/Arrow paths agree; pandas is the one that splits,
+    matching the rows+schema-green/hash-red driver signature exactly).
+    With BIGINT both engines land on int64. So the DECIMAL(38,0)
+    envelope stays INTERNAL to :func:`_auc_terms` (where it is
+    load-bearing: 2*U is O(P*N) and exceeds int64 past ~3e9 docs) and
+    the output is ``CAST(auc_num2 AS BIGINT)`` on both engines — safe at
+    any fixture scale where ``2*P*N < 2^63`` (~9.2e18; the envelope pin
+    lives in ``tests/test_text_multimodal.py``).
     """
     return _auc_terms(t).select(
         "n_pos",

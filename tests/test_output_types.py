@@ -230,6 +230,38 @@ def test_streaming_registry_output_types(spark):
     )
 
 
+def test_auc_pair_pandas_surface_is_int64_on_both_engines(tables):
+    """The demonstrated r07-r09 divergence mechanism, pinned shut: for a
+    DECIMAL(38,0) column DuckDB's ``.df()`` converts to float64
+    (``78724.0``) while Spark's ``toPandas`` yields an object column of
+    ``Decimal('78724')`` — identical values, diverging pandas
+    canonicalization, exactly the driver's rows+schema-green/hash-red
+    signature. The BIGINT projection must land BOTH engines on int64 on
+    that same surface."""
+    import duckdb
+
+    from databricks_observe_spark.operators.text import (
+        SCORE_AUC_PARTS_SQL,
+        SCORE_AUC_SQL,
+        score_auc,
+        score_auc_parts,
+    )
+
+    for df in (score_auc(tables), score_auc_parts(tables)):
+        pdf = df.toPandas()
+        assert all(str(dt) == "int64" for dt in pdf.dtypes), pdf.dtypes
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    for sql in (SCORE_AUC_SQL, SCORE_AUC_PARTS_SQL):
+        ddf = con.execute(sql).df()
+        assert all(str(dt) == "int64" for dt in ddf.dtypes), ddf.dtypes
+
+
 def test_registry_walk_is_total():
     """The two lint tests above must between them see every registered
     query — if a new registration family is added beside _REGISTRY /
