@@ -6,6 +6,15 @@ set, and an order-insensitive exact value comparison (columns sorted by
 name, rows sorted). Strict: floats must match bit-for-bit — the engine is
 built to produce exact decimal-derived doubles.
 
+Since r10 it ALSO compares the pandas conversion surface
+(``sdf.toPandas()`` vs ``con.execute(sql).df()`` dtype classes): the
+r07-r09 ``score_auc`` driver divergence reproduced ONLY there — DuckDB's
+``.df()`` renders DECIMAL(38,0) as float64 while Spark's ``toPandas``
+yields object/Decimal, identical values notwithstanding — and the
+collect/Arrow comparisons this tool previously ran were blind to it
+(both engines surface decimal128 in Arrow, so the type classes matched).
+A pandas-surface mismatch is a FAIL even when every value matches.
+
 Usage: python tools/check_oracle.py [name ...] [--sf DIR]
 """
 
@@ -64,6 +73,41 @@ def _norm_arrow_type(t: pa.DataType) -> str:
     if pa.types.is_date(t):
         return "date"
     return str(t)
+
+
+def _pandas_cls(series) -> str:
+    """Collapse a pandas column to the representation class a
+    value-canonicalizing hasher would see (str/repr of the cells)."""
+    dt = str(series.dtype)
+    if dt.startswith(("int", "uint")):
+        return "int"
+    if dt.startswith("float"):
+        return "float"
+    if dt.startswith("datetime64"):
+        return "ts"
+    if dt == "bool":
+        return "bool"
+    if dt == "object":
+        nn = series.dropna()
+        if len(nn) == 0:
+            return "object-empty"
+        tn = type(nn.iloc[0]).__name__
+        return {
+            "Decimal": "decimal",
+            "list": "list",
+            "ndarray": "list",
+            "tuple": "list",
+            "str": "str",
+            "date": "date",
+            "datetime": "ts",
+            "Timestamp": "ts",
+            "bytes": "bin",
+            "bytearray": "bin",
+            "int": "int",
+            "float": "float",
+            "bool": "bool",
+        }.get(tn, "object:" + tn)
+    return dt
 
 
 def canon_cell(v):
@@ -169,6 +213,21 @@ def main() -> int:
                 if a != b:
                     status.append(f"  spark={a!r}\n  duck ={b!r}")
                     break
+        if not status:
+            # pandas conversion surface — the one the r07-r09 score_auc
+            # driver divergence actually lived on (see module docstring)
+            try:
+                pdf = sdf.toPandas()
+                ddf = con.execute(oracles[name]).df()
+                pmism = {
+                    c: (_pandas_cls(pdf[c]), _pandas_cls(ddf[c]))
+                    for c in pdf.columns
+                    if _pandas_cls(pdf[c]) != _pandas_cls(ddf[c])
+                }
+                if pmism:
+                    status.append(f"pandas-surface {pmism}")
+            except Exception as ex:  # surface the conversion error itself
+                status.append(f"pandas-surface error: {ex}")
         if status:
             print(f"FAIL {name}: " + "; ".join(status[:3]))
             failures.append(name)
