@@ -43,7 +43,9 @@ from pyspark.sql.types import (
 
 from databricks_observe_spark import registry as R
 
-SF_DIR = "/root/testdata/sf0.001"
+# single-source the fixture path: the live/streaming walks below must
+# lint the SAME dataset the session-scoped `tables`/`spark` fixtures use
+from tests.conftest import SF_DIR
 
 # (query, column-path) pairs allowed to be float/double. Audit trail:
 # "fixture" = carries the raw events.value double straight through;
