@@ -532,99 +532,85 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-10 plan derived from the rule:
-# (a) the smoke anchor; (b) `score_auc` + `score_auc_parts` — tier 1
-# (code AND oracle changed this round: the hashed projection is now
-# all-BIGINT on both engines; the r09 localization run proved the values
-# identical and left the DECIMAL(38,0) output type as the only
-# remaining difference — auc_num2 was the single decimal-typed output
-# column in the registry and exactly the two decimal-hashing rows were
-# the only failures, so the DECIMAL envelope moved INTERNAL and the
-# output casts down; see score_auc_parts' docstring); (c) the THREE
-# r09-named tier-3 deferrals, last driver-green r06, the stalest rows
-# in the registry — discovered_objects_live, image_resize, frame_sample
-# — mandatory, may not slip again; (d) the r07 cohort at the tier-2
-# boundary (45 rows last green r07), which includes the three
-# r09-changed memoized-read rows tokenizer_fertility /
-# perplexity_buckets / ngram_diversity (tier 1, listed EARLY per the
-# r09 self-review so a 1-2 row driver budget shortfall cannot drop a
-# mandatory refresh).
+# Round-11 plan derived from the rule (r10 was the first fully-green
+# round — 50/50 driver, cumulative 145/145 hash-checkable — so r11 is a
+# pure maintenance rotation: ZERO new queries, ZERO query-code changes;
+# the only edits this round are docs + the oracle-tool hardening from
+# ADVICE.md, neither of which touches a hashed projection, so there are
+# NO tier-1 rows):
+# (a) the smoke anchor; (b) `tumbling_hourly` — the r10 plan's single
+# named tier-3 deferral (last driver-green r07, now the stalest row in
+# the registry; the r10 verdict makes it the mandatory r11 head row);
+# (c) the full 47-row r08 cohort, which hits the tier-2 three-round
+# staleness boundary after r11; (d) ONE borrowed r09-cohort row,
+# `columns_schema` (the S5 grouped catalog join — the structurally
+# richest r09 row), to spend the 50th slot usefully: the r09 cohort is
+# 47 rows, so r12's head (1 anchor + the remaining 46) = 47 <= the cap
+# with room to spare either way, and r13's (1 + the 49-row r10 cohort)
+# = 50 exactly — the steady-state rotation stays feasible.
 #
-# Head math: 1 anchor + 2 auc + 3 deferrals + 45 cohort = 51 > the
-# observed ~50-row cap, so ONE cohort row is named a tier-3 deferral to
-# r11: `tumbling_hourly` (events.py windowed agg, frozen since r06;
-# flat SCALING class; THREE same-code-path siblings in this head —
-# sliding_daily and user_sessions share the events.py window/session
-# path, and streaming_tumbling_hourly, driver-green r09, checks the
-# SAME hourly aggregation semantics against the same oracle family).
-# tumbling_hourly MUST head r11. ZERO new queries this round, per the
-# r09 verdict's cap ("spend the spare slot on nothing").
-#
-# Expected r10 head usage: 1 + 2 + 3 + 44 = 50 rows, exactly the
-# observed cap. After the run no query's last driver-green round is
-# older than r07 (tumbling_hourly sits exactly at r07).
+# Head math: 1 anchor + 1 tumbling_hourly + 47 r08 cohort + 1 borrowed
+# = 50 rows, exactly the observed cap. After the run no query's last
+# driver-green round is older than r09.
 # `approx_user_counts` stays pinned to the very TAIL of the full
 # ordering (see _ordered_names): its row is permanently `no_oracle`
 # (engine-specific HLL sketch values — rows-only by design) and must
 # not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) tier 1: the AUC pair — all-BIGINT hashed projection this round
-    "score_auc",
-    "score_auc_parts",
-    # (c) the three r09-named tier-3 deferrals (last green r06) — the
-    # stalest rows in the registry, mandatory, may not slip again
-    "discovered_objects_live",
-    "image_resize",
-    "frame_sample",
-    # (d) tier 1: the three r09-changed memoized-read rows (all in the
-    # r07 cohort anyway) — listed early, never at the cap boundary
-    "tokenizer_fertility",
-    "perplexity_buckets",
-    "ngram_diversity",
-    # (d) the rest of the r07 cohort at the tier-2 boundary, minus the
-    # named tumbling_hourly deferral to r11 (see comment above)
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "asof_last_error_before_purchase",
-    "audio_chunking",
-    "bpe_apply_merges",
-    "corpus_card",
-    "deterministic_sample",
-    "dormant_customers",
-    "dsir_importance_weights",
-    "events_cube",
-    "exact_dedup",
-    "first_completed",
-    "hash_split",
-    "high_value_events",
-    "ivf_ann_topk",
-    "kmeans_clusters",
-    "ks_drift",
-    "local_supplier_revenue",
-    "lsh_bucket_stats",
-    "media_features",
-    "minhash_lsh_pairs",
-    "mixture_weights_temperature",
-    "nation_market_share",
-    "order_priority_rollup",
-    "order_value_percentiles",
-    "rate_anomaly",
-    "returned_item_revenue",
-    "score_calibration",
-    "segment_order_stats",
-    "signup_purchase_window",
-    "simhash_fingerprints",
-    "sliding_daily",
-    "source_overlap_matrix",
-    "state_transitions",
-    "text_stats",
-    "tfidf_keywords",
-    "top_balance_per_nation",
-    "unimax_allocation",
-    "urgent_order_customers",
-    "user_sessions",
-    "user_value_zscores",
+    # (b) the mandatory r11 head row — the r10 plan's one named
+    # deferral, last driver-green r07
+    "tumbling_hourly",
+    # (c) the 47-row r08 cohort at the tier-2 boundary (alphabetical)
+    "ann_recall",
+    "asset_specs",
+    "balance_percent_rank",
+    "bloom_contamination_check",
+    "bpe_pair_counts",
+    "compaction_plan",
+    "curated_corpus",
+    "dedup_retention",
+    "dedup_threshold_sweep",
+    "describe_detail",
+    "drift_psi",
+    "epoch_shuffle",
+    "event_dedup_windowed",
+    "event_type_pivot",
+    "event_type_stats",
+    "expectations_report",
+    "funnel_conversion",
+    "fuzzy_match_probe",
+    "incremental_dedup",
+    "incremental_pricing_summary",
+    "int8_quantize",
+    "latest_update_per_entity",
+    "length_outliers",
+    "lineage_closure",
+    "lineage_closure_deep",
+    "merge_upsert",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
+    "per_source_dedup_rate",
+    "pricing_summary",
+    "quality_filter",
+    "repetition_signals",
+    "retention_cohorts",
+    "run_output_lookup",
+    "scd2_history",
+    "sensor_cursor_roundtrip",
+    "sequence_packing",
+    "shipping_priority",
+    "simhash_near_dup_pairs",
+    "streaming_drift_psi",
+    "table_files_meta",
+    "topo_levels",
+    "url_canonical_dedup",
+    "url_host_stats",
+    "vocab_coverage",
+    "zorder_key",
+    # (d) one borrowed r09-cohort row to fill slot 50 (see comment)
+    "columns_schema",
 ]
 
 

@@ -132,6 +132,14 @@ FLOAT_ALLOWLIST: frozenset[tuple[str, str]] = frozenset(
         ("text_stats", "ttr"),
         ("tfidf_keywords", "tfidf"),
         ("vocab_coverage", "cum_share"),
+        # -- exact-integer quotient, but NOT a small-integer ratio: the
+        # A-Res weighted-sampling key (dedup.py `weighted_sample_topk`)
+        # is floor(ln(u)*1e6) — an exact BIGINT on both engines — cast
+        # to double and divided by n_chars (also an exact integer).
+        # IEEE754 division is correctly rounded, and both engines divide
+        # the same two exact operands in the same order, so the bit
+        # pattern is deterministic even though the quotient is neither
+        # small nor grid-quantized. Driver-green r06-r10.
         ("weighted_sample_topk", "aes_key"),
         # -- round-half-up-on-a-fixed-grid idiom (the *_r suffix: the
         # value is k/10^d for small k, exactly representable or within

@@ -15,6 +15,14 @@ collect/Arrow comparisons this tool previously ran were blind to it
 (both engines surface decimal128 in Arrow, so the type classes matched).
 A pandas-surface mismatch is a FAIL even when every value matches.
 
+r11 hardening (ADVICE.md): object columns classify over a bounded
+SAMPLE of cells (not the first cell only) and list-like cells recurse
+one level into element types, so mixed-type columns and nested
+element divergence (list-of-Decimal vs list-of-float) cannot evade the
+gate; ``--surface-limit`` optionally bounds the conversion cost at
+larger scale factors (see its help text for why full stays the
+default at sf0.01).
+
 Usage: python tools/check_oracle.py [name ...] [--sf DIR]
 """
 
@@ -75,9 +83,60 @@ def _norm_arrow_type(t: pa.DataType) -> str:
     return str(t)
 
 
+# how many object cells / list elements to type-classify per column —
+# bounded so classification stays O(1) per column at any SF, but wide
+# enough that a mixed-type column cannot hide behind its first cell
+_CLS_CELL_SAMPLE = 1024
+_CLS_ELEM_SAMPLE = 8
+
+
+def _cell_cls(v) -> str:
+    """Representation class of ONE cell, recursing one level into
+    list-likes (r10 ADVICE: a list-of-Decimal vs list-of-float split —
+    the exact divergence class this gate exists for, one nesting level
+    down — must not collapse to an undifferentiated 'list')."""
+    import datetime as _dt
+    import decimal as _dec
+
+    import numpy as _np
+
+    # bool BEFORE int: Python bool subclasses int, numpy likewise
+    if isinstance(v, (bool, _np.bool_)):
+        return "bool"
+    if isinstance(v, _dec.Decimal):
+        return "decimal"
+    if isinstance(v, (int, _np.integer)):
+        return "int"
+    if isinstance(v, (float, _np.floating)):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bin"
+    if isinstance(v, _dt.datetime):  # datetime BEFORE date (subclass)
+        return "ts"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, (list, tuple, _np.ndarray)):
+        elems = {
+            _cell_cls(x)
+            for x in list(v)[:_CLS_ELEM_SAMPLE]
+            if x is not None
+        }
+        if not elems:
+            return "list<?>"  # no classifiable element in this cell
+        return "list<" + ",".join(sorted(elems)) + ">"
+    return "object:" + type(v).__name__
+
+
 def _pandas_cls(series) -> str:
     """Collapse a pandas column to the representation class a
-    value-canonicalizing hasher would see (str/repr of the cells)."""
+    value-canonicalizing hasher would see (str/repr of the cells).
+
+    Object columns classify over a bounded SAMPLE of non-null cells —
+    not just the first — and list-like cells recurse one level into
+    element types, so a mixed-type column or an element-type divergence
+    cannot evade the gate behind a leading well-typed cell."""
     dt = str(series.dtype)
     if dt.startswith(("int", "uint")):
         return "int"
@@ -91,23 +150,28 @@ def _pandas_cls(series) -> str:
         nn = series.dropna()
         if len(nn) == 0:
             return "object-empty"
-        tn = type(nn.iloc[0]).__name__
-        return {
-            "Decimal": "decimal",
-            "list": "list",
-            "ndarray": "list",
-            "tuple": "list",
-            "str": "str",
-            "date": "date",
-            "datetime": "ts",
-            "Timestamp": "ts",
-            "bytes": "bin",
-            "bytearray": "bin",
-            "int": "int",
-            "float": "float",
-            "bool": "bool",
-        }.get(tn, "object:" + tn)
+        classes = {_cell_cls(v) for v in nn.iloc[:_CLS_CELL_SAMPLE]}
+        # merge element-unknown list cells into a typed list class when
+        # one exists ([] and [1,2] in one column are the same class)
+        if "list<?>" in classes and any(
+            c.startswith("list<") and c != "list<?>" for c in classes
+        ):
+            classes.discard("list<?>")
+        if len(classes) == 1:
+            return classes.pop()
+        return "mixed{" + ",".join(sorted(classes)) + "}"
     return dt
+
+
+def _surface_match(a: str, b: str) -> bool:
+    """True when two pandas-surface classes are compatible. Strict
+    equality, except that a side with NO classifiable cells
+    ('object-empty', 'list<?>') is inconclusive rather than divergent —
+    it cannot witness a representation difference."""
+    if a == b:
+        return True
+    wild = {"object-empty", "list<?>"}
+    return a in wild or b in wild
 
 
 def canon_cell(v):
@@ -139,6 +203,24 @@ def main() -> int:
         "--vanilla",
         action="store_true",
         help="use a bare SparkSession like the verification driver does",
+    )
+    ap.add_argument(
+        "--surface-limit",
+        type=int,
+        default=0,
+        help="bound the pandas-surface conversion to the first N rows "
+        "per engine (0 = full, the default). The full conversion stays "
+        "the default at the gate's sf0.01 because limiting is SAMPLED "
+        "per engine — each engine limits its own (differently ordered) "
+        "row subset, so a mostly-null column or a nullable int (whose "
+        "pandas dtype flips int64->float64 only when the sample happens "
+        "to include a null) could classify differently and flake the "
+        "gate. Use at larger SFs where the double execution is the "
+        "bottleneck; the _surface_match wildcards absorb the empty-"
+        "sample cases. (Reusing the already-fetched Arrow table instead "
+        "was rejected: Arrow's to_pandas renders DECIMAL as object-of-"
+        "Decimal where DuckDB's .df() renders float64 — it would NOT "
+        "reproduce the .df() surface this check exists to compare.)",
     )
     args = ap.parse_args()
 
@@ -217,13 +299,20 @@ def main() -> int:
             # pandas conversion surface — the one the r07-r09 score_auc
             # driver divergence actually lived on (see module docstring)
             try:
-                pdf = sdf.toPandas()
-                ddf = con.execute(oracles[name]).df()
-                pmism = {
-                    c: (_pandas_cls(pdf[c]), _pandas_cls(ddf[c]))
-                    for c in pdf.columns
-                    if _pandas_cls(pdf[c]) != _pandas_cls(ddf[c])
-                }
+                if args.surface_limit > 0:
+                    pdf = sdf.limit(args.surface_limit).toPandas()
+                    ddf = con.execute(
+                        f"SELECT * FROM ({oracles[name]}) LIMIT "
+                        f"{args.surface_limit}"
+                    ).df()
+                else:
+                    pdf = sdf.toPandas()
+                    ddf = con.execute(oracles[name]).df()
+                pmism = {}
+                for c in pdf.columns:
+                    pc, dc = _pandas_cls(pdf[c]), _pandas_cls(ddf[c])
+                    if not _surface_match(pc, dc):
+                        pmism[c] = (pc, dc)
                 if pmism:
                     status.append(f"pandas-surface {pmism}")
             except Exception as ex:  # surface the conversion error itself
