@@ -53,7 +53,8 @@ from tests.conftest import SF_DIR
 # an exact small-integer ratio representable in a double, so both
 # engines produce the identical bit pattern); "ratio" = quotient of two
 # exact integers computed with the same operand order on both engines —
-# all of these have driver-green history (CORRECTNESS r06-r09).
+# all of these have driver-green history (CORRECTNESS r06-r10; r10 was
+# the first fully-green round, 145/145 hash-checkable cumulative).
 FLOAT_ALLOWLIST: frozenset[tuple[str, str]] = frozenset(
     {
         # -- fixture passthrough: the parquet column itself is double
