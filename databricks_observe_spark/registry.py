@@ -542,7 +542,13 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # named tier-3 deferral (last driver-green r07, now the stalest row in
 # the registry; the r10 verdict makes it the mandatory r11 head row);
 # (c) the full 47-row r08 cohort, which hits the tier-2 three-round
-# staleness boundary after r11; (d) ONE borrowed r09-cohort row,
+# staleness boundary after r11. COHORT DEFINITION: "last driver-green
+# rN" is read from the CORRECTNESS_r0N.json files themselves, NOT
+# reconstructed from past _PRIORITY lists — the driver records the
+# first ~50 of the FULL ordered names, so rows beyond _PRIORITY's tail
+# (registry-order overflow) also got checked in early rounds (e.g.
+# pricing_summary/shipping_priority are r08-green via overflow slots);
+# (d) ONE borrowed r09-cohort row,
 # `columns_schema` (the S5 grouped catalog join — the structurally
 # richest r09 row), to spend the 50th slot usefully: the r09 cohort is
 # 47 rows, so r12's head (1 anchor + the remaining 46) = 47 <= the cap

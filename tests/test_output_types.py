@@ -140,7 +140,9 @@ FLOAT_ALLOWLIST: frozenset[tuple[str, str]] = frozenset(
         # IEEE754 division is correctly rounded, and both engines divide
         # the same two exact operands in the same order, so the bit
         # pattern is deterministic even though the quotient is neither
-        # small nor grid-quantized. Driver-green r06-r10.
+        # small nor grid-quantized. Driver-green in both of its driver-
+        # head rounds (r06 and r09, per CORRECTNESS_r06/r09.json) and in
+        # every local strict-oracle run since.
         ("weighted_sample_topk", "aes_key"),
         # -- round-half-up-on-a-fixed-grid idiom (the *_r suffix: the
         # value is k/10^d for small k, exactly representable or within

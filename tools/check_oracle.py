@@ -150,7 +150,12 @@ def _pandas_cls(series) -> str:
         nn = series.dropna()
         if len(nn) == 0:
             return "object-empty"
-        classes = {_cell_cls(v) for v in nn.iloc[:_CLS_CELL_SAMPLE]}
+        # STRIDED sample, not a head slice: a divergence correlated with
+        # sort order (the canon sort puts high keys last) must not land
+        # exclusively in an unexamined tail — same cell budget, spread
+        # across the whole column
+        step = -(-len(nn) // _CLS_CELL_SAMPLE)  # ceil: never a head slice
+        classes = {_cell_cls(v) for v in nn.iloc[::step][:_CLS_CELL_SAMPLE]}
         # merge element-unknown list cells into a typed list class when
         # one exists ([] and [1,2] in one column are the same class)
         if "list<?>" in classes and any(
@@ -163,13 +168,20 @@ def _pandas_cls(series) -> str:
     return dt
 
 
-def _surface_match(a: str, b: str) -> bool:
-    """True when two pandas-surface classes are compatible. Strict
-    equality, except that a side with NO classifiable cells
-    ('object-empty', 'list<?>') is inconclusive rather than divergent —
-    it cannot witness a representation difference."""
+def _surface_match(a: str, b: str, sampled: bool = False) -> bool:
+    """True when two pandas-surface classes are compatible.
+
+    Strict equality in FULL mode (the sf0.01 gate default): an all-null
+    object column vs an all-NaT datetime64 column (None vs NaT) is a
+    real rendering divergence on the pandas surface and must FAIL, as
+    it did before r11. The 'object-empty'/'list<?>' wildcard applies
+    ONLY in sampled (--surface-limit) mode, where an empty class is a
+    sampling artifact — each engine limited a different row subset — not
+    evidence about the full column."""
     if a == b:
         return True
+    if not sampled:
+        return False
     wild = {"object-empty", "list<?>"}
     return a in wild or b in wild
 
@@ -208,19 +220,23 @@ def main() -> int:
         "--surface-limit",
         type=int,
         default=0,
-        help="bound the pandas-surface conversion to the first N rows "
-        "per engine (0 = full, the default). The full conversion stays "
-        "the default at the gate's sf0.01 because limiting is SAMPLED "
-        "per engine — each engine limits its own (differently ordered) "
-        "row subset, so a mostly-null column or a nullable int (whose "
-        "pandas dtype flips int64->float64 only when the sample happens "
-        "to include a null) could classify differently and flake the "
-        "gate. Use at larger SFs where the double execution is the "
-        "bottleneck; the _surface_match wildcards absorb the empty-"
-        "sample cases. (Reusing the already-fetched Arrow table instead "
-        "was rejected: Arrow's to_pandas renders DECIMAL as object-of-"
-        "Decimal where DuckDB's .df() renders float64 — it would NOT "
-        "reproduce the .df() surface this check exists to compare.)",
+        help="bound the pandas-surface CONVERSION/TRANSFER to the first "
+        "N rows per engine (0 = full, the default). Scope honesty: this "
+        "does NOT bound the second execution itself — an aggregate/"
+        "window/join query still computes fully on both engines before "
+        "LIMIT can take rows — so it only pays off for large-OUTPUT "
+        "queries (passthrough/per-row shapes) where the toPandas/.df() "
+        "materialization dominates. Full stays the default at the "
+        "gate's sf0.01 because limiting is SAMPLED per engine — each "
+        "engine limits its own (differently ordered) row subset, so a "
+        "mostly-null column or a nullable int (whose pandas dtype flips "
+        "int64->float64 only when the sample happens to include a null) "
+        "could classify differently and flake the gate; _surface_match "
+        "relaxes to wildcard-on-empty ONLY in this sampled mode. "
+        "(Reusing the already-fetched Arrow table instead was rejected: "
+        "Arrow's to_pandas renders DECIMAL as object-of-Decimal where "
+        "DuckDB's .df() renders float64 — it would NOT reproduce the "
+        ".df() surface this check exists to compare.)",
     )
     args = ap.parse_args()
 
@@ -311,7 +327,7 @@ def main() -> int:
                 pmism = {}
                 for c in pdf.columns:
                     pc, dc = _pandas_cls(pdf[c]), _pandas_cls(ddf[c])
-                    if not _surface_match(pc, dc):
+                    if not _surface_match(pc, dc, sampled=args.surface_limit > 0):
                         pmism[c] = (pc, dc)
                 if pmism:
                     status.append(f"pandas-surface {pmism}")
