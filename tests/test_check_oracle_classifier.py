@@ -1,0 +1,122 @@
+"""Pin the differential-gate classifier (tools/check_oracle.py).
+
+The pandas-surface classifier IS part of the correctness gate since r10
+(the r07-r09 score_auc divergence lived on that surface), and r11
+hardened it per ADVICE.md plus the round's self-review. These tests pin
+the hardened behaviors so a future refactor cannot silently re-open
+them:
+
+- mixed-type object columns classify over a STRIDED sample (a tail-only
+  divergence past the cell budget was demonstrably invisible to both
+  the r10 first-cell form and a naive head-slice sample);
+- list-like cells recurse one level into element types (list-of-Decimal
+  vs list-of-float must NOT collapse to an undifferentiated 'list');
+- the empty-class wildcard applies ONLY in --surface-limit sampled mode
+  (full mode stays strict: None-vs-NaT on an all-null column is a real
+  rendering divergence and must fail, exactly as pre-r11).
+
+Pure-pandas unit tests — no SparkSession, no DuckDB, sub-second.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+from tools.check_oracle import _cell_cls, _pandas_cls, _surface_match
+
+
+class TestCellCls:
+    def test_scalars(self):
+        assert _cell_cls(Decimal("1")) == "decimal"
+        assert _cell_cls(3) == "int"
+        assert _cell_cls(np.int64(3)) == "int"
+        assert _cell_cls(1.5) == "float"
+        assert _cell_cls(np.float64(1.5)) == "float"
+        assert _cell_cls("x") == "str"
+        assert _cell_cls(b"x") == "bin"
+
+    def test_bool_before_int(self):
+        # Python bool subclasses int; numpy likewise — a bool cell must
+        # never classify as int
+        assert _cell_cls(True) == "bool"
+        assert _cell_cls(np.bool_(True)) == "bool"
+
+    def test_datetime_before_date(self):
+        # datetime.datetime subclasses datetime.date
+        assert _cell_cls(datetime.date(2020, 1, 1)) == "date"
+        assert _cell_cls(datetime.datetime(2020, 1, 1)) == "ts"
+        assert _cell_cls(pd.Timestamp("2020-01-01")) == "ts"
+
+    def test_list_recurses_one_level(self):
+        assert _cell_cls([1.0, 2.0]) == "list<float>"
+        assert _cell_cls([Decimal("1")]) == "list<decimal>"
+        assert _cell_cls(np.array([1.0])) == "list<float>"
+        assert _cell_cls((1, 2)) == "list<int>"
+        assert _cell_cls([]) == "list<?>"
+        assert _cell_cls([None, 1.0]) == "list<float>"
+
+
+class TestPandasCls:
+    def test_native_dtypes(self):
+        assert _pandas_cls(pd.Series([1, 2])) == "int"
+        assert _pandas_cls(pd.Series([1.0])) == "float"
+        assert _pandas_cls(pd.Series([True, False])) == "bool"
+        assert _pandas_cls(pd.Series(pd.to_datetime(["2020-01-01"]))) == "ts"
+
+    def test_object_homogeneous(self):
+        s = pd.Series([Decimal("1"), Decimal("2")], dtype=object)
+        assert _pandas_cls(s) == "decimal"
+
+    def test_nested_element_divergence_detected(self):
+        # the ADVICE.md scenario: list-of-Decimal (Spark) vs
+        # list-of-float (DuckDB) must yield DIFFERENT classes
+        spark_like = pd.Series([[Decimal("1")], [Decimal("2")]], dtype=object)
+        duck_like = pd.Series([[1.0], [2.0]], dtype=object)
+        assert _pandas_cls(spark_like) == "list<decimal>"
+        assert _pandas_cls(duck_like) == "list<float>"
+        assert not _surface_match(_pandas_cls(spark_like), _pandas_cls(duck_like))
+
+    def test_mixed_type_column_not_hidden_by_first_cell(self):
+        s = pd.Series([1, "x"], dtype=object)
+        assert _pandas_cls(s) == "mixed{int,str}"
+
+    def test_tail_only_divergence_caught_by_strided_sample(self):
+        # 1500 Decimals then ONE float: a head-slice sample of 1024 cells
+        # (and the r10 first-cell form) both said 'decimal'
+        s = pd.Series([Decimal("1")] * 1500 + [1.0], dtype=object)
+        assert _pandas_cls(s) == "mixed{decimal,float}"
+
+    def test_empty_list_merges_into_typed_class(self):
+        # [] and [1, 2] in one column are the same class
+        s = pd.Series([[], [1, 2]], dtype=object)
+        assert _pandas_cls(s) == "list<int>"
+
+    def test_all_null_and_all_empty(self):
+        assert _pandas_cls(pd.Series([None, None], dtype=object)) == "object-empty"
+        assert _pandas_cls(pd.Series([[], []], dtype=object)) == "list<?>"
+
+
+class TestSurfaceMatch:
+    def test_full_mode_is_strict(self):
+        # pre-r11 strictness preserved at the gate default: an all-null
+        # object column vs a concrete class is a FAIL (None vs NaT is a
+        # real pandas-surface rendering divergence)
+        assert not _surface_match("object-empty", "ts")
+        assert not _surface_match("list<?>", "list<float>")
+        assert not _surface_match("decimal", "float")
+
+    def test_sampled_mode_wildcards_only_empties(self):
+        # in --surface-limit mode an empty class is a sampling artifact
+        # (each engine limited a different row subset), not evidence
+        assert _surface_match("object-empty", "ts", sampled=True)
+        assert _surface_match("list<?>", "list<float>", sampled=True)
+        # ...but concrete-vs-concrete divergence still fails
+        assert not _surface_match("decimal", "float", sampled=True)
+
+    def test_equal_always_matches(self):
+        assert _surface_match("decimal", "decimal")
+        assert _surface_match("list<float>", "list<float>", sampled=True)
