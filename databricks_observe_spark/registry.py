@@ -532,91 +532,91 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-11 plan derived from the rule (r10 was the first fully-green
-# round — 50/50 driver, cumulative 145/145 hash-checkable — so r11 is a
-# pure maintenance rotation: ZERO new queries, ZERO query-code changes;
-# the only edits this round are docs + the oracle-tool hardening from
-# ADVICE.md, neither of which touches a hashed projection, so there are
-# NO tier-1 rows):
-# (a) the smoke anchor; (b) `tumbling_hourly` — the r10 plan's single
-# named tier-3 deferral (last driver-green r07, now the stalest row in
-# the registry; the r10 verdict makes it the mandatory r11 head row);
-# (c) the full 47-row r08 cohort, which hits the tier-2 three-round
-# staleness boundary after r11. COHORT DEFINITION: "last driver-green
-# rN" is read from the CORRECTNESS_r0N.json files themselves, NOT
-# reconstructed from past _PRIORITY lists — the driver records the
-# first ~50 of the FULL ordered names, so rows beyond _PRIORITY's tail
-# (registry-order overflow) also got checked in early rounds (e.g.
-# pricing_summary/shipping_priority are r08-green via overflow slots);
-# (d) ONE borrowed r09-cohort row,
-# `columns_schema` (the S5 grouped catalog join — the structurally
-# richest r09 row), to spend the 50th slot usefully: the r09 cohort is
-# 47 rows, so r12's head (1 anchor + the remaining 46) = 47 <= the cap
-# with room to spare either way, and r13's (1 + the 49-row r10 cohort)
-# = 50 exactly — the steady-state rotation stays feasible.
+# Round-12 plan derived from the rule (third consecutive fully-green
+# round at r11 — 50/50 driver, cumulative last-green histogram r11=50,
+# r10=49, r09=46 — so r12 is the second steady-state maintenance
+# rotation: ZERO new queries, ZERO query-code changes; the only edits
+# this round are docs + the check_oracle element-sample hardening from
+# VERDICT/ADVICE, neither of which touches a hashed projection, so
+# there are NO tier-1 rows):
+# (a) the smoke anchor; (b) the full 46-row r09 cohort, which hits the
+# tier-2 three-round staleness boundary after r12. COHORT DEFINITION:
+# "last driver-green rN" is read from the CORRECTNESS_r0N.json files
+# themselves (hash_match==true, max round per query), NOT reconstructed
+# from past _PRIORITY lists — verified this round: the mechanical scan
+# over CORRECTNESS_r01..r11 yields exactly 46 rows last-green at r09,
+# 49 at r10, 50 at r11, 145 total, none older than r09 — matching the
+# r11 verdict's independent count;
+# (c) THREE borrowed r10-cohort rows (`dsir_importance_weights`,
+# `kmeans_clusters`, `minhash_lsh_pairs` — the selection-path row, the
+# iterative-job bench-watch row, and the banded-LSH cornerstone: the
+# three structurally richest r10 rows) to spend slots 48-50 usefully,
+# per the r11 precedent of borrowing `columns_schema`: the r10 cohort
+# is 49 rows, so r13's head (1 anchor + the remaining 46) = 47 <= the
+# cap with room to spare, and r14's (1 + the r11/r12 cohorts split)
+# stays feasible — the steady-state rotation keeps ~3 slack slots.
 #
-# Head math: 1 anchor + 1 tumbling_hourly + 47 r08 cohort + 1 borrowed
-# = 50 rows, exactly the observed cap. After the run no query's last
-# driver-green round is older than r09.
+# Head math: 1 anchor + 46 r09 cohort + 3 borrowed = 50 rows, exactly
+# the observed cap. After the run no query's last driver-green round is
+# older than r10.
 # `approx_user_counts` stays pinned to the very TAIL of the full
 # ordering (see _ordered_names): its row is permanently `no_oracle`
 # (engine-specific HLL sketch values — rows-only by design) and must
 # not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) the mandatory r11 head row — the r10 plan's one named
-    # deferral, last driver-green r07
-    "tumbling_hourly",
-    # (c) the 47-row r08 cohort at the tier-2 boundary (alphabetical)
-    "ann_recall",
-    "asset_specs",
-    "balance_percent_rank",
-    "bloom_contamination_check",
-    "bpe_pair_counts",
-    "compaction_plan",
-    "curated_corpus",
-    "dedup_retention",
-    "dedup_threshold_sweep",
-    "describe_detail",
-    "drift_psi",
-    "epoch_shuffle",
-    "event_dedup_windowed",
-    "event_type_pivot",
-    "event_type_stats",
-    "expectations_report",
-    "funnel_conversion",
-    "fuzzy_match_probe",
-    "incremental_dedup",
-    "incremental_pricing_summary",
-    "int8_quantize",
-    "latest_update_per_entity",
-    "length_outliers",
-    "lineage_closure",
-    "lineage_closure_deep",
-    "merge_upsert",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped",
-    "per_source_dedup_rate",
-    "pricing_summary",
-    "quality_filter",
-    "repetition_signals",
-    "retention_cohorts",
-    "run_output_lookup",
-    "scd2_history",
-    "sensor_cursor_roundtrip",
-    "sequence_packing",
-    "shipping_priority",
-    "simhash_near_dup_pairs",
-    "streaming_drift_psi",
-    "table_files_meta",
-    "topo_levels",
-    "url_canonical_dedup",
-    "url_host_stats",
-    "vocab_coverage",
-    "zorder_key",
-    # (d) one borrowed r09-cohort row to fill slot 50 (see comment)
-    "columns_schema",
+    # (b) the 46-row r09 cohort at the tier-2 boundary (alphabetical)
+    "bm25_scores",
+    "chunk_dedup",
+    "column_histograms",
+    "contamination_check",
+    "curation_pipeline_e2e",
+    "discovered_objects",
+    "doc_fingerprints",
+    "duplicated_spans",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "heavy_hitter_tokens",
+    "kmeans_assign",
+    "lang_profile",
+    "langid_trigram",
+    "lateness_report",
+    "lsh_dedup_recall",
+    "mixture_weights",
+    "multimodal_meta",
+    "named_assets",
+    "normalized_dedup",
+    "object_count_rollup",
+    "observability_report",
+    "percentile_sketch_accuracy",
+    "pii_redaction",
+    "range_join_incidents",
+    "schema_drift",
+    "semantic_dedup",
+    "skew_report",
+    "stratified_sample",
+    "streaming_click_attribution",
+    "streaming_corpus_dedup",
+    "streaming_first_completed",
+    "streaming_sessionize",
+    "streaming_tumbling_hourly",
+    "table_profiles",
+    "tables_enriched",
+    "textrank_keywords",
+    "time_rollup_multigrain",
+    "token_count_regex",
+    "top_orders_per_customer",
+    "unigram_kl",
+    "unigram_logprob",
+    "user_count_accuracy",
+    "value_deciles",
+    "weighted_sample_topk",
+    "zone_map_plan",
+    # (c) three borrowed r10-cohort rows to fill slots 48-50 (see
+    # comment above)
+    "dsir_importance_weights",
+    "kmeans_clusters",
+    "minhash_lsh_pairs",
 ]
 
 

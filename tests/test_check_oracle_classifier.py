@@ -15,6 +15,16 @@ them:
   (full mode stays strict: None-vs-NaT on an all-null column is a real
   rendering divergence and must fail, exactly as pre-r11).
 
+r12 additions (r11 VERDICT "What's wrong" #1 + ADVICE):
+- the list-ELEMENT sample is strided and includes the final element (a
+  divergent type in the tail of a long list — past index 8 under the
+  old head slice — must be caught);
+- the cell-level strided sample explicitly includes the FINAL cell (a
+  ceil-step stride skips up to step-1 trailing cells: a lone divergent
+  cell at index 1501 of a 1502-row column fell off-stride);
+- list recursion is depth-capped (_CLS_MAX_DEPTH) so a self-referential
+  cell terminates instead of recursing forever.
+
 Pure-pandas unit tests — no SparkSession, no DuckDB, sub-second.
 """
 
@@ -59,6 +69,31 @@ class TestCellCls:
         assert _cell_cls([]) == "list<?>"
         assert _cell_cls([None, 1.0]) == "list<float>"
 
+    def test_list_tail_element_divergence_caught(self):
+        # r11 VERDICT #1: a divergent element type appearing only PAST
+        # index 8 of a long list evaded the old head-slice element
+        # sample (the tail of a 384-dim embedding is the real case)
+        v = [1.0] * 383 + [Decimal("1")]
+        assert _cell_cls(v) == "list<decimal,float>"
+        # ...and an off-stride tail element (last index not a stride
+        # multiple) is caught via the explicit final-element probe:
+        # len 100 -> step ceil(100/8)=13, strided indices 0,13,...,91;
+        # index 99 is off-stride
+        v2 = [1.0] * 99 + [Decimal("1")]
+        assert _cell_cls(v2) == "list<decimal,float>"
+
+    def test_list_recursion_depth_capped(self):
+        # nested lists classify through _CLS_MAX_DEPTH levels, then
+        # truncate to a marker instead of recursing forever (scalars
+        # classify regardless of depth — only LIST recursion is capped)
+        assert _cell_cls([[1.0]]) == "list<list<float>>"
+        assert _cell_cls([[[1.0]]]) == "list<list<list<float>>>"
+        assert _cell_cls([[[[1.0]]]]) == "list<list<list<list<...>>>>"
+        # a self-referential cell terminates (the pre-r12 form looped)
+        v = [1.0]
+        v.append(v)
+        assert "list" in _cell_cls(v)
+
 
 class TestPandasCls:
     def test_native_dtypes(self):
@@ -88,6 +123,14 @@ class TestPandasCls:
         # 1500 Decimals then ONE float: a head-slice sample of 1024 cells
         # (and the r10 first-cell form) both said 'decimal'
         s = pd.Series([Decimal("1")] * 1500 + [1.0], dtype=object)
+        assert _pandas_cls(s) == "mixed{decimal,float}"
+
+    def test_off_stride_final_cell_divergence_caught(self):
+        # r11 ADVICE: len 1502 -> step ceil(1502/1024)=2, strided
+        # indices 0,2,...,1500 — a lone divergent cell at index 1501
+        # (the LAST cell, odd, off-stride) was never examined; the
+        # explicit final-cell probe must catch it
+        s = pd.Series([Decimal("1")] * 1501 + [1.0], dtype=object)
         assert _pandas_cls(s) == "mixed{decimal,float}"
 
     def test_empty_list_merges_into_typed_class(self):

@@ -17,11 +17,19 @@ A pandas-surface mismatch is a FAIL even when every value matches.
 
 r11 hardening (ADVICE.md): object columns classify over a bounded
 SAMPLE of cells (not the first cell only) and list-like cells recurse
-one level into element types, so mixed-type columns and nested
-element divergence (list-of-Decimal vs list-of-float) cannot evade the
-gate; ``--surface-limit`` optionally bounds the conversion cost at
-larger scale factors (see its help text for why full stays the
-default at sf0.01).
+into element types, so mixed-type columns and nested element
+divergence (list-of-Decimal vs list-of-float) cannot evade the gate;
+``--surface-limit`` optionally bounds the conversion cost at larger
+scale factors (see its help text for why full stays the default at
+sf0.01).
+
+r12 hardening (r11 VERDICT + ADVICE): both sample levels are strided
+AND always include the final item (a ceil-step stride skips up to
+step-1 trailing cells, and the old list-element sample was a head
+slice — either could hide a tail-only divergence, e.g. the last slot
+of a long embedding list or a lone divergent final cell); list
+recursion is depth-capped at ``_CLS_MAX_DEPTH`` so a pathological
+self-referential cell cannot recurse forever.
 
 Usage: python tools/check_oracle.py [name ...] [--sf DIR]
 """
@@ -88,13 +96,28 @@ def _norm_arrow_type(t: pa.DataType) -> str:
 # enough that a mixed-type column cannot hide behind its first cell
 _CLS_CELL_SAMPLE = 1024
 _CLS_ELEM_SAMPLE = 8
+# list-nesting levels classified before truncating: bounds recursion so
+# a pathological self-referential cell cannot loop forever (r11 ADVICE:
+# the previous form was depth-unbounded while its docstring said "one
+# level"); 3 levels cover every shape the registry emits (deepest is
+# list<struct-as-tuple<scalar>>) with headroom
+_CLS_MAX_DEPTH = 3
 
 
-def _cell_cls(v) -> str:
-    """Representation class of ONE cell, recursing one level into
-    list-likes (r10 ADVICE: a list-of-Decimal vs list-of-float split —
-    the exact divergence class this gate exists for, one nesting level
-    down — must not collapse to an undifferentiated 'list')."""
+def _cell_cls(v, _depth: int = 0) -> str:
+    """Representation class of ONE cell, recursing into list-likes up to
+    ``_CLS_MAX_DEPTH`` nesting levels (r10 ADVICE: a list-of-Decimal vs
+    list-of-float split — the exact divergence class this gate exists
+    for, one nesting level down — must not collapse to an
+    undifferentiated 'list').
+
+    r11 VERDICT hardening: the per-level element sample is STRIDED
+    across the whole list and always includes the FINAL element — a
+    tail-only element-type divergence (e.g. the last slot of a 384-dim
+    embedding list) previously evaded the head-slice sample. Budget is
+    unchanged (<= _CLS_ELEM_SAMPLE + 1 elements per level); a divergence
+    confined to unsampled interior elements can still evade — inherent
+    to any bounded-budget sample."""
     import datetime as _dt
     import decimal as _dec
 
@@ -118,13 +141,18 @@ def _cell_cls(v) -> str:
     if isinstance(v, _dt.date):
         return "date"
     if isinstance(v, (list, tuple, _np.ndarray)):
-        elems = {
-            _cell_cls(x)
-            for x in list(v)[:_CLS_ELEM_SAMPLE]
-            if x is not None
-        }
-        if not elems:
+        if _depth >= _CLS_MAX_DEPTH:
+            return "list<...>"  # depth-capped, never silently scalar-typed
+        seq = list(v)
+        if not seq:
             return "list<?>"  # no classifiable element in this cell
+        # strided sample + explicit final element (same fix as the
+        # cell-level sample in _pandas_cls, one level down)
+        step = -(-len(seq) // _CLS_ELEM_SAMPLE)  # ceil: never a head slice
+        sample = seq[::step][:_CLS_ELEM_SAMPLE] + [seq[-1]]
+        elems = {_cell_cls(x, _depth + 1) for x in sample if x is not None}
+        if not elems:
+            return "list<?>"  # all sampled elements were None
         return "list<" + ",".join(sorted(elems)) + ">"
     return "object:" + type(v).__name__
 
@@ -134,9 +162,11 @@ def _pandas_cls(series) -> str:
     value-canonicalizing hasher would see (str/repr of the cells).
 
     Object columns classify over a bounded SAMPLE of non-null cells —
-    not just the first — and list-like cells recurse one level into
-    element types, so a mixed-type column or an element-type divergence
-    cannot evade the gate behind a leading well-typed cell."""
+    strided across the whole column plus the explicit final cell, not a
+    head slice — and list-like cells recurse (depth-capped, strided the
+    same way) into element types, so a mixed-type column or an
+    element-type divergence cannot evade the gate behind a leading
+    well-typed cell or a stride-skipped tail."""
     dt = str(series.dtype)
     if dt.startswith(("int", "uint")):
         return "int"
@@ -153,9 +183,16 @@ def _pandas_cls(series) -> str:
         # STRIDED sample, not a head slice: a divergence correlated with
         # sort order (the canon sort puts high keys last) must not land
         # exclusively in an unexamined tail — same cell budget, spread
-        # across the whole column
+        # across the whole column. The FINAL cell is always examined
+        # explicitly (r11 ADVICE: ceil-step striding skips up to step-1
+        # trailing cells, so a lone divergent LAST cell — the most
+        # likely landing spot for a sort-order-correlated divergence —
+        # could fall off-stride). A divergence confined to unsampled
+        # interior cells can still evade — inherent to any
+        # bounded-budget sample.
         step = -(-len(nn) // _CLS_CELL_SAMPLE)  # ceil: never a head slice
-        classes = {_cell_cls(v) for v in nn.iloc[::step][:_CLS_CELL_SAMPLE]}
+        cells = list(nn.iloc[::step][:_CLS_CELL_SAMPLE]) + [nn.iloc[-1]]
+        classes = {_cell_cls(v) for v in cells}
         # merge element-unknown list cells into a typed list class when
         # one exists ([] and [1,2] in one column are the same class)
         if "list<?>" in classes and any(
@@ -236,7 +273,11 @@ def main() -> int:
         "(Reusing the already-fetched Arrow table instead was rejected: "
         "Arrow's to_pandas renders DECIMAL as object-of-Decimal where "
         "DuckDB's .df() renders float64 — it would NOT reproduce the "
-        ".df() surface this check exists to compare.)",
+        ".df() surface this check exists to compare.) CONSTRAINT (r11 "
+        "ADVICE): sampled mode must never become the gate default as "
+        "long as the two samples are unordered; if it ever is promoted, "
+        "both samples must first be ordered identically (reuse the "
+        "canon_rows sort keys) before limiting.",
     )
     args = ap.parse_args()
 
