@@ -532,91 +532,91 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-12 plan derived from the rule (third consecutive fully-green
-# round at r11 — 50/50 driver, cumulative last-green histogram r11=50,
-# r10=49, r09=46 — so r12 is the second steady-state maintenance
+# Round-13 plan derived from the rule (fourth consecutive fully-green
+# round at r12 — 50/50 driver, cumulative last-green histogram r12=50,
+# r11=49, r10=46 — so r13 is the third steady-state maintenance
 # rotation: ZERO new queries, ZERO query-code changes; the only edits
-# this round are docs + the check_oracle element-sample hardening from
-# VERDICT/ADVICE, neither of which touches a hashed projection, so
-# there are NO tier-1 rows):
-# (a) the smoke anchor; (b) the full 46-row r09 cohort, which hits the
-# tier-2 three-round staleness boundary after r12. COHORT DEFINITION:
+# this round are docs + the check_oracle stride-budget fix from
+# ADVICE, neither of which touches a hashed projection, so there are
+# NO tier-1 rows):
+# (a) the smoke anchor; (b) the full 46-row r10 cohort, which hits the
+# tier-2 three-round staleness boundary after r13. COHORT DEFINITION:
 # "last driver-green rN" is read from the CORRECTNESS_r0N.json files
 # themselves (hash_match==true, max round per query), NOT reconstructed
 # from past _PRIORITY lists — verified this round: the mechanical scan
-# over CORRECTNESS_r01..r11 yields exactly 46 rows last-green at r09,
-# 49 at r10, 50 at r11, 145 total, none older than r09 — matching the
-# r11 verdict's independent count;
-# (c) THREE borrowed r10-cohort rows (`dsir_importance_weights`,
-# `kmeans_clusters`, `minhash_lsh_pairs` — the selection-path row, the
-# iterative-job bench-watch row, and the banded-LSH cornerstone: the
-# three structurally richest r10 rows) to spend slots 48-50 usefully,
-# per the r11 precedent of borrowing `columns_schema`: the r10 cohort
-# is 49 rows, so r13's head (1 anchor + the remaining 46) = 47 <= the
-# cap with room to spare, and r14's (1 + the r11/r12 cohorts split)
-# stays feasible — the steady-state rotation keeps ~3 slack slots.
+# over CORRECTNESS_r01..r12 yields exactly 46 rows last-green at r10,
+# 49 at r11, 50 at r12, 145 total, none older than r10 — matching the
+# r12 verdict's independent count;
+# (c) THREE borrowed r11-cohort rows (`lineage_closure_deep`,
+# `merge_upsert`, `scd2_history` — the iterative path-doubling
+# bench-watch row and the two mutation-semantics rows, the verdict's
+# named picks; `columns_schema` is NOT eligible, it was the r11
+# borrow) to spend slots 48-50 usefully: the r11 cohort is 49 rows, so
+# r14's head (1 anchor + the remaining 46) = 47 <= the cap with room
+# to spare, and the r12 cohort (50 rows) then fills r15 — the
+# steady-state rotation keeps ~3 slack slots.
 #
-# Head math: 1 anchor + 46 r09 cohort + 3 borrowed = 50 rows, exactly
+# Head math: 1 anchor + 46 r10 cohort + 3 borrowed = 50 rows, exactly
 # the observed cap. After the run no query's last driver-green round is
-# older than r10.
+# older than r11.
 # `approx_user_counts` stays pinned to the very TAIL of the full
 # ordering (see _ordered_names): its row is permanently `no_oracle`
 # (engine-specific HLL sketch values — rows-only by design) and must
 # not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) the 46-row r09 cohort at the tier-2 boundary (alphabetical)
-    "bm25_scores",
-    "chunk_dedup",
-    "column_histograms",
-    "contamination_check",
-    "curation_pipeline_e2e",
-    "discovered_objects",
-    "doc_fingerprints",
-    "duplicated_spans",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "heavy_hitter_tokens",
-    "kmeans_assign",
-    "lang_profile",
-    "langid_trigram",
-    "lateness_report",
-    "lsh_dedup_recall",
-    "mixture_weights",
-    "multimodal_meta",
-    "named_assets",
-    "normalized_dedup",
-    "object_count_rollup",
-    "observability_report",
-    "percentile_sketch_accuracy",
-    "pii_redaction",
-    "range_join_incidents",
-    "schema_drift",
-    "semantic_dedup",
-    "skew_report",
-    "stratified_sample",
-    "streaming_click_attribution",
-    "streaming_corpus_dedup",
-    "streaming_first_completed",
-    "streaming_sessionize",
-    "streaming_tumbling_hourly",
-    "table_profiles",
-    "tables_enriched",
-    "textrank_keywords",
-    "time_rollup_multigrain",
-    "token_count_regex",
-    "top_orders_per_customer",
-    "unigram_kl",
-    "unigram_logprob",
-    "user_count_accuracy",
-    "value_deciles",
-    "weighted_sample_topk",
-    "zone_map_plan",
-    # (c) three borrowed r10-cohort rows to fill slots 48-50 (see
+    # (b) the 46-row r10 cohort at the tier-2 boundary (alphabetical)
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "asof_last_error_before_purchase",
+    "audio_chunking",
+    "bpe_apply_merges",
+    "corpus_card",
+    "deterministic_sample",
+    "discovered_objects_live",
+    "dormant_customers",
+    "events_cube",
+    "exact_dedup",
+    "first_completed",
+    "frame_sample",
+    "hash_split",
+    "high_value_events",
+    "image_resize",
+    "ivf_ann_topk",
+    "ks_drift",
+    "local_supplier_revenue",
+    "lsh_bucket_stats",
+    "media_features",
+    "mixture_weights_temperature",
+    "nation_market_share",
+    "ngram_diversity",
+    "order_priority_rollup",
+    "order_value_percentiles",
+    "perplexity_buckets",
+    "rate_anomaly",
+    "returned_item_revenue",
+    "score_auc",
+    "score_auc_parts",
+    "score_calibration",
+    "segment_order_stats",
+    "signup_purchase_window",
+    "simhash_fingerprints",
+    "sliding_daily",
+    "source_overlap_matrix",
+    "state_transitions",
+    "text_stats",
+    "tfidf_keywords",
+    "tokenizer_fertility",
+    "top_balance_per_nation",
+    "unimax_allocation",
+    "urgent_order_customers",
+    "user_sessions",
+    "user_value_zscores",
+    # (c) three borrowed r11-cohort rows to fill slots 48-50 (see
     # comment above)
-    "dsir_importance_weights",
-    "kmeans_clusters",
-    "minhash_lsh_pairs",
+    "lineage_closure_deep",
+    "merge_upsert",
+    "scd2_history",
 ]
 
 

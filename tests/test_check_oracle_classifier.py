@@ -25,6 +25,10 @@ r12 additions (r11 VERDICT "What's wrong" #1 + ADVICE):
 - list recursion is depth-capped (_CLS_MAX_DEPTH) so a self-referential
   cell terminates instead of recursing forever.
 
+r13 additions (r12 ADVICE): both strides are FLOOR-step + budget cap —
+ceil-step could spend as little as half the stated budget, leaving
+interior indices unsampled that the budget was sized to cover.
+
 Pure-pandas unit tests — no SparkSession, no DuckDB, sub-second.
 """
 
@@ -77,10 +81,19 @@ class TestCellCls:
         assert _cell_cls(v) == "list<decimal,float>"
         # ...and an off-stride tail element (last index not a stride
         # multiple) is caught via the explicit final-element probe:
-        # len 100 -> step ceil(100/8)=13, strided indices 0,13,...,91;
-        # index 99 is off-stride
+        # len 100 -> floor step 100//8=12, strided+capped indices
+        # 0,12,...,84; index 99 is off-stride
         v2 = [1.0] * 99 + [Decimal("1")]
         assert _cell_cls(v2) == "list<decimal,float>"
+
+    def test_elem_budget_filled_by_floor_stride(self):
+        # r12 ADVICE: ceil-step spent as little as half the element
+        # budget — len 9, budget 8 -> ceil step 2 sampled only indices
+        # 0,2,4,6,8 (5 of 8), so a divergent element at an odd
+        # NON-final index (7) evaded both the stride and the final
+        # probe. Floor step 9//8=1 samples indices 0..7 + final: caught.
+        v = [1.0] * 7 + [Decimal("1")] + [1.0]
+        assert _cell_cls(v) == "list<decimal,float>"
 
     def test_list_recursion_depth_capped(self):
         # nested lists classify through _CLS_MAX_DEPTH levels, then
@@ -126,11 +139,22 @@ class TestPandasCls:
         assert _pandas_cls(s) == "mixed{decimal,float}"
 
     def test_off_stride_final_cell_divergence_caught(self):
-        # r11 ADVICE: len 1502 -> step ceil(1502/1024)=2, strided
-        # indices 0,2,...,1500 — a lone divergent cell at index 1501
-        # (the LAST cell, odd, off-stride) was never examined; the
-        # explicit final-cell probe must catch it
+        # r11 ADVICE scenario, still pinned under the r13 floor stride:
+        # len 1502 -> floor step 1, capped sample = cells 0..1023 — a
+        # lone divergent cell at index 1501 (the LAST cell, past the
+        # cap) is examined only by the explicit final-cell probe
         s = pd.Series([Decimal("1")] * 1501 + [1.0], dtype=object)
+        assert _pandas_cls(s) == "mixed{decimal,float}"
+
+    def test_cell_budget_filled_by_floor_stride(self):
+        # r12 ADVICE: ceil-step spent as little as half the cell budget
+        # — len 1025, budget 1024 -> ceil step 2 sampled only the 513
+        # even indices, so a divergent cell at an odd NON-final index
+        # (513) evaded both the stride and the final probe. Floor step
+        # 1025//1024=1 samples cells 0..1023 + final: caught.
+        cells = [Decimal("1")] * 1025
+        cells[513] = 1.0
+        s = pd.Series(cells, dtype=object)
         assert _pandas_cls(s) == "mixed{decimal,float}"
 
     def test_empty_list_merges_into_typed_class(self):

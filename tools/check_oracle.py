@@ -31,6 +31,14 @@ of a long embedding list or a lone divergent final cell); list
 recursion is depth-capped at ``_CLS_MAX_DEPTH`` so a pathological
 self-referential cell cannot recurse forever.
 
+r13 hardening (r12 ADVICE): both strides are FLOOR-step + budget cap
+(ceil-step could spend as little as half the stated budget).
+
+STANDING RULE: ``_CLS_MAX_DEPTH`` (=3) must be raised IN THE SAME
+COMMIT as any new registry query whose result nests lists deeper than
+3 levels (today's deepest shape is 2); a divergence confined below the
+cap classifies identically on both engines and evades this gate.
+
 Usage: python tools/check_oracle.py [name ...] [--sf DIR]
 """
 
@@ -148,7 +156,11 @@ def _cell_cls(v, _depth: int = 0) -> str:
             return "list<?>"  # no classifiable element in this cell
         # strided sample + explicit final element (same fix as the
         # cell-level sample in _pandas_cls, one level down)
-        step = -(-len(seq) // _CLS_ELEM_SAMPLE)  # ceil: never a head slice
+        # floor-stride + cap (r12 ADVICE): ceil-step used as little as
+        # HALF the budget (9 elems, budget 8 -> step 2 -> 5 sampled);
+        # floor-step oversamples then the [:N] cap trims to budget, so
+        # the full _CLS_ELEM_SAMPLE is always spent when elements exist
+        step = max(1, len(seq) // _CLS_ELEM_SAMPLE)
         sample = seq[::step][:_CLS_ELEM_SAMPLE] + [seq[-1]]
         elems = {_cell_cls(x, _depth + 1) for x in sample if x is not None}
         if not elems:
@@ -189,8 +201,11 @@ def _pandas_cls(series) -> str:
         # likely landing spot for a sort-order-correlated divergence —
         # could fall off-stride). A divergence confined to unsampled
         # interior cells can still evade — inherent to any
-        # bounded-budget sample.
-        step = -(-len(nn) // _CLS_CELL_SAMPLE)  # ceil: never a head slice
+        # bounded-budget sample. floor-stride + cap (r12 ADVICE):
+        # ceil-step spent as little as half the budget (1025 cells,
+        # budget 1024 -> step 2 -> 513 sampled); floor-step oversamples
+        # then the [:N] cap trims, so the full budget is always spent.
+        step = max(1, len(nn) // _CLS_CELL_SAMPLE)
         cells = list(nn.iloc[::step][:_CLS_CELL_SAMPLE]) + [nn.iloc[-1]]
         classes = {_cell_cls(v) for v in cells}
         # merge element-unknown list cells into a typed list class when
