@@ -25,9 +25,18 @@ r12 additions (r11 VERDICT "What's wrong" #1 + ADVICE):
 - list recursion is depth-capped (_CLS_MAX_DEPTH) so a self-referential
   cell terminates instead of recursing forever.
 
-r13 additions (r12 ADVICE): both strides are FLOOR-step + budget cap —
-ceil-step could spend as little as half the stated budget, leaving
+r13 additions (r12 ADVICE): both strides became FLOOR-step + budget cap
+— ceil-step could spend as little as half the stated budget, leaving
 interior indices unsampled that the budget was sized to cover.
+
+r14 additions (r13 ADVICE): floor-stride + cap fixed the budget but
+broke the SPAN — for budget < len < 2*budget the step was 1, so the
+sample was literally the head `budget` items plus the final item: a
+contiguous unsampled TAIL block of up to ~half the column, the exact
+sort-order-correlated region the gate's rationale names as the
+likeliest divergence landing spot. Both levels now use _sample_idx
+(evenly spaced indices): full budget AND full span, first/last always
+included, max contiguous gap ceil((len-1)/(budget-1)).
 
 Pure-pandas unit tests — no SparkSession, no DuckDB, sub-second.
 """
@@ -35,12 +44,49 @@ Pure-pandas unit tests — no SparkSession, no DuckDB, sub-second.
 from __future__ import annotations
 
 import datetime
+import math
 from decimal import Decimal
 
 import numpy as np
 import pandas as pd
 
-from tools.check_oracle import _cell_cls, _pandas_cls, _surface_match
+from tools.check_oracle import _cell_cls, _pandas_cls, _sample_idx, _surface_match
+
+
+class TestSampleIdx:
+    """Pin the three properties _sample_idx's docstring claims."""
+
+    def test_small_n_returns_every_index(self):
+        assert _sample_idx(0, 8) == []
+        assert _sample_idx(1, 8) == [0]
+        assert _sample_idx(8, 8) == list(range(8))
+        assert _sample_idx(1024, 1024) == list(range(1024))
+
+    def test_full_budget_and_span_and_gap_bound(self):
+        # the r13 ADVICE failure zone budget < n < 2*budget, plus exact
+        # multiples, off-by-ones, and a 100x-budget column
+        for budget in (8, 1024):
+            for n in (
+                budget + 1,
+                budget + budget // 2,  # mid failure zone
+                2 * budget - 1,  # top of the failure zone
+                2 * budget,
+                2 * budget + 1,
+                100 * budget + 7,
+            ):
+                idx = _sample_idx(n, budget)
+                assert idx[0] == 0 and idx[-1] == n - 1, (n, budget)
+                assert len(idx) == budget, (n, budget, len(idx))  # full budget
+                max_gap = max(b - a for a, b in zip(idx, idx[1:]))
+                assert max_gap <= math.ceil((n - 1) / (budget - 1)), (n, budget)
+
+    def test_r13_head_concentration_gone(self):
+        # the r13 form for n=1500, budget=1024 sampled cells 0..1023 +
+        # 1499: indices 1024..1498 formed one contiguous unsampled
+        # block of 475 cells. The evenly spaced sample reaches them.
+        idx = _sample_idx(1500, 1024)
+        assert any(1024 <= j <= 1498 for j in idx)
+        assert max(b - a for a, b in zip(idx, idx[1:])) <= 2
 
 
 class TestCellCls:
@@ -79,20 +125,20 @@ class TestCellCls:
         # sample (the tail of a 384-dim embedding is the real case)
         v = [1.0] * 383 + [Decimal("1")]
         assert _cell_cls(v) == "list<decimal,float>"
-        # ...and an off-stride tail element (last index not a stride
-        # multiple) is caught via the explicit final-element probe:
-        # len 100 -> floor step 100//8=12, strided+capped indices
-        # 0,12,...,84; index 99 is off-stride
+        # ...and the final element is included BY CONSTRUCTION in the
+        # evenly spaced sample (_sample_idx always emits n-1), so a
+        # lone divergent LAST element is always caught:
         v2 = [1.0] * 99 + [Decimal("1")]
         assert _cell_cls(v2) == "list<decimal,float>"
 
-    def test_elem_budget_filled_by_floor_stride(self):
-        # r12 ADVICE: ceil-step spent as little as half the element
-        # budget — len 9, budget 8 -> ceil step 2 sampled only indices
-        # 0,2,4,6,8 (5 of 8), so a divergent element at an odd
-        # NON-final index (7) evaded both the stride and the final
-        # probe. Floor step 9//8=1 samples indices 0..7 + final: caught.
-        v = [1.0] * 7 + [Decimal("1")] + [1.0]
+    def test_elem_sample_spans_the_r13_failure_zone(self):
+        # r13 ADVICE: for budget < len < 2*budget the floor-stride+cap
+        # sample was the head `budget` elements plus the final one —
+        # len 12, budget 8 sampled indices 0..7 + 11, so a divergent
+        # element at index 9 evaded. _sample_idx(12, 8) =
+        # {0,1,3,4,6,7,9,11}: full budget, spans the list, catches it.
+        assert _sample_idx(12, 8) == [0, 1, 3, 4, 6, 7, 9, 11]
+        v = [1.0] * 9 + [Decimal("1")] + [1.0] * 2
         assert _cell_cls(v) == "list<decimal,float>"
 
     def test_list_recursion_depth_capped(self):
@@ -138,22 +184,45 @@ class TestPandasCls:
         s = pd.Series([Decimal("1")] * 1500 + [1.0], dtype=object)
         assert _pandas_cls(s) == "mixed{decimal,float}"
 
-    def test_off_stride_final_cell_divergence_caught(self):
-        # r11 ADVICE scenario, still pinned under the r13 floor stride:
-        # len 1502 -> floor step 1, capped sample = cells 0..1023 — a
-        # lone divergent cell at index 1501 (the LAST cell, past the
-        # cap) is examined only by the explicit final-cell probe
+    def test_final_cell_divergence_caught(self):
+        # r11 ADVICE scenario, pinned across every sampler since: a
+        # lone divergent LAST cell (len 1502) — the most likely landing
+        # spot for a sort-order-correlated divergence — is always
+        # examined (_sample_idx always includes index n-1)
         s = pd.Series([Decimal("1")] * 1501 + [1.0], dtype=object)
         assert _pandas_cls(s) == "mixed{decimal,float}"
 
-    def test_cell_budget_filled_by_floor_stride(self):
+    def test_cell_budget_fully_spent(self):
         # r12 ADVICE: ceil-step spent as little as half the cell budget
         # — len 1025, budget 1024 -> ceil step 2 sampled only the 513
         # even indices, so a divergent cell at an odd NON-final index
-        # (513) evaded both the stride and the final probe. Floor step
-        # 1025//1024=1 samples cells 0..1023 + final: caught.
+        # (513) evaded. _sample_idx(1025, 1024) = {0..1022, 1024}: the
+        # full 1024-index budget, and 513 is sampled.
         cells = [Decimal("1")] * 1025
         cells[513] = 1.0
+        s = pd.Series(cells, dtype=object)
+        assert _pandas_cls(s) == "mixed{decimal,float}"
+
+    def test_r13_unsampled_tail_block_divergence_caught(self):
+        # the r13 ADVICE medium, verbatim: len 1500, budget 1024 ->
+        # floor step 1, so the r13 sample was cells 0..1023 + 1499 and
+        # a divergent cell anywhere in 1024..1498 evaded. Index 1200
+        # sits mid-block and is on the evenly spaced sample
+        # (_sample_idx(1500, 1024) contains 1200); gap bound 2.
+        cells = [Decimal("1")] * 1500
+        cells[1200] = 1.0
+        s = pd.Series(cells, dtype=object)
+        assert _pandas_cls(s) == "mixed{decimal,float}"
+
+    def test_r12_regression_case_still_caught(self):
+        # the r13 ADVICE's regression example: a divergent cell at
+        # index 1500 of a 2000-cell column was sampled by the r12
+        # ceil-stride, evaded the r13 floor-stride+cap (head block +
+        # final only reaches 1023 then 1999), and is sampled again by
+        # the evenly spaced scheme (1500 in _sample_idx(2000, 1024))
+        assert 1500 in _sample_idx(2000, 1024)
+        cells = [Decimal("1")] * 2000
+        cells[1500] = 1.0
         s = pd.Series(cells, dtype=object)
         assert _pandas_cls(s) == "mixed{decimal,float}"
 

@@ -31,8 +31,19 @@ of a long embedding list or a lone divergent final cell); list
 recursion is depth-capped at ``_CLS_MAX_DEPTH`` so a pathological
 self-referential cell cannot recurse forever.
 
-r13 hardening (r12 ADVICE): both strides are FLOOR-step + budget cap
+r13 hardening (r12 ADVICE): both strides were FLOOR-step + budget cap
 (ceil-step could spend as little as half the stated budget).
+
+r14 hardening (r13 ADVICE): the floor-stride + cap traded the budget
+problem for a SPAN problem — for budget < len < 2*budget the step was 1,
+so the capped sample was literally the head `budget` items plus the
+final item, leaving a contiguous unsampled tail block of up to ~half the
+column (the exact sort-order-correlated tail region the gate's own
+rationale names as the likeliest landing spot). Both levels now sample
+via ``_sample_idx``: evenly SPACED indices that always include the first
+and last item, spend the full budget (exactly ``budget`` distinct
+indices whenever len >= budget), and bound every contiguous unsampled
+gap at ceil((len-1)/(budget-1)) items.
 
 STANDING RULE: ``_CLS_MAX_DEPTH`` (=3) must be raised IN THE SAME
 COMMIT as any new registry query whose result nests lists deeper than
@@ -104,6 +115,32 @@ def _norm_arrow_type(t: pa.DataType) -> str:
 # enough that a mixed-type column cannot hide behind its first cell
 _CLS_CELL_SAMPLE = 1024
 _CLS_ELEM_SAMPLE = 8
+def _sample_idx(n: int, budget: int) -> list:
+    """Evenly spaced sample indices over ``range(n)``.
+
+    Properties (each one pinned in test_check_oracle_classifier.py):
+    - always includes index 0 and index n-1;
+    - spends the FULL budget: exactly ``budget`` distinct indices when
+      n >= budget (the linear map i -> i*(n-1)//(budget-1) is strictly
+      increasing once its real-valued step (n-1)/(budget-1) >= 1), and
+      every index when n <= budget;
+    - SPANS the range: no contiguous unsampled gap exceeds
+      ceil((n-1)/(budget-1)) items.
+
+    This replaces the r13 floor-stride + cap, which for
+    budget < n < 2*budget had step 1 and so sampled the head ``budget``
+    items plus the final item — a contiguous unsampled TAIL block of up
+    to ~half the column, the exact sort-order-correlated region the
+    gate's rationale calls the likeliest landing spot for a divergence
+    (r13 ADVICE). A divergence confined to the <= ceil((n-1)/(budget-1))
+    unsampled interior items between consecutive sampled indices can
+    still evade — inherent to any bounded-budget sample.
+    """
+    if n <= budget:
+        return list(range(n))
+    return sorted({i * (n - 1) // (budget - 1) for i in range(budget)})
+
+
 # list-nesting levels classified before truncating: bounds recursion so
 # a pathological self-referential cell cannot loop forever (r11 ADVICE:
 # the previous form was depth-unbounded while its docstring said "one
@@ -119,13 +156,15 @@ def _cell_cls(v, _depth: int = 0) -> str:
     for, one nesting level down — must not collapse to an
     undifferentiated 'list').
 
-    r11 VERDICT hardening: the per-level element sample is STRIDED
-    across the whole list and always includes the FINAL element — a
-    tail-only element-type divergence (e.g. the last slot of a 384-dim
-    embedding list) previously evaded the head-slice sample. Budget is
-    unchanged (<= _CLS_ELEM_SAMPLE + 1 elements per level); a divergence
-    confined to unsampled interior elements can still evade — inherent
-    to any bounded-budget sample."""
+    r11/r14 hardening: the per-level element sample is EVENLY SPACED
+    across the whole list via ``_sample_idx`` — it always includes the
+    first and FINAL element (a tail-only element-type divergence, e.g.
+    the last slot of a 384-dim embedding list, evaded the pre-r11
+    head-slice sample), spends the full ``_CLS_ELEM_SAMPLE`` budget
+    whenever the list is at least that long, and leaves no contiguous
+    unsampled run longer than ceil((len-1)/(budget-1)) elements. A
+    divergence confined to unsampled interior elements can still evade
+    — inherent to any bounded-budget sample."""
     import datetime as _dt
     import decimal as _dec
 
@@ -154,14 +193,10 @@ def _cell_cls(v, _depth: int = 0) -> str:
         seq = list(v)
         if not seq:
             return "list<?>"  # no classifiable element in this cell
-        # strided sample + explicit final element (same fix as the
-        # cell-level sample in _pandas_cls, one level down)
-        # floor-stride + cap (r12 ADVICE): ceil-step used as little as
-        # HALF the budget (9 elems, budget 8 -> step 2 -> 5 sampled);
-        # floor-step oversamples then the [:N] cap trims to budget, so
-        # the full _CLS_ELEM_SAMPLE is always spent when elements exist
-        step = max(1, len(seq) // _CLS_ELEM_SAMPLE)
-        sample = seq[::step][:_CLS_ELEM_SAMPLE] + [seq[-1]]
+        # evenly spaced sample (same scheme as the cell-level sample in
+        # _pandas_cls, one level down): full budget, spans the range,
+        # first and final element always examined — see _sample_idx
+        sample = [seq[j] for j in _sample_idx(len(seq), _CLS_ELEM_SAMPLE)]
         elems = {_cell_cls(x, _depth + 1) for x in sample if x is not None}
         if not elems:
             return "list<?>"  # all sampled elements were None
@@ -174,11 +209,11 @@ def _pandas_cls(series) -> str:
     value-canonicalizing hasher would see (str/repr of the cells).
 
     Object columns classify over a bounded SAMPLE of non-null cells —
-    strided across the whole column plus the explicit final cell, not a
-    head slice — and list-like cells recurse (depth-capped, strided the
+    evenly spaced across the whole column, first and final cell always
+    included — and list-like cells recurse (depth-capped, sampled the
     same way) into element types, so a mixed-type column or an
     element-type divergence cannot evade the gate behind a leading
-    well-typed cell or a stride-skipped tail."""
+    well-typed cell or an unsampled tail block."""
     dt = str(series.dtype)
     if dt.startswith(("int", "uint")):
         return "int"
@@ -192,21 +227,19 @@ def _pandas_cls(series) -> str:
         nn = series.dropna()
         if len(nn) == 0:
             return "object-empty"
-        # STRIDED sample, not a head slice: a divergence correlated with
-        # sort order (the canon sort puts high keys last) must not land
-        # exclusively in an unexamined tail — same cell budget, spread
-        # across the whole column. The FINAL cell is always examined
-        # explicitly (r11 ADVICE: ceil-step striding skips up to step-1
-        # trailing cells, so a lone divergent LAST cell — the most
-        # likely landing spot for a sort-order-correlated divergence —
-        # could fall off-stride). A divergence confined to unsampled
-        # interior cells can still evade — inherent to any
-        # bounded-budget sample. floor-stride + cap (r12 ADVICE):
-        # ceil-step spent as little as half the budget (1025 cells,
-        # budget 1024 -> step 2 -> 513 sampled); floor-step oversamples
-        # then the [:N] cap trims, so the full budget is always spent.
-        step = max(1, len(nn) // _CLS_CELL_SAMPLE)
-        cells = list(nn.iloc[::step][:_CLS_CELL_SAMPLE]) + [nn.iloc[-1]]
+        # EVENLY SPACED sample, not a head slice: a divergence
+        # correlated with sort order (the canon sort puts high keys
+        # last) must not land exclusively in an unexamined tail. The
+        # full _CLS_CELL_SAMPLE budget is always spent when the column
+        # is at least that long, the FIRST and FINAL cells are always
+        # examined (a lone divergent LAST cell is the most likely
+        # landing spot for a sort-order-correlated divergence), and no
+        # contiguous unsampled run exceeds ceil((len-1)/(budget-1))
+        # cells — see _sample_idx for why the r13 floor-stride + cap
+        # form failed the span property. A divergence confined to the
+        # unsampled interior cells between consecutive sampled indices
+        # can still evade — inherent to any bounded-budget sample.
+        cells = list(nn.iloc[_sample_idx(len(nn), _CLS_CELL_SAMPLE)])
         classes = {_cell_cls(v) for v in cells}
         # merge element-unknown list cells into a typed list class when
         # one exists ([] and [1,2] in one column are the same class)
