@@ -532,92 +532,92 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-14 plan derived from the rule (fifth consecutive fully-green
-# round at r13 — 50/50 driver, cumulative last-green histogram r13=50,
-# r12=49, r11=46 — so r14 is the fourth steady-state maintenance
+# Round-15 plan derived from the rule (sixth consecutive fully-green
+# round at r14 — 50/50 driver, cumulative last-green histogram r14=50,
+# r13=49, r12=46 — so r15 is the fifth steady-state maintenance
 # rotation: ZERO new queries, ZERO query-code changes; the only edits
-# this round are docs + the check_oracle evenly-spaced-sample fix from
-# ADVICE, neither of which touches a hashed projection, so there are
-# NO tier-1 rows):
-# (a) the smoke anchor; (b) the full 46-row r11 cohort, which hits the
-# tier-2 three-round staleness boundary after r14. COHORT DEFINITION:
+# this round are docs/tooling ADVICE fixes (check_oracle budget guard,
+# profiler portability), neither of which touches a hashed projection,
+# so there are NO tier-1 rows):
+# (a) the smoke anchor; (b) the full 46-row r12 cohort, which hits the
+# tier-2 three-round staleness boundary after r15. COHORT DEFINITION:
 # "last driver-green rN" is read from the CORRECTNESS_r0N.json files
 # themselves (hash_match==true, max round per query), NOT reconstructed
 # from past _PRIORITY lists — verified this round: the mechanical scan
-# over CORRECTNESS_r01..r13 yields exactly 46 rows last-green at r11,
-# 49 at r12, 50 at r13, 145 total, none older than r11 — matching the
-# r13 verdict's independent count (the three rows borrowed at r13 —
-# lineage_closure_deep, merge_upsert, scd2_history — moved from the
-# old 49-row r11 cohort into r13, leaving exactly these 46);
-# (c) THREE borrowed r12-cohort rows (`minhash_lsh_pairs`,
-# `semantic_dedup`, `streaming_sessionize` — LSH banding, SemDeDup
-# tiling, and stateful streaming, the r13 verdict's named picks: the
-# structurally richest plans to re-hash early) to spend slots 48-50
-# usefully: the r14 head is otherwise 47 rows, and the r12 cohort
-# (49 - 3 borrowed = 46 rows) then fills r15 — the steady-state
-# rotation keeps ~3 slack slots.
+# over CORRECTNESS_r01..r14 yields exactly 46 rows last-green at r12,
+# 49 at r13, 50 at r14, 145 total, none older than r12 — matching the
+# r14 verdict's independent count (the three rows borrowed at r14 —
+# minhash_lsh_pairs, semantic_dedup, streaming_sessionize — moved from
+# the old 49-row r12 cohort into r14, leaving exactly these 46);
+# (c) THREE borrowed r13-cohort rows (`lineage_closure_deep`,
+# `scd2_history`, `ivf_ann_topk` — the iterative path-doubling closure,
+# mutation-semantics SCD2, and the IVF coarse-quantizer plan, the r14
+# verdict's named picks: the structurally richest plans to re-hash
+# early) to spend slots 48-50 usefully: the r15 head is otherwise 47
+# rows, and the r13 cohort (49 - 3 borrowed = 46 rows) then fills r16 —
+# the steady-state rotation keeps ~3 slack slots.
 #
-# Head math: 1 anchor + 46 r11 cohort + 3 borrowed = 50 rows, exactly
+# Head math: 1 anchor + 46 r12 cohort + 3 borrowed = 50 rows, exactly
 # the observed cap. After the run no query's last driver-green round is
-# older than r12.
+# older than r13.
 # `approx_user_counts` stays pinned to the very TAIL of the full
 # ordering (see _ordered_names): its row is permanently `no_oracle`
 # (engine-specific HLL sketch values — rows-only by design) and must
 # not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) the 46-row r11 cohort at the tier-2 boundary (alphabetical)
-    "ann_recall",
-    "asset_specs",
-    "balance_percent_rank",
-    "bloom_contamination_check",
-    "bpe_pair_counts",
-    "columns_schema",
-    "compaction_plan",
-    "curated_corpus",
-    "dedup_retention",
-    "dedup_threshold_sweep",
-    "describe_detail",
-    "drift_psi",
-    "epoch_shuffle",
-    "event_dedup_windowed",
-    "event_type_pivot",
-    "event_type_stats",
-    "expectations_report",
-    "funnel_conversion",
-    "fuzzy_match_probe",
-    "incremental_dedup",
-    "incremental_pricing_summary",
-    "int8_quantize",
-    "latest_update_per_entity",
-    "length_outliers",
-    "lineage_closure",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped",
-    "per_source_dedup_rate",
-    "pricing_summary",
-    "quality_filter",
-    "repetition_signals",
-    "retention_cohorts",
-    "run_output_lookup",
-    "sensor_cursor_roundtrip",
-    "sequence_packing",
-    "shipping_priority",
-    "simhash_near_dup_pairs",
-    "streaming_drift_psi",
-    "table_files_meta",
-    "topo_levels",
-    "tumbling_hourly",
-    "url_canonical_dedup",
-    "url_host_stats",
-    "vocab_coverage",
-    "zorder_key",
-    # (c) three borrowed r12-cohort rows to fill slots 48-50 (see
+    # (b) the 46-row r12 cohort at the tier-2 boundary (alphabetical)
+    "bm25_scores",
+    "chunk_dedup",
+    "column_histograms",
+    "contamination_check",
+    "curation_pipeline_e2e",
+    "discovered_objects",
+    "doc_fingerprints",
+    "dsir_importance_weights",
+    "duplicated_spans",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "heavy_hitter_tokens",
+    "kmeans_assign",
+    "kmeans_clusters",
+    "lang_profile",
+    "langid_trigram",
+    "lateness_report",
+    "lsh_dedup_recall",
+    "mixture_weights",
+    "multimodal_meta",
+    "named_assets",
+    "normalized_dedup",
+    "object_count_rollup",
+    "observability_report",
+    "percentile_sketch_accuracy",
+    "pii_redaction",
+    "range_join_incidents",
+    "schema_drift",
+    "skew_report",
+    "stratified_sample",
+    "streaming_click_attribution",
+    "streaming_corpus_dedup",
+    "streaming_first_completed",
+    "streaming_tumbling_hourly",
+    "table_profiles",
+    "tables_enriched",
+    "textrank_keywords",
+    "time_rollup_multigrain",
+    "token_count_regex",
+    "top_orders_per_customer",
+    "unigram_kl",
+    "unigram_logprob",
+    "user_count_accuracy",
+    "value_deciles",
+    "weighted_sample_topk",
+    "zone_map_plan",
+    # (c) three borrowed r13-cohort rows to fill slots 48-50 (see
     # comment above)
-    "minhash_lsh_pairs",
-    "semantic_dedup",
-    "streaming_sessionize",
+    "lineage_closure_deep",
+    "scd2_history",
+    "ivf_ann_topk",
 ]
 
 

@@ -80,6 +80,19 @@ class TestSampleIdx:
                 max_gap = max(b - a for a, b in zip(idx, idx[1:]))
                 assert max_gap <= math.ceil((n - 1) / (budget - 1)), (n, budget)
 
+    def test_degenerate_budget_no_zero_division(self):
+        # r14 ADVICE: the linear map divides by budget-1, so budget=1
+        # with n > budget raised ZeroDivisionError (call sites only use
+        # 8 and 1024 today, but the guard keeps the helper total). A
+        # 1-index budget cannot include both ends; it keeps index 0.
+        assert _sample_idx(5, 1) == [0]
+        assert _sample_idx(2, 1) == [0]
+        assert _sample_idx(5, 0) == []
+        assert _sample_idx(5, -3) == []
+        # n <= budget still short-circuits before the guard
+        assert _sample_idx(1, 1) == [0]
+        assert _sample_idx(0, 1) == []
+
     def test_r13_head_concentration_gone(self):
         # the r13 form for n=1500, budget=1024 sampled cells 0..1023 +
         # 1499: indices 1024..1498 formed one contiguous unsampled

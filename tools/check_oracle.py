@@ -138,6 +138,11 @@ def _sample_idx(n: int, budget: int) -> list:
     """
     if n <= budget:
         return list(range(n))
+    if budget <= 1:
+        # degenerate budget (r14 ADVICE: the linear map below divides by
+        # budget-1); keep the first-and-last invariant as far as the
+        # budget allows — [0] for budget 1, [] for budget <= 0
+        return [0][: max(budget, 0)]
     return sorted({i * (n - 1) // (budget - 1) for i in range(budget)})
 
 

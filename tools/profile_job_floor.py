@@ -30,21 +30,34 @@ live (the bench protocol note in BASELINE.md applies here too).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 _DEFAULT = ["lineage_closure_deep", "duplicated_spans", "source_overlap_matrix"]
-_SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+# repo root derived from this file's location (r14 ADVICE: hardcoded
+# /root/repo made the checked-in profiler non-portable); the fixture
+# root is a flag with the same default the r14 profile used
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=None)
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument(
+        "--data",
+        default="/root/testdata",
+        help="fixture root containing sf0.01/ and sf0.1/",
+    )
     args = ap.parse_args()
     names = args.names or _DEFAULT
+    sfs = (
+        os.path.join(args.data, "sf0.01"),
+        os.path.join(args.data, "sf0.1"),
+    )
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO)
     import __spark_entry__ as e
     from databricks_observe_spark.session import get_spark
 
@@ -66,19 +79,25 @@ def main() -> int:
 
     tracker = sc.statusTracker()
     for name in names:
-        for sf in _SFS:
-            times, jobs = [], None
+        for sf in sfs:
+            times, jobs = [], []
             for p in range(args.passes):
                 group = f"{name}-{sf.rsplit('/', 1)[-1]}-{p}"
                 sc.setJobGroup(group, name)
                 t1 = time.time()
                 qs[name](spark, sf).count()
                 times.append(time.time() - t1)
-                jobs = len(tracker.getJobIdsForGroup(group))
+                jobs.append(len(tracker.getJobIdsForGroup(group)))
+            # job count recorded PER PASS (r14 ADVICE: the final warm
+            # pass can reuse cached shuffle stages and understate the
+            # cold job count); the floor-share bracket uses the max so
+            # the printed share is an upper bound on the fixed cost
+            jmin, jmax = min(jobs), max(jobs)
+            jdesc = str(jmax) if jmin == jmax else f"{jmin}-{jmax}"
             print(
                 f"{name} @ {sf.rsplit('/', 1)[-1]}: min {min(times):.2f}s "
-                f"(passes {['%.2f' % t for t in times]}), jobs/run {jobs}, "
-                f"job-floor share ~{(jobs or 0) * floor:.2f}s"
+                f"(passes {['%.2f' % t for t in times]}), jobs/run {jdesc}, "
+                f"job-floor share <= ~{jmax * floor:.2f}s"
             )
     spark.stop()
     return 0
