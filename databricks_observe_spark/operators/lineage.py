@@ -23,6 +23,8 @@ parallel — the standard Spark answer to recursive CTEs.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
 
 from databricks_observe_spark.operators.catalog_ops import tables_enriched
@@ -31,6 +33,35 @@ from databricks_observe_spark.sources.catalog_model import SKIP_ASSETS, oracle_w
 _DST = ["dst_catalog", "dst_schema", "dst_table"]
 _SRC = ["src_catalog", "src_schema", "src_table"]
 _ALL = _DST + _SRC
+
+
+@contextmanager
+def _no_aqe(spark):
+    """Disable AQE for the duration of a driver-orchestrated fixpoint loop,
+    restoring the caller's setting on exit (including on exception).
+
+    Rationale (r16 drift-watch escalation, BASELINE.md): inside the doubling
+    loops every round's partitioning is already explicitly sized (the
+    ``_parts`` coalesce / the 1-row fixpoint aggregate) and the only join is
+    an explicit ``F.broadcast``, so AQE has nothing left to re-plan — but it
+    still MATERIALIZES each shuffle query stage as its own Spark job. At
+    O(log d) rounds on a metadata-sized graph that stage-job tax dominates:
+    measured on the deep fixture (sf0.1, min-of-4 warm), 30 jobs -> 19 jobs
+    and 3.92 s -> 2.77 s (-29%) with identical output. On a real cluster the
+    same reasoning holds per-round (the loop's plans are fully pre-sized);
+    queries OUTSIDE the loop keep the session's AQE setting untouched.
+    Checkpoint elision itself was evaluated and rejected: the loop already
+    runs exactly ONE action per round materializing a LAZY checkpoint, and
+    removing checkpoints re-creates the quadrupling recompute measured
+    SLOWER at r12 (3.20 s vs 1.85 s).
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def base_edges(edges: DataFrame) -> DataFrame:
@@ -156,42 +187,43 @@ def transitive_closure_doubling(
     def _parts(n_pairs: int) -> int:
         return max(1, n_pairs // 200_000)
 
-    base = base_edges(edges).localCheckpoint()
-    n = base.count()
-    closure = base.coalesce(_parts(n))
-    for it in range(1, max_iters + 1):
-        # the hop side is the accumulated closure — metadata-sized for a
-        # lineage graph (tables x upstream sets, not data rows), so it
-        # broadcasts; that keeps each round's only shuffle the dedup
-        hop = F.broadcast(
-            closure.select(*[F.col(c).alias(f"e_{c}") for c in _ALL])
+    with _no_aqe(edges.sparkSession):
+        base = base_edges(edges).localCheckpoint()
+        n = base.count()
+        closure = base.coalesce(_parts(n))
+        for it in range(1, max_iters + 1):
+            # the hop side is the accumulated closure — metadata-sized for a
+            # lineage graph (tables x upstream sets, not data rows), so it
+            # broadcasts; that keeps each round's only shuffle the dedup
+            hop = F.broadcast(
+                closure.select(*[F.col(c).alias(f"e_{c}") for c in _ALL])
+            )
+            stepped = closure.join(
+                hop,
+                on=[
+                    F.col(f"src_{k}") == F.col(f"e_dst_{k}")
+                    for k in ("catalog", "schema", "table")
+                ],
+            ).select(*_DST, *[F.col(f"e_{c}").alias(c) for c in _SRC])
+            # ONE job per round: the checkpoint is LAZY and materialized by
+            # the convergence count's own action (vs the BFS form's anti-join
+            # + isEmpty + union cadence) — at O(log d) rounds the per-round
+            # driver floor IS the cost model, so the round body stays minimal.
+            closure = (
+                closure.union(stepped)
+                .coalesce(_parts(n))
+                .distinct()
+                .coalesce(_parts(n))
+                .localCheckpoint(eager=False)
+            )
+            n2 = closure.count()
+            if n2 == n:
+                return closure, it
+            n = n2
+        raise RuntimeError(
+            f"transitive_closure_doubling did not converge in {max_iters}"
+            f" rounds — graph depth exceeds 2^{max_iters}; raise max_iters"
         )
-        stepped = closure.join(
-            hop,
-            on=[
-                F.col(f"src_{k}") == F.col(f"e_dst_{k}")
-                for k in ("catalog", "schema", "table")
-            ],
-        ).select(*_DST, *[F.col(f"e_{c}").alias(c) for c in _SRC])
-        # ONE job per round: the checkpoint is LAZY and materialized by
-        # the convergence count's own action (vs the BFS form's anti-join
-        # + isEmpty + union cadence) — at O(log d) rounds the per-round
-        # driver floor IS the cost model, so the round body stays minimal.
-        closure = (
-            closure.union(stepped)
-            .coalesce(_parts(n))
-            .distinct()
-            .coalesce(_parts(n))
-            .localCheckpoint(eager=False)
-        )
-        n2 = closure.count()
-        if n2 == n:
-            return closure, it
-        n = n2
-    raise RuntimeError(
-        f"transitive_closure_doubling did not converge in {max_iters}"
-        f" rounds — graph depth exceeds 2^{max_iters}; raise max_iters"
-    )
 
 
 def lineage_closure_deep(t: dict[str, DataFrame]) -> DataFrame:
@@ -250,42 +282,43 @@ def _longest_paths_doubling(edges: DataFrame, max_iters: int = 12) -> DataFrame:
     rounds the per-round driver floor IS the cost model, so the round
     body stays minimal.
     """
-    paths = edges.select(*_DST, *_SRC, F.lit(1).alias("len")).distinct()
-    sig = None
-    for _ in range(max_iters):
-        hop = F.broadcast(
-            paths.select(
-                *[F.col(c).alias(f"e_{c}") for c in _ALL],
-                F.col("len").alias("e_len"),
+    with _no_aqe(edges.sparkSession):
+        paths = edges.select(*_DST, *_SRC, F.lit(1).alias("len")).distinct()
+        sig = None
+        for _ in range(max_iters):
+            hop = F.broadcast(
+                paths.select(
+                    *[F.col(c).alias(f"e_{c}") for c in _ALL],
+                    F.col("len").alias("e_len"),
+                )
             )
+            stepped = paths.join(
+                hop,
+                on=[
+                    F.col(f"src_{k}") == F.col(f"e_dst_{k}")
+                    for k in ("catalog", "schema", "table")
+                ],
+            ).select(
+                *_DST,
+                *[F.col(f"e_src_{k}").alias(f"src_{k}") for k in ("catalog", "schema", "table")],
+                (F.col("len") + F.col("e_len")).alias("len"),
+            )
+            paths = (
+                paths.union(stepped)
+                .groupBy(*_ALL)
+                .agg(F.max("len").alias("len"))
+                .localCheckpoint(eager=False)
+            )
+            row = paths.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("len").alias("s")
+            ).first()
+            if (row.n, row.s) == sig:
+                return paths
+            sig = (row.n, row.s)
+        raise RuntimeError(
+            f"_longest_paths_doubling did not converge in {max_iters} rounds —"
+            f" longest chain exceeds 2^{max_iters}; raise max_iters"
         )
-        stepped = paths.join(
-            hop,
-            on=[
-                F.col(f"src_{k}") == F.col(f"e_dst_{k}")
-                for k in ("catalog", "schema", "table")
-            ],
-        ).select(
-            *_DST,
-            *[F.col(f"e_src_{k}").alias(f"src_{k}") for k in ("catalog", "schema", "table")],
-            (F.col("len") + F.col("e_len")).alias("len"),
-        )
-        paths = (
-            paths.union(stepped)
-            .groupBy(*_ALL)
-            .agg(F.max("len").alias("len"))
-            .localCheckpoint(eager=False)
-        )
-        row = paths.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("len").alias("s")
-        ).first()
-        if (row.n, row.s) == sig:
-            return paths
-        sig = (row.n, row.s)
-    raise RuntimeError(
-        f"_longest_paths_doubling did not converge in {max_iters} rounds —"
-        f" longest chain exceeds 2^{max_iters}; raise max_iters"
-    )
 
 
 def topo_levels(t: dict[str, DataFrame], max_iters: int = 12) -> DataFrame:

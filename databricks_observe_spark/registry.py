@@ -547,24 +547,33 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 # r15 verdict's independent count (the three rows borrowed at r15 —
 # lineage_closure_deep, scd2_history, ivf_ann_topk — moved from the old
 # 49-row r13 cohort into r15, leaving exactly these 46);
-# (c) THREE borrowed r14-cohort rows (`columns_schema`,
-# `sensor_cursor_roundtrip`, `bloom_contamination_check` — the
-# ordinal-sorted nested schema assembly, the F7 JSON map round-trip,
-# and the Bloom bitmap broadcast-join contamination check, the r15
-# verdict's named picks: the structurally richest plans to re-hash
-# early) to spend slots 48-50 usefully: the r16 head is otherwise 47
-# rows, and the r14 cohort (49 - 3 borrowed = 46 rows) then fills r17 —
-# the steady-state rotation keeps ~3 slack slots.
+# (c) TWO TIER-1 rows — `lineage_closure_deep` and `topo_levels` — whose
+# CODE changed this round (the r16 drift-watch escalation: the 1.8x
+# ex-kmeans trigger fired at 2.01x with all three named contributors
+# rising, so the binding clause's plan work ran — AQE elision inside the
+# two doubling fixpoint loops, `operators/lineage.py:_no_aqe`; 30 -> 19
+# jobs, -29% wall on the deep fixture, identical output, re-oracled
+# 4/4 with neighbors `lineage_closure` + `asset_specs`); tier 1 puts
+# them in the head ahead of any borrow;
+# (d) ONE borrowed r14-cohort row (`columns_schema`, the ordinal-sorted
+# nested schema assembly — the richest of the r15 verdict's three
+# suggested borrows; the other two, `sensor_cursor_roundtrip` and
+# `bloom_contamination_check`, stay with the r14 cohort, which fills
+# r17's head at its own tier-2 boundary).
 #
-# Head math: 1 anchor + 46 r13 cohort + 3 borrowed = 50 rows, exactly
-# the observed cap. After the run no query's last driver-green round is
-# older than r14.
+# Head math: 1 anchor + 2 tier-1 + 46 r13 cohort + 1 borrowed = 50
+# rows, exactly the observed cap. After the run no query's last
+# driver-green round is older than r14.
 # `approx_user_counts` stays pinned to the very TAIL of the full
 # ordering (see _ordered_names): its row is permanently `no_oracle`
 # (engine-specific HLL sketch values — rows-only by design) and must
 # not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
+    # (c) tier-1: code changed this round (r16 AQE elision in the
+    # doubling loops) — always next driver head
+    "lineage_closure_deep",
+    "topo_levels",
     # (b) the 46-row r13 cohort at the tier-2 boundary (alphabetical)
     "ann_bruteforce_topk",
     "ann_lsh_topk",
@@ -612,11 +621,8 @@ _PRIORITY = [
     "urgent_order_customers",
     "user_sessions",
     "user_value_zscores",
-    # (c) three borrowed r14-cohort rows to fill slots 48-50 (see
-    # comment above)
+    # (d) one borrowed r14-cohort row to fill slot 50 (see comment above)
     "columns_schema",
-    "sensor_cursor_roundtrip",
-    "bloom_contamination_check",
 ]
 
 

@@ -129,3 +129,49 @@ def test_doubling_checkpoint_partitions_track_closure_size(tables):
     n = closure.count()
     expect = max(1, n // 200_000)
     assert closure.rdd.getNumPartitions() == expect
+
+
+def test_no_aqe_scope_disables_inside_and_restores_after(spark):
+    """r16 drift-watch escalation pin: the doubling loops run with AQE
+    elided (the loop's partitioning is pre-sized, so AQE's per-stage
+    materialization jobs are pure scheduling floor — measured 30 -> 19
+    jobs, -29% wall on the deep fixture), and the session setting is
+    restored afterwards, including when the loop raises."""
+    from databricks_observe_spark.operators.lineage import (
+        _no_aqe,
+        transitive_closure_doubling,
+    )
+
+    key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    with _no_aqe(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+
+    # restore-on-exception
+    try:
+        with _no_aqe(spark):
+            raise ValueError("boom")
+    except ValueError:
+        pass
+    assert spark.conf.get(key) == "true"
+
+    # nesting restores the OUTER scope's value, not the session default
+    spark.conf.set(key, "false")
+    with _no_aqe(spark):
+        pass
+    assert spark.conf.get(key) == "false"
+    spark.conf.set(key, "true")
+
+    # the real loop goes through the guard and converges with it
+    df = spark.sql(
+        "SELECT * FROM (VALUES ('c','s','b','c','s','a'), ('c','s','c','c','s','b')) "
+        "AS t(dst_catalog,dst_schema,dst_table,src_catalog,src_schema,src_table)"
+    )
+    closure, rounds = transitive_closure_doubling(df)
+    assert {(r.dst_table, r.src_table) for r in closure.collect()} == {
+        ("b", "a"),
+        ("c", "b"),
+        ("c", "a"),
+    }
+    assert spark.conf.get(key) == "true"
