@@ -54,9 +54,22 @@ def _no_aqe(spark):
     runs exactly ONE action per round materializing a LAZY checkpoint, and
     removing checkpoints re-creates the quadrupling recompute measured
     SLOWER at r12 (3.20 s vs 1.85 s).
+
+    Concurrency: this mutates the SESSION-GLOBAL ``spark.sql.adaptive.enabled``
+    conf for the scope's duration, which assumes strictly SERIAL query
+    execution on the session (true under the driver contract and pytest).
+    If queries ever run concurrently on a shared session (threaded runner,
+    shared notebook), the elision would bleed into neighbor plans — prefer a
+    per-DataFrame/session-scoped AQE control if Spark ever exposes one.
+    Nested scopes are safe serially: each exit restores the value its own
+    entry observed. Note the restore SETS the key explicitly even when the
+    entry value was only the SQLConf default (``spark.conf.get`` without a
+    fallback still returns the effective default), which changes conf
+    provenance from "inherited" to "set" on foreign sessions — harmless
+    here since ``session.py`` pins AQE to "true" explicitly.
     """
     key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key, "true")
+    prev = spark.conf.get(key)
     spark.conf.set(key, "false")
     try:
         yield

@@ -532,97 +532,93 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-16 plan derived from the rule (seventh consecutive fully-green
-# round at r15 — 50/50 driver, cumulative last-green histogram r15=50,
-# r14=49, r13=46 — so r16 is the sixth steady-state maintenance
-# rotation: ZERO new queries, ZERO query-code changes, so there are NO
-# tier-1 rows):
-# (a) the smoke anchor; (b) the full 46-row r13 cohort, which hits the
-# tier-2 three-round staleness boundary after r16. COHORT DEFINITION:
-# "last driver-green rN" is read from the CORRECTNESS_r0N.json files
-# themselves (hash_match==true, max round per query), NOT reconstructed
-# from past _PRIORITY lists — verified this round: the mechanical scan
-# over CORRECTNESS_r01..r15 yields exactly 46 rows last-green at r13,
-# 49 at r14, 50 at r15, 145 total, none older than r13 — matching the
-# r15 verdict's independent count (the three rows borrowed at r15 —
-# lineage_closure_deep, scd2_history, ivf_ann_topk — moved from the old
-# 49-row r13 cohort into r15, leaving exactly these 46);
-# (c) TWO TIER-1 rows — `lineage_closure_deep` and `topo_levels` — whose
-# CODE changed this round (the r16 drift-watch escalation: the 1.8x
-# ex-kmeans trigger fired at 2.01x with all three named contributors
-# rising, so the binding clause's plan work ran — AQE elision inside the
-# two doubling fixpoint loops, `operators/lineage.py:_no_aqe`; 30 -> 19
-# jobs, -29% wall on the deep fixture, identical output, re-oracled
-# 4/4 with neighbors `lineage_closure` + `asset_specs`); tier 1 puts
-# them in the head ahead of any borrow;
-# (d) ONE borrowed r14-cohort row (`columns_schema`, the ordinal-sorted
-# nested schema assembly — the richest of the r15 verdict's three
-# suggested borrows; the other two, `sensor_cursor_roundtrip` and
-# `bloom_contamination_check`, stay with the r14 cohort, which fills
-# r17's head at its own tier-2 boundary).
+# Round-17 plan derived from the rule (eighth consecutive fully-green
+# round at r16 — 50/50 driver, cumulative last-green histogram r16=50,
+# r15=48, r14=47 — so r17 is the seventh steady-state maintenance
+# rotation). COHORT DEFINITION: "last driver-green rN" is read from the
+# CORRECTNESS_r0N.json files themselves (hash_match==true, max round
+# per query), NOT reconstructed from past _PRIORITY lists — verified
+# this round: the mechanical scan over CORRECTNESS_r01..r16 yields
+# exactly 47 rows last-green at r14, 48 at r15, 50 at r16, 145 total,
+# none older than r14 — matching the r16 verdict's independent count.
+# (a) the smoke anchor;
+# (b) TWO TIER-1 rows — `lineage_closure_deep` and `topo_levels` —
+# whose CODE changed this round (r16-ADVICE cleanup in
+# `operators/lineage.py:_no_aqe`: the dead `"true"` fallback arg to
+# `spark.conf.get` was dropped — behaviorally a no-op since
+# `adaptive.enabled` always has a SQLConf default, but it is an
+# executable line on these queries' path, so the tier-1 rule applies;
+# re-oracled locally 4/4 with unchanged neighbors `lineage_closure` +
+# `asset_specs` before rotation, see ORACLE_LOCAL_r17.log);
+# (c) the full 47-row r14 cohort, which hits the tier-2 three-round
+# staleness boundary after r17.
 #
-# Head math: 1 anchor + 2 tier-1 + 46 r13 cohort + 1 borrowed = 50
-# rows, exactly the observed cap. After the run no query's last
-# driver-green round is older than r14.
+# Head math: 1 anchor + 2 tier-1 + 47 r14 cohort = 50 rows, exactly
+# the observed cap — NO borrow slots remain, so the r16 verdict's two
+# suggested r15 borrows (`curation_pipeline_e2e`, `duplicated_spans`)
+# are displaced by the tier-1 rows, the same legitimate displacement
+# mechanic the r16 round executed; both sit in the 48-row r15 cohort
+# that fills r18's head at its own tier-2 boundary anyway (48 + anchor
+# + any tier-1 <= 50 still fits).  After this run no query's last
+# driver-green round is older than r15.
 # `approx_user_counts` stays pinned to the very TAIL of the full
 # ordering (see _ordered_names): its row is permanently `no_oracle`
 # (engine-specific HLL sketch values — rows-only by design) and must
 # not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (c) tier-1: code changed this round (r16 AQE elision in the
-    # doubling loops) — always next driver head
+    # (b) tier-1: code changed this round (dead-fallback drop inside
+    # _no_aqe, ADVICE r16) — always next driver head
     "lineage_closure_deep",
     "topo_levels",
-    # (b) the 46-row r13 cohort at the tier-2 boundary (alphabetical)
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "asof_last_error_before_purchase",
-    "audio_chunking",
-    "bpe_apply_merges",
-    "corpus_card",
-    "deterministic_sample",
-    "discovered_objects_live",
-    "dormant_customers",
-    "events_cube",
-    "exact_dedup",
-    "first_completed",
-    "frame_sample",
-    "hash_split",
-    "high_value_events",
-    "image_resize",
-    "ks_drift",
-    "local_supplier_revenue",
-    "lsh_bucket_stats",
-    "media_features",
-    "merge_upsert",
-    "mixture_weights_temperature",
-    "nation_market_share",
-    "ngram_diversity",
-    "order_priority_rollup",
-    "order_value_percentiles",
-    "perplexity_buckets",
-    "rate_anomaly",
-    "returned_item_revenue",
-    "score_auc",
-    "score_auc_parts",
-    "score_calibration",
-    "segment_order_stats",
-    "signup_purchase_window",
-    "simhash_fingerprints",
-    "sliding_daily",
-    "source_overlap_matrix",
-    "state_transitions",
-    "text_stats",
-    "tfidf_keywords",
-    "tokenizer_fertility",
-    "top_balance_per_nation",
-    "unimax_allocation",
-    "urgent_order_customers",
-    "user_sessions",
-    "user_value_zscores",
-    # (d) one borrowed r14-cohort row to fill slot 50 (see comment above)
-    "columns_schema",
+    # (c) the 47-row r14 cohort at the tier-2 boundary (alphabetical)
+    "ann_recall",
+    "asset_specs",
+    "balance_percent_rank",
+    "bloom_contamination_check",
+    "bpe_pair_counts",
+    "compaction_plan",
+    "curated_corpus",
+    "dedup_retention",
+    "dedup_threshold_sweep",
+    "describe_detail",
+    "drift_psi",
+    "epoch_shuffle",
+    "event_dedup_windowed",
+    "event_type_pivot",
+    "event_type_stats",
+    "expectations_report",
+    "funnel_conversion",
+    "fuzzy_match_probe",
+    "incremental_dedup",
+    "incremental_pricing_summary",
+    "int8_quantize",
+    "latest_update_per_entity",
+    "length_outliers",
+    "lineage_closure",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
+    "per_source_dedup_rate",
+    "pricing_summary",
+    "quality_filter",
+    "repetition_signals",
+    "retention_cohorts",
+    "run_output_lookup",
+    "semantic_dedup",
+    "sensor_cursor_roundtrip",
+    "sequence_packing",
+    "shipping_priority",
+    "simhash_near_dup_pairs",
+    "streaming_drift_psi",
+    "streaming_sessionize",
+    "table_files_meta",
+    "tumbling_hourly",
+    "url_canonical_dedup",
+    "url_host_stats",
+    "vocab_coverage",
+    "zorder_key",
 ]
 
 

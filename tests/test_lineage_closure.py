@@ -156,7 +156,16 @@ def test_no_aqe_scope_disables_inside_and_restores_after(spark):
         pass
     assert spark.conf.get(key) == "true"
 
-    # nesting restores the OUTER scope's value, not the session default
+    # truly nested scopes: the inner exit restores the outer scope's "false",
+    # and only the outer exit restores the caller's original "true"
+    spark.conf.set(key, "true")
+    with _no_aqe(spark):
+        with _no_aqe(spark):
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+
+    # a caller-set "false" is restored verbatim, not the session default
     spark.conf.set(key, "false")
     with _no_aqe(spark):
         pass
