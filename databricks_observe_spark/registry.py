@@ -532,93 +532,93 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-18 plan derived from the rule (ninth consecutive fully-green
-# round at r17 — 50/50 driver, cumulative last-green histogram r17=50,
-# r16=47, r15=48 — so r18 is the eighth steady-state maintenance
+# Round-19 plan derived from the rule (tenth consecutive fully-green
+# round at r18 — 50/50 driver, cumulative last-green histogram r18=50,
+# r17=49, r16=46 — so r19 is the ninth steady-state maintenance
 # rotation). COHORT DEFINITION: "last driver-green rN" is read from the
 # CORRECTNESS_r0N.json files themselves (hash_match==true, max round
 # per query), NOT reconstructed from past _PRIORITY lists — verified
-# this round: the mechanical scan over CORRECTNESS_r01..r17 yields
-# exactly 48 rows last-green at r15, 47 at r16, 50 at r17, 145 total,
-# none older than r15 — matching the r17 verdict's independent count.
+# this round: the mechanical scan over CORRECTNESS_r01..r18 yields
+# exactly 46 rows last-green at r16, 49 at r17, 50 at r18, 145 total,
+# none older than r16 — matching the r18 verdict's independent count.
 # (a) the smoke anchor;
-# (b) NO tier-1 rows this round: the only r18 source changes are
-# comment rewordings in this file (this plan block and the r17-ADVICE
-# low at the head-math note below) — no executable line on any query's
-# path changed, so nothing qualifies for tier 1 (contrast r17, where a
-# behaviorally-dead but EXECUTABLE line in `_no_aqe` did qualify);
-# (c) the full 48-row r15 cohort, which hits the tier-2 three-round
-# staleness boundary after r18;
-# (d) ONE borrowed r16-cohort row — `columns_schema`, the r17 verdict's
-# suggested pick (ordinal-sorted nested-schema assembly, the hardest
-# hash to keep stable) — filling the remaining head slot early.
+# (b) NO tier-1 rows this round: no executable line on any query's
+# path changed in r19 — the only non-comment source change is this
+# _PRIORITY rotation data itself (the list literal that sets driver
+# head ordering; ADVICE-r18 wording), which touches no query plan, so
+# nothing qualifies for tier 1 (contrast r17, where a behaviorally-dead
+# but EXECUTABLE line in `_no_aqe` on a query's path did qualify);
+# (c) the full 46-row r16 cohort, which hits the tier-2 three-round
+# staleness boundary after r19;
+# (d) THREE borrowed r17-cohort rows — the r18 verdict's suggested
+# picks: `lineage_closure_deep` (delta-iteration fixpoint closure, the
+# deepest plan), `streaming_sessionize` (the stateful Arrow
+# applyInPandasWithState sessionizer), `topo_levels` (asset-graph
+# assembly + toposort) — filling the remaining head slots early.
 #
-# Head math: 1 anchor + 48 r15 cohort + 1 borrow = 50 rows, exactly
-# the observed cap. The two rows the r16 verdict once suggested as
-# borrows (`curation_pipeline_e2e`, `duplicated_spans`) are in the r15
-# cohort and therefore in this head. Head-math note (reworded per
-# ADVICE r17): 48 + anchor + ONE tier-1-or-borrow row fits the 50-row
-# cap; each additional tier-1 row displaces a cohort row via the same
-# displacement mechanic r16/r17 executed (displaced rows rejoin at
-# their cohort's next tier-2 boundary).  After this run no query's
-# last driver-green round is older than r16.
+# Head math: 1 anchor + 46 r16 cohort + 3 borrows = 50 rows, exactly
+# the observed cap. 46 + anchor + THREE tier-1-or-borrow rows fits the
+# 50-row cap; each additional tier-1 row displaces a borrow first, then
+# a cohort row, via the same displacement mechanic r16/r17 executed
+# (displaced rows rejoin at their cohort's next tier-2 boundary).
+# After this run no query's last driver-green round is older than r17.
 # `approx_user_counts` stays pinned to the very TAIL of the full
 # ordering (see _ordered_names): its row is permanently `no_oracle`
 # (engine-specific HLL sketch values — rows-only by design) and must
 # not burn a head-of-rotation slot.
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (c) the 48-row r15 cohort at the tier-2 boundary (alphabetical)
-    "bm25_scores",
-    "chunk_dedup",
-    "column_histograms",
-    "contamination_check",
-    "curation_pipeline_e2e",
-    "discovered_objects",
-    "doc_fingerprints",
-    "dsir_importance_weights",
-    "duplicated_spans",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "heavy_hitter_tokens",
-    "ivf_ann_topk",
-    "kmeans_assign",
-    "kmeans_clusters",
-    "lang_profile",
-    "langid_trigram",
-    "lateness_report",
-    "lsh_dedup_recall",
-    "mixture_weights",
-    "multimodal_meta",
-    "named_assets",
-    "normalized_dedup",
-    "object_count_rollup",
-    "observability_report",
-    "percentile_sketch_accuracy",
-    "pii_redaction",
-    "range_join_incidents",
-    "scd2_history",
-    "schema_drift",
-    "skew_report",
-    "stratified_sample",
-    "streaming_click_attribution",
-    "streaming_corpus_dedup",
-    "streaming_first_completed",
-    "streaming_tumbling_hourly",
-    "table_profiles",
-    "tables_enriched",
-    "textrank_keywords",
-    "time_rollup_multigrain",
-    "token_count_regex",
-    "top_orders_per_customer",
-    "unigram_kl",
-    "unigram_logprob",
-    "user_count_accuracy",
-    "value_deciles",
-    "weighted_sample_topk",
-    "zone_map_plan",
-    # (d) one borrowed r16-cohort row (r17 verdict's suggested pick)
-    "columns_schema",
+    # (c) the 46-row r16 cohort at the tier-2 boundary (alphabetical)
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "asof_last_error_before_purchase",
+    "audio_chunking",
+    "bpe_apply_merges",
+    "corpus_card",
+    "deterministic_sample",
+    "discovered_objects_live",
+    "dormant_customers",
+    "events_cube",
+    "exact_dedup",
+    "first_completed",
+    "frame_sample",
+    "hash_split",
+    "high_value_events",
+    "image_resize",
+    "ks_drift",
+    "local_supplier_revenue",
+    "lsh_bucket_stats",
+    "media_features",
+    "merge_upsert",
+    "mixture_weights_temperature",
+    "nation_market_share",
+    "ngram_diversity",
+    "order_priority_rollup",
+    "order_value_percentiles",
+    "perplexity_buckets",
+    "rate_anomaly",
+    "returned_item_revenue",
+    "score_auc",
+    "score_auc_parts",
+    "score_calibration",
+    "segment_order_stats",
+    "signup_purchase_window",
+    "simhash_fingerprints",
+    "sliding_daily",
+    "source_overlap_matrix",
+    "state_transitions",
+    "text_stats",
+    "tfidf_keywords",
+    "tokenizer_fertility",
+    "top_balance_per_nation",
+    "unimax_allocation",
+    "urgent_order_customers",
+    "user_sessions",
+    "user_value_zscores",
+    # (d) three borrowed r17-cohort rows (r18 verdict's suggested picks)
+    "lineage_closure_deep",
+    "streaming_sessionize",
+    "topo_levels",
 ]
 
 
