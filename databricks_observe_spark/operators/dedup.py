@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.arrowmap import arrow_map
 from databricks_observe_spark.functions.rounding import (
     round_half_up,
     sql_round_half_up,
@@ -1060,7 +1061,9 @@ def embedding_near_dup_lsh(t: dict[str, DataFrame]) -> DataFrame:
                 }
             )
 
-    scored = paired.mapInPandas(rescore, "vec_a bigint, vec_b bigint, cosine double")
+    scored = arrow_map(
+        paired, rescore, "vec_a bigint, vec_b bigint, cosine double"
+    )
     return scored.select(
         "vec_a", "vec_b", round_half_up("cosine", 6).alias("cosine_r")
     )

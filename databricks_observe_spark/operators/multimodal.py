@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from databricks_observe_spark.functions.arrowmap import arrow_map
+
 FEATURE_DIM = 8
 
 _MEDIA_TYPE = (
@@ -123,7 +125,7 @@ def extract_features(blobs: DataFrame) -> DataFrame:
     memory), blob bytes never leave the executor. Swap
     ``fake_decode_features`` for a real decoder when codecs exist.
     """
-    return blobs.mapInPandas(_extract_batches, schema=FEATURES_SCHEMA)
+    return arrow_map(blobs, _extract_batches, FEATURES_SCHEMA)
 
 
 def media_features(t: dict[str, DataFrame]) -> DataFrame:
@@ -349,7 +351,8 @@ def image_resize(t: dict[str, DataFrame]) -> DataFrame:
     from databricks_observe_spark.sources.tables import fan_out
 
     imgs = fan_out(media_blobs(t).filter(F.col("media_type") == "image/png"))
-    return imgs.mapInPandas(
+    return arrow_map(
+        imgs,
         _resize_batches,
         "doc_id bigint, src_w int, src_h int, out_w int, out_h int, thumb_sha string",
     )

@@ -29,6 +29,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from databricks_observe_spark.functions.arrowmap import arrow_map
 from databricks_observe_spark.functions.rounding import (
     round_half_up,
     sql_round_half_up,
@@ -51,6 +52,32 @@ TABLES_PLANES = [
     _ALL_PLANES[t * N_PLANES : (t + 1) * N_PLANES] for t in range(N_TABLES)
 ]
 PLANES = TABLES_PLANES[0]  # table 0 doubles as the bucket-stats histogram
+
+
+_VEC_ROWS_PER_PART = 100_000  # ~50 MB of 64-dim doubles per Arrow task
+
+
+def _compact_ckpt(df: DataFrame) -> DataFrame:
+    """localCheckpoint + size-derived coalesce for the memoized vector
+    tables every query-time Arrow pass re-scans.
+
+    The build itself fans out across all cores (``fan_out``), but the
+    materialized corpus at test SF is a few thousand rows — re-reading it
+    as 32 micro-partitions makes every downstream Arrow pass pay 32 task
+    launches + 32 worker round-trips for microseconds of math each
+    (optimization guide §2.2/§6: fewer, larger tasks once data is small).
+    Partition count derives from the MEASURED row count (one partition
+    per ~100k vectors, floor 1, never above the build's own width), so a
+    genuinely large corpus keeps its parallelism — nothing is tuned to
+    the local core count. The count() runs once at build (setup) time on
+    the just-checkpointed frame; coalesce is a narrow op reading the
+    cached blocks, so no second materialization happens.
+    """
+    ckpt = df.localCheckpoint()
+    parts = ckpt.rdd.getNumPartitions()
+    n = ckpt.count()
+    sized = max(1, min(parts, -(-n // _VEC_ROWS_PER_PART)))
+    return ckpt.coalesce(sized) if sized < parts else ckpt
 
 
 def _doubled(t: dict[str, DataFrame]) -> DataFrame:
@@ -77,7 +104,7 @@ def _doubled(t: dict[str, DataFrame]) -> DataFrame:
                 acc = acc + mat[:, d] * mat[:, d]
             return pd.Series(_np.sqrt(acc))
 
-        t["_emb_norms"] = (
+        t["_emb_norms"] = _compact_ckpt(
             fan_out(t["embeddings"])
             .select(
                 "vec_id",
@@ -85,7 +112,6 @@ def _doubled(t: dict[str, DataFrame]) -> DataFrame:
                 "label",
             )
             .select("vec_id", "v", _norm_udf("v").alias("nrm"), "label")
-            .localCheckpoint()
         )
     return t["_emb_norms"]
 
@@ -160,8 +186,10 @@ def ann_bruteforce_topk(t: dict[str, DataFrame]) -> DataFrame:
                 }
             )
 
-    scored = e.select("vec_id", "v", "nrm", "label").mapInPandas(
-        score, "query_id bigint, vec_id bigint, cosine double, label int"
+    scored = arrow_map(
+        e.select("vec_id", "v", "nrm", "label"),
+        score,
+        "query_id bigint, vec_id bigint, cosine double, label int",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -243,14 +271,16 @@ def _bucketed(t: dict[str, DataFrame]) -> DataFrame:
             return pd.DataFrame(out)
 
         e = _doubled(t).withColumn("_b", _buckets_udf("v"))
-        t["_emb_buckets"] = e.select(
-            "vec_id",
-            "v",
-            "nrm",
-            "label",
-            F.col("_b.b0").alias("bucket0"),
-            F.col("_b.b1").alias("bucket1"),
-        ).localCheckpoint()
+        t["_emb_buckets"] = _compact_ckpt(
+            e.select(
+                "vec_id",
+                "v",
+                "nrm",
+                "label",
+                F.col("_b.b0").alias("bucket0"),
+                F.col("_b.b1").alias("bucket1"),
+            )
+        )
     return t["_emb_buckets"]
 
 
@@ -394,8 +424,8 @@ def ann_lsh_topk(t: dict[str, DataFrame]) -> DataFrame:
 
     rescore = _cosine_rescore_kernel(qbc)
 
-    scored = cand_vec.mapInPandas(
-        rescore, "query_id bigint, vec_id bigint, cosine double"
+    scored = arrow_map(
+        cand_vec, rescore, "query_id bigint, vec_id bigint, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -516,15 +546,13 @@ def _ivf_assigned(t: dict[str, DataFrame]) -> DataFrame:
                 out["list_id"] = c_ids[best]
                 yield out
 
-        t["_ivf_assign"] = (
-            _doubled(t)
-            .select("vec_id", "v", "nrm", "label")
-            .mapInPandas(
+        t["_ivf_assign"] = _compact_ckpt(
+            arrow_map(
+                _doubled(t).select("vec_id", "v", "nrm", "label"),
                 assign,
                 "vec_id bigint, v array<double>, nrm double, label int,"
                 " list_id bigint",
             )
-            .localCheckpoint()
         )
     return t["_ivf_assign"]
 
@@ -571,8 +599,8 @@ def ivf_ann_topk(t: dict[str, DataFrame]) -> DataFrame:
 
     rescore = _cosine_rescore_kernel(qbc)
 
-    scored = cand.mapInPandas(
-        rescore, "query_id bigint, vec_id bigint, cosine double"
+    scored = arrow_map(
+        cand, rescore, "query_id bigint, vec_id bigint, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -716,8 +744,13 @@ def _init_centroid_rows(frame: DataFrame, col: str, dtype="float64"):
 
 def _init_centroids(t: dict[str, DataFrame]):
     """Deterministic double-precision init codebook
-    (:func:`_init_centroid_rows` over the doubled corpus)."""
-    return _init_centroid_rows(_doubled(t), "v")
+    (:func:`_init_centroid_rows` over the doubled corpus). Memoized per
+    context: the selection is a pure function of the checkpointed corpus,
+    and kmeans_assign / semantic_dedup / the Lloyd loop each need it — one
+    ORDER BY/LIMIT collect job instead of one per caller."""
+    if "_kmeans_init_d" not in t:
+        t["_kmeans_init_d"] = _init_centroid_rows(_doubled(t), "v")
+    return t["_kmeans_init_d"]
 
 
 def kmeans_assign(t: dict[str, DataFrame]) -> DataFrame:
@@ -726,7 +759,8 @@ def kmeans_assign(t: dict[str, DataFrame]) -> DataFrame:
     semantics bit-for-bit before the iterative form builds on them."""
     e = _doubled(t)
     bc = e.sparkSession.sparkContext.broadcast(_init_centroids(t))
-    out = e.select("vec_id", "v", F.col("label")).mapInPandas(
+    out = arrow_map(
+        e.select("vec_id", "v", F.col("label")),
         _sq_dist_assign(bc),
         "vec_id bigint, v array<double>, label int, cluster int, sq_dist double",
     )
@@ -788,8 +822,8 @@ def _quantized(t: dict[str, DataFrame]) -> DataFrame:
             )
             .withColumn("vq", F.transform("vqi", lambda i: i / F.lit(KMEANS_GRID)))
             .select("vec_id", "vqi", "vq", "label")
-            .localCheckpoint()
         )
+        t["_kmeans_q"] = _compact_ckpt(t["_kmeans_q"])
     return t["_kmeans_q"]
 
 
@@ -854,8 +888,8 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
     cents = c_int.astype(np.float64) / KMEANS_GRID
     for _ in range(KMEANS_ITERS):
         bc = sc.broadcast(cents)
-        partials = q.mapInPandas(
-            partial_kernel(bc), "cluster int, n bigint, isums array<bigint>"
+        partials = arrow_map(
+            q, partial_kernel(bc), "cluster int, n bigint, isums array<bigint>"
         ).collect()
         # integer partials combine exactly in ANY order — no sort needed
         counts = np.zeros(KMEANS_K, dtype=np.int64)
@@ -882,8 +916,8 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
     # consume this frame, and Catalyst does not CSE across branches — the
     # final full-corpus E-step Arrow pass would otherwise run twice
     # (same rule as _semdedup_assigned's checkpoint).
-    assigned = q.mapInPandas(
-        assign_final, "vec_id bigint, label int, cluster int, sq_dist double"
+    assigned = arrow_map(
+        q, assign_final, "vec_id bigint, label int, cluster int, sq_dist double"
     ).localCheckpoint()
     micro = F.floor(F.col("sq_dist") * F.lit(INERTIA_GRID) + F.lit(0.5))
     summary = assigned.groupBy("cluster").agg(
@@ -924,8 +958,11 @@ def kmeans_clusters(t: dict[str, DataFrame]) -> DataFrame:
 def _init_centroids_q(t: dict[str, DataFrame]):
     """K lowest vec_ids' QUANTIZED vectors (int micro-units) as the
     deterministic init — :func:`_init_centroid_rows` (the one selection
-    rule) on the fixed-point grid both engines reproduce exactly."""
-    return _init_centroid_rows(_quantized(t), "vqi", dtype="int64")
+    rule) on the fixed-point grid both engines reproduce exactly.
+    Memoized per context (same rationale as :func:`_init_centroids`)."""
+    if "_kmeans_init_q" not in t:
+        t["_kmeans_init_q"] = _init_centroid_rows(_quantized(t), "vqi", dtype="int64")
+    return t["_kmeans_init_q"]
 
 
 def _kmeans_clusters_sql() -> str:
@@ -1049,13 +1086,12 @@ def _semdedup_assigned(t: dict[str, DataFrame]) -> DataFrame:
     if "_semdedup_assigned" not in t:
         e = _doubled(t)
         bc = e.sparkSession.sparkContext.broadcast(_init_centroids(t))
-        t["_semdedup_assigned"] = (
-            e.select("vec_id", "v", "nrm", "label")
-            .mapInPandas(
+        t["_semdedup_assigned"] = _compact_ckpt(
+            arrow_map(
+                e.select("vec_id", "v", "nrm", "label"),
                 _sq_dist_assign_with_payload(bc),
                 "vec_id bigint, v array<double>, nrm double, label int, cluster int",
             )
-            .localCheckpoint()
         )
     return t["_semdedup_assigned"]
 

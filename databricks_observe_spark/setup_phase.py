@@ -112,11 +112,21 @@ def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
         build(ctx)
 
     # warm the Arrow python workers (long-lived on a real cluster) so
-    # mapInPandas/cogroup timings measure execution, not process spawn
-    import pandas as pd
+    # Arrow-path timings measure execution, not process spawn. The
+    # engine's batch Python paths all run on worker-REUSING runners
+    # (mapInArrow via functions/arrowmap.py, pandas_udf, grouped/cogrouped
+    # applyInPandas — all share one worker pool), so importing the heavy
+    # libraries here pre-warms the pool every later Arrow task draws from.
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow as pa
 
-    ctx["documents"].select("doc_id").limit(32).mapInPandas(
-        lambda it: (pd.DataFrame({"n": [len(p)]}) for p in it), "n long"
+        for b in batches:
+            yield pa.record_batch({"n": pa.array([b.num_rows], type=pa.int64())})
+
+    ctx["documents"].select("doc_id").limit(32).repartition(32).mapInArrow(
+        _warm, "n long"
     ).count()
 
     # warm the Structured Streaming runtime the same way (StreamExecution

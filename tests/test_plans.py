@@ -120,7 +120,8 @@ def test_ann_bruteforce_is_single_scan_no_join(tables):
     plan = _plan(S.ann_bruteforce_topk(tables))
     # one Arrow-batched scan against the broadcast query matrix: the only
     # exchange is the per-query ranking window, and there is no join
-    assert "MapInPandas" in plan
+    # (MapInArrow since r21 — worker-reusing runner, functions/arrowmap.py)
+    assert "MapInArrow" in plan
     for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
               "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert j not in plan
@@ -149,7 +150,8 @@ def test_ivf_topk_probes_lists_no_cartesian(tables):
     plan = _plan(S.ivf_ann_topk(tables))
     # candidates come from an equi-join on list_id against the broadcast
     # probe table; rescoring is one Arrow pass — never an all-pairs join
-    assert "MapInPandas" in plan
+    # (MapInArrow since r21 — worker-reusing runner, functions/arrowmap.py)
+    assert "MapInArrow" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -411,7 +413,7 @@ def test_int8_quantize_is_shuffle_free_jvm(tables):
     # Python — the higher-order array fold runs entirely JVM-side
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
-    assert "MapInPandas" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
 
 
 def test_epoch_shuffle_single_shuffle_no_global_sort(tables):
