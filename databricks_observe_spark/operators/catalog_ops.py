@@ -176,17 +176,22 @@ def table_profiles(t: dict[str, DataFrame]) -> DataFrame:
     broadcast-sized.
     """
     profiled = list(TABLE_NAMES)
-    # global agg (not groupBy on a literal): an empty table still yields
-    # its one row_count=0 row, matching the reference's COUNT(*) and the
-    # oracle's UNION ALL
-    counts = reduce(
+    # ONE aggregation over the union of name-tagged scans instead of N
+    # independent global aggregates: each per-table agg plans its own
+    # exchange, which under AQE materializes as its own Spark job — N
+    # scheduling floors for N metadata-cheap counts (r21, guide §2.4).
+    # The union aggregates map-side (one partial row per table per task)
+    # through a single exchange. The left join from the static name list
+    # restores the reference/oracle semantics the old global aggs gave
+    # for free: an empty table still yields its row_count=0 row.
+    spark = t[profiled[0]].sparkSession
+    names = spark.createDataFrame([(n,) for n in profiled], "table string")
+    scanned = reduce(
         DataFrame.union,
-        [
-            t[name].agg(
-                F.lit(name).alias("table"), F.count(F.lit(1)).alias("row_count")
-            )
-            for name in profiled
-        ],
+        [t[name].select(F.lit(name).alias("table")) for name in profiled],
+    ).groupBy("table").agg(F.count(F.lit(1)).alias("row_count"))
+    counts = names.join(F.broadcast(scanned), on="table", how="left").select(
+        "table", F.coalesce("row_count", F.lit(0)).alias("row_count")
     )
     enriched = tables_enriched(t).filter(
         (F.col("catalog") == "testdata") & (F.col("schema") == "main")

@@ -1923,14 +1923,21 @@ def source_overlap_matrix(t: dict[str, DataFrame]) -> DataFrame:
         .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .localCheckpoint()  # source^2-sized; feeds both halves below
     )
-    na = matrix.filter(F.col("src_a") == F.col("src_b")).select(
-        F.col("src_a").alias("source"), F.col("n_common").alias("n_a")
-    )
+    # the denominator |grams(a)| is the DIAGONAL of the matrix, picked
+    # per src_a row group by a window over the source^2-sized frame —
+    # one chain instead of a checkpointed split + broadcast join back
+    # (r21, guide §2.4: the frame is bounded by source-cardinality^2, so
+    # the window sees dozens of rows at any corpus scale). A src_a with
+    # any pair row always has its diagonal (its gram set contains it).
     return (
-        matrix.filter(F.col("src_a") != F.col("src_b"))
-        .join(F.broadcast(na), on=F.col("src_a") == F.col("source"))
+        matrix.withColumn(
+            "n_a",
+            F.max(
+                F.when(F.col("src_a") == F.col("src_b"), F.col("n_common"))
+            ).over(Window.partitionBy("src_a")),
+        )
+        .filter(F.col("src_a") != F.col("src_b"))
         .select(
             "src_a",
             "src_b",
@@ -2027,15 +2034,43 @@ def lsh_dedup_recall(t: dict[str, DataFrame]) -> DataFrame:
     the eval costs two tiny pair-set aggregates and a semi join, never a
     corpus re-scan. Empty ground truth reads as vacuous recall 10000.
     """
-    exact = ngram_jaccard_pairs(t).select("doc_a", "doc_b")
-    cand = minhash_lsh_pairs(t).select("doc_a", "doc_b")
-    hit = exact.join(cand, on=["doc_a", "doc_b"], how="left_semi")
-    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    # ONE pass instead of three global aggregates + a semi join + two
+    # broadcast joins (r21, guide §2.4): tag each memoized pair set,
+    # union, group once per pair, then a single global aggregate reads
+    # all three counts. n_hit = sum(n_e) over pairs present on both
+    # sides, which is exactly the left-semi multiplicity of the old
+    # form (cand-side duplicates never multiply — nothing joins).
+    exact = ngram_jaccard_pairs(t).select(
+        "doc_a", "doc_b", F.lit(1).alias("e"), F.lit(0).alias("c")
+    )
+    cand = minhash_lsh_pairs(t).select(
+        "doc_a", "doc_b", F.lit(0).alias("e"), F.lit(1).alias("c")
+    )
+    per_pair = (
+        exact.union(cand)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("e").alias("n_e"), F.sum("c").alias("n_c"))
+    )
     return (
-        n_true.join(F.broadcast(n_cand))
-        .join(F.broadcast(n_hit))
+        per_pair.agg(
+            # coalesce: a global SUM over zero groups is NULL where the
+            # old COUNT(*) aggregates returned 0 — keep the empty-corpus
+            # row identical (vacuous recall 10000 path)
+            F.coalesce(F.sum("n_e"), F.lit(0).cast("bigint")).alias(
+                "n_true_pairs"
+            ),
+            F.coalesce(F.sum("n_c"), F.lit(0).cast("bigint")).alias(
+                "n_candidate_pairs"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("n_e") > 0) & (F.col("n_c") > 0), F.col("n_e")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("n_hit"),
+        )
         .select(
             "n_true_pairs",
             "n_candidate_pairs",

@@ -23,8 +23,6 @@ parallel — the standard Spark answer to recursive CTEs.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, functions as F
 
 from databricks_observe_spark.operators.catalog_ops import tables_enriched
@@ -35,46 +33,10 @@ _SRC = ["src_catalog", "src_schema", "src_table"]
 _ALL = _DST + _SRC
 
 
-@contextmanager
-def _no_aqe(spark):
-    """Disable AQE for the duration of a driver-orchestrated fixpoint loop,
-    restoring the caller's setting on exit (including on exception).
-
-    Rationale (r16 drift-watch escalation, BASELINE.md): inside the doubling
-    loops every round's partitioning is already explicitly sized (the
-    ``_parts`` coalesce / the 1-row fixpoint aggregate) and the only join is
-    an explicit ``F.broadcast``, so AQE has nothing left to re-plan — but it
-    still MATERIALIZES each shuffle query stage as its own Spark job. At
-    O(log d) rounds on a metadata-sized graph that stage-job tax dominates:
-    measured on the deep fixture (sf0.1, min-of-4 warm), 30 jobs -> 19 jobs
-    and 3.92 s -> 2.77 s (-29%) with identical output. On a real cluster the
-    same reasoning holds per-round (the loop's plans are fully pre-sized);
-    queries OUTSIDE the loop keep the session's AQE setting untouched.
-    Checkpoint elision itself was evaluated and rejected: the loop already
-    runs exactly ONE action per round materializing a LAZY checkpoint, and
-    removing checkpoints re-creates the quadrupling recompute measured
-    SLOWER at r12 (3.20 s vs 1.85 s).
-
-    Concurrency: this mutates the SESSION-GLOBAL ``spark.sql.adaptive.enabled``
-    conf for the scope's duration, which assumes strictly SERIAL query
-    execution on the session (true under the driver contract and pytest).
-    If queries ever run concurrently on a shared session (threaded runner,
-    shared notebook), the elision would bleed into neighbor plans — prefer a
-    per-DataFrame/session-scoped AQE control if Spark ever exposes one.
-    Nested scopes are safe serially: each exit restores the value its own
-    entry observed. Note the restore SETS the key explicitly even when the
-    entry value was only the SQLConf default (``spark.conf.get`` without a
-    fallback still returns the effective default), which changes conf
-    provenance from "inherited" to "set" on foreign sessions — harmless
-    here since ``session.py`` pins AQE to "true" explicitly.
-    """
-    key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+# _loop_conf moved to functions/scoped_conf.py (r21): the same
+# loop-scope conf now also drives the textrank power iteration. The
+# lineage-specific measurements live with the call sites below.
+from databricks_observe_spark.functions.scoped_conf import loop_conf as _loop_conf
 
 
 def base_edges(edges: DataFrame) -> DataFrame:
@@ -200,17 +162,21 @@ def transitive_closure_doubling(
     def _parts(n_pairs: int) -> int:
         return max(1, n_pairs // 200_000)
 
-    with _no_aqe(edges.sparkSession):
-        base = base_edges(edges).localCheckpoint()
-        n = base.count()
+    # base materializes LAZILY: its own convergence count below is the
+    # first action, so the checkpoint rides that job instead of paying a
+    # separate eager-materialization job (r21: one fewer scheduling floor)
+    base = base_edges(edges).localCheckpoint(eager=False)
+    n = base.count()
+    with _loop_conf(edges.sparkSession, _parts(n)):
         closure = base.coalesce(_parts(n))
         for it in range(1, max_iters + 1):
-            # the hop side is the accumulated closure — metadata-sized for a
-            # lineage graph (tables x upstream sets, not data rows), so it
-            # broadcasts; that keeps each round's only shuffle the dedup
-            hop = F.broadcast(
-                closure.select(*[F.col(c).alias(f"e_{c}") for c in _ALL])
-            )
+            # the hop side is the accumulated closure — metadata-sized for
+            # a lineage graph (tables x upstream sets, not data rows). It
+            # deliberately does NOT broadcast: a broadcast build is its own
+            # Spark job every round, while under _loop_conf the shuffle
+            # join's exchanges are _parts(n) wide and execute inside the
+            # convergence count's job (guide §2.4 — one job per round).
+            hop = closure.select(*[F.col(c).alias(f"e_{c}") for c in _ALL])
             stepped = closure.join(
                 hop,
                 on=[
@@ -295,15 +261,21 @@ def _longest_paths_doubling(edges: DataFrame, max_iters: int = 12) -> DataFrame:
     rounds the per-round driver floor IS the cost model, so the round
     body stays minimal.
     """
-    with _no_aqe(edges.sparkSession):
-        paths = edges.select(*_DST, *_SRC, F.lit(1).alias("len")).distinct()
+    seed = (
+        edges.select(*_DST, *_SRC, F.lit(1).alias("len"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_seed = seed.count()
+    with _loop_conf(edges.sparkSession, max(1, n_seed // 200_000)):
+        paths = seed
         sig = None
         for _ in range(max_iters):
-            hop = F.broadcast(
-                paths.select(
-                    *[F.col(c).alias(f"e_{c}") for c in _ALL],
-                    F.col("len").alias("e_len"),
-                )
+            # no broadcast: same one-job-per-round rationale as
+            # transitive_closure_doubling under _loop_conf
+            hop = paths.select(
+                *[F.col(c).alias(f"e_{c}") for c in _ALL],
+                F.col("len").alias("e_len"),
             )
             stepped = paths.join(
                 hop,

@@ -26,6 +26,7 @@ from databricks_observe_spark.functions.rounding import (
     sql_nano_grid,
     sql_round_half_up,
 )
+from databricks_observe_spark.functions.scoped_conf import loop_conf
 from databricks_observe_spark.functions.textfns import doc_tokens
 from databricks_observe_spark.sources.tables import fan_out
 
@@ -1005,8 +1006,18 @@ def mixture_weights_temperature(t: dict[str, DataFrame]) -> DataFrame:
     divergence cannot flip a unit. Output is language-cardinality-sized.
     """
     d = t["documents"]
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    totals = counts.agg(F.sum("n_docs").alias("total"))
+    # both normalizing scalars (corpus total, then the pa sum) ride the
+    # language-cardinality frame as single-partition windows over its
+    # bounded rows instead of two scalar-aggregate branches + broadcast
+    # cross joins — the old form re-planned the corpus scan per branch
+    # and paid two broadcast-build jobs (r21, guide §2.4); the windowed
+    # sums are the same exact integers.
+    w_all = Window.partitionBy(F.lit(1))
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("total", F.sum("n_docs").over(w_all))
+    )
     p_nano = F.greatest(
         F.floor(F.col("n_docs") / F.col("total") * F.lit(1e9) + F.lit(0.5)),
         F.lit(1),
@@ -1015,11 +1026,10 @@ def mixture_weights_temperature(t: dict[str, DataFrame]) -> DataFrame:
         F.pow(p_nano / F.lit(1e9), F.lit(MIXTURE_ALPHA)) * F.lit(1e9)
         + F.lit(0.5)
     )
-    scored = counts.join(F.broadcast(totals)).select(
+    scored = counts.select(
         "lang", "n_docs", "total", pa.alias("pa")
-    )
-    norm = scored.agg(F.sum("pa").alias("pa_sum"))
-    return scored.join(F.broadcast(norm)).select(
+    ).withColumn("pa_sum", F.sum("pa").over(w_all))
+    return scored.select(
         "lang",
         "n_docs",
         round_half_up(F.col("pa").cast("double") / F.col("pa_sum"), 6).alias(
@@ -1090,15 +1100,18 @@ def unimax_allocation(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"))
         .localCheckpoint()
     )
-    totals = counts.agg(
-        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_langs")
-    )
-    base = counts.join(F.broadcast(totals)).select(
+    # (total, n_langs) ride the checkpointed language frame as single-
+    # partition windows over its bounded rows — no scalar-aggregate
+    # branch, no broadcast-build job (r21, guide §2.4; exact integers)
+    w_all0 = Window.partitionBy(F.lit(1))
+    base = counts.select(
         "lang",
         "n_tokens",
         (F.col("n_tokens") * F.lit(UNIMAX_EPOCH_CAP)).alias("cap_tokens"),
-        (F.col("total") * F.lit(UNIMAX_BUDGET_EPOCHS)).alias("budget"),
-        "n_langs",
+        (
+            F.sum("n_tokens").over(w_all0) * F.lit(UNIMAX_BUDGET_EPOCHS)
+        ).alias("budget"),
+        F.count(F.lit(1)).over(w_all0).alias("n_langs"),
     )
     w_ord = Window.orderBy("cap_tokens", "lang")
     w_pfx = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1121,9 +1134,13 @@ def unimax_allocation(t: dict[str, DataFrame]) -> DataFrame:
             ).cast("int")
         ).over(w_pfx),
     )
-    level = flagged.agg(
-        F.sum("capped").alias("k"),
-        F.sum(F.col("cap_tokens") * F.col("capped")).alias("s_k"),
+    # water level (k, s_k) rides the same frame as single-partition
+    # windows — the frame already flows through an unpartitioned window
+    # (w_pfx), so these add no exchange (r21, guide §2.4)
+    leveled = flagged.withColumn(
+        "k", F.sum("capped").over(w_all0)
+    ).withColumn(
+        "s_k", F.sum(F.col("cap_tokens") * F.col("capped")).over(w_all0)
     )
     alloc = F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(
         F.expr("(budget - s_k) div (n_langs - k)")
@@ -1133,7 +1150,7 @@ def unimax_allocation(t: dict[str, DataFrame]) -> DataFrame:
         ).cast("bigint")
     )
     return (
-        flagged.join(F.broadcast(level))
+        leveled
         .select(
             "lang",
             "n_tokens",
@@ -1216,14 +1233,22 @@ def stratified_sample(t: dict[str, DataFrame]) -> DataFrame:
     skewing the keep rate above the intended min_count/n_lang. The
     per-lang counts side is language-cardinality-sized -> broadcast."""
     d = t["documents"]
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    mn = counts.agg(F.min("n_lang").alias("min_count"))
+    # min_count rides the language-cardinality frame as a single-
+    # partition window over its bounded rows (the pipeline.py stage-5
+    # trick) — one broadcast join instead of a scalar branch + cross
+    # join (r21, guide §2.4)
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .withColumn(
+            "min_count", F.min("n_lang").over(Window.partitionBy(F.lit(1)))
+        )
+    )
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint") % 1000000
     return (
         d.join(F.broadcast(counts), on="lang")
-        .join(F.broadcast(mn))
         .withColumn("bucket", bucket)
         .filter(
             F.col("bucket") * F.col("n_lang") < F.col("min_count") * F.lit(1000000)
@@ -1274,11 +1299,20 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     # the cost of two index-sized aggregates and one doc-key join
     # (the tfidf_keywords rule: never re-explode what tf already knows).
     base = _tfidf_tf_frame(t)
-    tf = base.join(
-        base.groupBy("doc_id").agg(F.sum("tf").alias("n")), on="doc_id"
+    # per-doc length as a window on the index (one doc-keyed exchange)
+    # and the scalar grand total as a single-partition window ON the
+    # vocab-sized cf frame (sum of per-token sums = sum(tf), the same
+    # exact integer): the old three side branches (doc-sum join, corpus
+    # total aggregate + broadcast) each re-planned their own exchange
+    # and broadcast-build job (r21, guide §2.4)
+    tf = base.withColumn(
+        "n", F.sum("tf").over(Window.partitionBy("doc_id"))
     )
-    cf = base.groupBy("tok").agg(F.sum("tf").alias("cf"))
-    tot = base.agg(F.sum("tf").alias("total"))
+    cf = (
+        base.groupBy("tok")
+        .agg(F.sum("tf").alias("cf"))
+        .withColumn("total", F.sum("cf").over(Window.partitionBy(F.lit(1))))
+    )
     p = F.col("tf").cast("double") / F.col("n")
     q = F.col("cf").cast("double") / F.col("total")
     r_nano = F.greatest(F.floor(p / q * F.lit(1e9) + F.lit(0.5)), F.lit(1))
@@ -1296,10 +1330,9 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
         (p * lr_micro) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("decimal(38,0)")
     # cf carries one row per distinct token — vocab-sized at 100 TB, so no
-    # broadcast hint (AQE decides); tot is a scalar and always ships.
+    # broadcast hint (AQE decides); it now also carries the scalar total.
     return (
         tf.join(cf, on="tok")
-        .join(F.broadcast(tot))
         .groupBy("doc_id", "n")
         .agg(
             round_half_up(
@@ -1702,7 +1735,9 @@ def _textrank_graph(t: dict[str, DataFrame]):
     return t["_textrank_graph"]
 
 
-def textrank_keywords(t: dict[str, DataFrame]) -> DataFrame:
+def textrank_keywords(
+    t: dict[str, DataFrame], materialize: bool = True
+) -> DataFrame:
     """TextRank keyword centrality: PageRank power iteration over the
     corpus-wide token co-occurrence graph (adjacent-pair edges, weighted,
     symmetrized) — the classic unsupervised keyword extractor, and the
@@ -1716,46 +1751,59 @@ def textrank_keywords(t: dict[str, DataFrame]) -> DataFrame:
     oracle replays them exactly (unrolled CTEs).
 
     Scale: the heavy work (pair counting) is one corpus scan + one
-    shuffle; the rank frame is vocab-sized, so each iteration is a
-    broadcast join against the edge table. Dangling/isolated tokens keep
-    the teleport mass via the left join.
+    shuffle; the rank frame is vocab-sized, so the iterations run under
+    ``loop_conf`` — shuffle width pinned to the measured vocab size, AQE
+    and auto-broadcast elided — and ALL of them materialize in ONE job
+    through lazy checkpoints (r21, guide §2.4: the previous form paid a
+    broadcast-build job per join plus an eager checkpoint job per
+    iteration, 12 jobs/run for vocab-sized state; now 2). Dangling/
+    isolated tokens keep the teleport mass via the left join.
+
+    ``materialize=False`` skips the in-scope materialization so the plan
+    gate can inspect the full un-truncated iteration DAG.
     """
     nodes, edges, deg = _textrank_graph(t)
     n = t["_textrank_n"]  # scalar vocab size, counted in the graph build
     # same IEEE expression the oracle floors: 0.15 * 1e6 / n, then +0.5
     teleport = int(0.15 * 1000000.0 / n + 0.5)
-    r = nodes.select(
-        "tok", F.floor(F.lit(1000000.0) / F.lit(float(n)) + F.lit(0.5)).alias("r")
-    )
-    ed = edges.join(deg, on="u")
-    for it in range(TEXTRANK_ITERS):
-        contribs = (
-            ed.join(F.broadcast(r), ed["u"] == r["tok"])
-            .select(
-                F.col("v").alias("tok"),
-                F.floor(
-                    F.lit(TEXTRANK_DAMPING)
-                    * F.col("w").cast("double")
-                    * F.col("r").cast("double")
-                    / F.col("wdeg").cast("double")
-                    + F.lit(0.5)
-                ).alias("c"),
-            )
-            .groupBy("tok")
-            .agg(F.sum("c").alias("c"))
-        )
-        # contribs is vocab-sized (iteration state): broadcast explicitly
-        # rather than leave the static planner to pick SMJ on unknown stats
-        r = nodes.join(F.broadcast(contribs), on="tok", how="left").select(
+    # the WHOLE loop builds inside the conf scope: a lazy localCheckpoint
+    # plans its round at BUILD time, so the scope must cover the builds,
+    # not just the final action (scoped_conf module docstring)
+    with loop_conf(nodes.sparkSession, max(1, n // 200_000)):
+        r = nodes.select(
             "tok",
-            (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0))).alias("r"),
+            F.floor(F.lit(1000000.0) / F.lit(float(n)) + F.lit(0.5)).alias("r"),
         )
-        if it < TEXTRANK_ITERS - 1:
-            # truncate the growing plan between iterations; the LAST
-            # iteration stays unmaterialized so callers see (and plan-
-            # gate) the real join shape
-            r = r.localCheckpoint()
-    return r.select(F.col("tok").alias("token"), F.col("r").alias("rank_micro"))
+        ed = edges.join(deg, on="u")
+        for it in range(TEXTRANK_ITERS):
+            contribs = (
+                ed.join(r, ed["u"] == r["tok"])
+                .select(
+                    F.col("v").alias("tok"),
+                    F.floor(
+                        F.lit(TEXTRANK_DAMPING)
+                        * F.col("w").cast("double")
+                        * F.col("r").cast("double")
+                        / F.col("wdeg").cast("double")
+                        + F.lit(0.5)
+                    ).alias("c"),
+                )
+                .groupBy("tok")
+                .agg(F.sum("c").alias("c"))
+            )
+            r = nodes.join(contribs, on="tok", how="left").select(
+                "tok",
+                (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0))).alias("r"),
+            )
+            if it < TEXTRANK_ITERS - 1:
+                # truncate recompute between iterations; LAZY — the single
+                # materializing action below computes every round in one job
+                r = r.localCheckpoint(eager=False)
+        out = r.select(F.col("tok").alias("token"), F.col("r").alias("rank_micro"))
+        if materialize:
+            # the one action of the whole power iteration
+            out = out.localCheckpoint()
+    return out
 
 
 def _textrank_sql() -> str:
@@ -1896,15 +1944,21 @@ def _bm25_index(t: dict[str, DataFrame]):
             .agg(F.sum("tf").alias("dl"))
             .localCheckpoint()
         )
-        df_frame = (
-            tf.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .localCheckpoint()
-        )
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         ).localCheckpoint()
+        # the (n_docs, avgdl) scalars ride ON the vocab-sized df frame
+        # (one setup-time broadcast) so the scoring query needs no 1-row
+        # cross join — that join cost a broadcast-build job per run
+        # (r21, guide §2.4); a real index stores these scalars in its
+        # header for the same reason
+        df_frame = (
+            tf.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .join(F.broadcast(stats))
+            .localCheckpoint()
+        )
         t["_bm25_index"] = (dl, df_frame, stats)
     return t["_bm25_index"]
 
@@ -1934,7 +1988,7 @@ def bm25_scores(t: dict[str, DataFrame]) -> DataFrame:
     the (query_id, doc_id) aggregate.
     """
     tf = _tfidf_tf_frame(t)
-    dl, df_frame, stats = _bm25_index(t)
+    dl, df_frame, _stats = _bm25_index(t)
     spark = tf.sparkSession
     terms = spark.createDataFrame(
         [(qid, tok) for qid, toks in BM25_QUERIES for tok in toks],
@@ -1967,7 +2021,6 @@ def bm25_scores(t: dict[str, DataFrame]) -> DataFrame:
         tf.join(F.broadcast(terms), on="tok")
         .join(df_frame, on="tok")
         .join(dl, on="doc_id")
-        .join(F.broadcast(stats))
         .withColumn("contrib", F.floor(idf_micro * tfnorm + F.lit(0.5)))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("score_micro"))
@@ -2155,15 +2208,23 @@ def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
         % DSIR_BUCKETS
     )
     tfb = tf.join(langs, on="doc_id").withColumn("bucket", bucket)
-    counts = tfb.groupBy("bucket").agg(
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
-        ).alias("t_cnt"),
-        F.sum("tf").alias("r_cnt"),
-    )
-    totals = counts.agg(
-        F.sum("t_cnt").cast("double").alias("t_total"),
-        F.sum("r_cnt").cast("double").alias("r_total"),
+    # the grand totals ride ON the bucket-count frame as a single-
+    # partition window over DSIR_BUCKETS bounded rows (the pipeline.py
+    # stage-5 trick) instead of a separate global-aggregate branch: the
+    # old form re-computed the counts subtree (Catalyst does not CSE
+    # across branches) and paid a broadcast-build job for a 1-row frame
+    # (r21, guide §2.4)
+    w_all = Window.partitionBy(F.lit(1))
+    counts = (
+        tfb.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+            ).alias("t_cnt"),
+            F.sum("tf").alias("r_cnt"),
+        )
+        .withColumn("t_total", F.sum("t_cnt").over(w_all).cast("double"))
+        .withColumn("r_total", F.sum("r_cnt").over(w_all).cast("double"))
     )
 
     def _lp_micro(cnt: F.Column, total: F.Column) -> F.Column:
@@ -2178,7 +2239,7 @@ def dsir_importance_weights(t: dict[str, DataFrame]) -> DataFrame:
         )
         return F.floor(F.log(p_nano / F.lit(1e9)) * F.lit(1e6) + F.lit(0.5))
 
-    lr = counts.join(F.broadcast(totals)).select(
+    lr = counts.select(
         "bucket",
         (
             _lp_micro(F.col("t_cnt"), F.col("t_total"))

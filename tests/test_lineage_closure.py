@@ -131,43 +131,54 @@ def test_doubling_checkpoint_partitions_track_closure_size(tables):
     assert closure.rdd.getNumPartitions() == expect
 
 
-def test_no_aqe_scope_disables_inside_and_restores_after(spark):
-    """r16 drift-watch escalation pin: the doubling loops run with AQE
-    elided (the loop's partitioning is pre-sized, so AQE's per-stage
-    materialization jobs are pure scheduling floor — measured 30 -> 19
-    jobs, -29% wall on the deep fixture), and the session setting is
-    restored afterwards, including when the loop raises."""
+def test_loop_conf_scope_applies_inside_and_restores_after(spark):
+    """r16 drift-watch escalation pin, extended r21: the doubling loops
+    run with AQE elided AND the shuffle width pinned to the measured
+    closure size AND auto-broadcast disabled (the per-round self-join
+    must be a shuffle join inside the convergence count's job — a
+    broadcast build is its own job every round), and every session
+    setting is restored afterwards, including when the loop raises."""
     from databricks_observe_spark.operators.lineage import (
-        _no_aqe,
+        _loop_conf,
         transitive_closure_doubling,
     )
 
     key = "spark.sql.adaptive.enabled"
+    kp = "spark.sql.shuffle.partitions"
+    kb = "spark.sql.autoBroadcastJoinThreshold"
     spark.conf.set(key, "true")
-    with _no_aqe(spark):
+    prev_p, prev_b = spark.conf.get(kp), spark.conf.get(kb)
+    with _loop_conf(spark, 3):
         assert spark.conf.get(key) == "false"
+        assert spark.conf.get(kp) == "3"
+        assert spark.conf.get(kb) == "-1"
     assert spark.conf.get(key) == "true"
+    assert spark.conf.get(kp) == prev_p
+    assert spark.conf.get(kb) == prev_b
 
     # restore-on-exception
     try:
-        with _no_aqe(spark):
+        with _loop_conf(spark, 3):
             raise ValueError("boom")
     except ValueError:
         pass
     assert spark.conf.get(key) == "true"
+    assert spark.conf.get(kp) == prev_p
 
-    # truly nested scopes: the inner exit restores the outer scope's "false",
-    # and only the outer exit restores the caller's original "true"
+    # truly nested scopes: the inner exit restores the outer scope's values,
+    # and only the outer exit restores the caller's originals
     spark.conf.set(key, "true")
-    with _no_aqe(spark):
-        with _no_aqe(spark):
-            assert spark.conf.get(key) == "false"
+    with _loop_conf(spark, 5):
+        with _loop_conf(spark, 7):
+            assert spark.conf.get(kp) == "7"
+        assert spark.conf.get(kp) == "5"
         assert spark.conf.get(key) == "false"
     assert spark.conf.get(key) == "true"
+    assert spark.conf.get(kp) == prev_p
 
     # a caller-set "false" is restored verbatim, not the session default
     spark.conf.set(key, "false")
-    with _no_aqe(spark):
+    with _loop_conf(spark, 3):
         pass
     assert spark.conf.get(key) == "false"
     spark.conf.set(key, "true")

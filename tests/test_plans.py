@@ -460,15 +460,23 @@ def test_value_deciles_reuses_window_partitioning(tables):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_textrank_iterations_broadcast_vocab_state(tables):
+def test_textrank_iterations_equi_join_vocab_state(tables):
     from databricks_observe_spark.operators import text as T
 
-    plan = _plan(T.textrank_keywords(tables))
-    # every power-iteration join ships the vocab-sized rank frame to the
-    # edge table — never a sort-merge of the corpus against itself
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # materialize=False exposes the full un-truncated iteration DAG (the
+    # registered form materializes all rounds in ONE job under loop_conf
+    # — r21; the gate pins that the iteration state only ever EQUI-joins
+    # the edge table: no cartesian/nested-loop blowup anywhere)
+    plan = _plan(T.textrank_keywords(tables, materialize=False))
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the visible (final) round shows the rank join, the dangling-mass
+    # left join and the degree join; earlier rounds sit behind the lazy
+    # per-iteration checkpoints (plan-truncating by design)
+    assert plan.count("Join") >= 3
+    # the registered (materialized) form is a single cached scan
+    mat = _plan(T.textrank_keywords(tables))
+    assert "Scan ExistingRDD" in mat
 
 
 def test_funnel_single_user_shuffle(tables):
@@ -784,14 +792,17 @@ def test_ks_drift_corpus_collapses_before_checkpoint(tables):
     plan = _plan(E.ks_drift(tables))
     # same discipline as drift_psi: the events scan ran once inside the
     # (type,bin) checkpoint build; the returned plan works off the tiny
-    # materialized frame only
+    # materialized frame only — and since r21 reads it exactly ONCE (the
+    # per-type totals ride the ECDF window's exchange, no aggregate
+    # branch + broadcast join back)
     assert "FileScan" not in plan
-    assert plan.count("Scan ExistingRDD") >= 2
+    assert plan.count("Scan ExistingRDD") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # ECDF window + totals rollup + (nothing else corpus-sized): the
-    # final per-type aggregate reuses the window's partitioning
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "Join" not in plan
+    # ECDF/totals window + the final per-type aggregate share one
+    # type-keyed exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
 
 
 def test_unimax_windows_run_on_checkpointed_lang_frame(tables):
@@ -799,10 +810,13 @@ def test_unimax_windows_run_on_checkpointed_lang_frame(tables):
 
     plan = _plan(T.unimax_allocation(tables))
     # the corpus scan collapsed into the checkpointed language-count
-    # frame — every window/join in the returned plan is lang-cardinality
+    # frame, read exactly ONCE since r21 (totals and water level ride
+    # single-partition windows on the lang-cardinality frame instead of
+    # aggregate branches + broadcast joins back) — every window in the
+    # returned plan is lang-cardinality and there is no join at all
     assert "FileScan" not in plan
-    assert plan.count("Scan ExistingRDD") >= 2
-    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 2
 
@@ -822,20 +836,23 @@ def test_score_auc_grid_window_after_broadcast_joins(tables):
     assert "partial_sum" in plan
 
 
-def test_source_overlap_returns_checkpointed_matrix_only(tables):
+def test_source_overlap_single_walk_diagonal_window(tables):
     import re
 
     from databricks_observe_spark.operators import dedup as D
 
     plan = _plan(D.source_overlap_matrix(tables))
-    # the gram walk (distinct -> collect_set -> pair explode -> count)
-    # ran once inside the checkpoint; the returned plan is one broadcast
-    # join over the source^2-sized matrix with ZERO exchanges
-    assert "FileScan" not in plan
-    assert plan.count("Scan ExistingRDD") == 2
-    assert plan.count("BroadcastHashJoin") == 1
-    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan)) == 0
-    assert "SortMergeJoin" not in plan
+    # r21: the denominator |grams(a)| is the matrix diagonal picked by a
+    # per-src_a window on the source^2-sized frame, so the gram walk
+    # (distinct -> collect_set -> pair explode -> count) appears exactly
+    # once, with no checkpoint split, no join back, and no second walk
+    assert plan.count("collect_set") >= 1
+    assert plan.count("Window") == 1
+    assert "Join, LeftOuter" not in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # distinct + gram fold + matrix aggregate + diagonal window: the
+    # pair explode never adds an exchange of its own
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan)) <= 4
 
 
 def test_tokenizer_fertility_vocab_join_and_pruned_scan(tables):
@@ -888,10 +905,12 @@ def test_rate_anomaly_window_runs_on_checkpointed_grid(tables):
     plan = _plan(E.rate_anomaly(tables))
     # the events scan collapsed into the checkpointed hourly aggregate;
     # the grid fill, trailing frame, and z^2 test are (types x hours)
-    # work only
+    # work only. Two windows since r21: the global hour bounds ride the
+    # per-type aggregate as a single-partition window (no scalar branch
+    # + broadcast cross join), plus the trailing baseline frame.
     assert "FileScan" not in plan
     assert plan.count("Scan ExistingRDD") >= 2
-    assert plan.count("Window") == 1
+    assert plan.count("Window") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
