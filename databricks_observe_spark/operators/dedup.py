@@ -2135,9 +2135,12 @@ def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
 
     Scale plan — natural-key shuffles only, nothing quadratic, and the
     hot-gram case handled by AGGREGATION, not a window:
-    (1) rolling windows from the memoized token index via ONE doc-keyed
-    window pass (collect_list over an ordered SPAN_K-row frame — per
-    task the frame is a bounded ring buffer, never the whole doc);
+    (1) rolling windows generated SHUFFLE-FREE from the memoized token
+    index: per document, ``transform(sequence(...), i -> md5(concat_ws(
+    slice(w, i, SPAN_K))))`` emits every full window in one map-side
+    pass (r21, guide §2.4 — the previous posexplode + doc-keyed window
+    formulation shuffled and sorted every token position first; the
+    gram multiset is identical, position by position);
     (2) cross-document flag per gram as ``min(doc_id) < max(doc_id)``
     — exactly the >= 2-distinct-docs predicate (within-doc repeats give
     min == max), and min/max partial-aggregate MAP-SIDE, so a
@@ -2152,24 +2155,23 @@ def duplicated_spans(t: dict[str, DataFrame]) -> DataFrame:
     task.
     """
     toks = doc_tokens(t)
-    pos = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
-    frame = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, SPAN_K - 1)
-    )
     # materialized once: both the flag aggregate and the join-back
     # consume this frame, and Catalyst does not CSE across branches —
-    # without the checkpoint the rolling-window pass (the operator's
+    # without the checkpoint the gram-generation pass (the operator's
     # dominant cost) runs twice.
     grams = (
-        pos.select(
+        toks.filter(F.size("w") >= SPAN_K)
+        .select(
             "doc_id",
-            F.md5(F.concat_ws(" ", F.collect_list("tok").over(frame))).alias("h"),
-            F.count(F.lit(1)).over(frame).alias("klen"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(SPAN_K - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("w", i, F.lit(SPAN_K)))
+                    ),
+                )
+            ).alias("h"),
         )
-        .filter(F.col("klen") == SPAN_K)
-        .select("doc_id", "h")
         .localCheckpoint()
     )
     flags = grams.groupBy("h").agg(
