@@ -532,96 +532,102 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-20 plan derived from the rule (tenth consecutive fully-green
-# round at r19 — 50/50 driver, cumulative last-green histogram r19=50,
-# r18=49, r17=46 — so r20 is the tenth steady-state maintenance
-# rotation). COHORT DEFINITION: "last driver-green rN" is read from the
-# CORRECTNESS_r0N.json files themselves (hash_match==true, max round
-# per query), NOT reconstructed from past _PRIORITY lists — verified
-# this round: the mechanical scan over CORRECTNESS_r01..r19 yields
-# exactly 46 rows last-green at r17, 49 at r18, 50 at r19, 145 total,
-# none older than r17 — matching the r19 verdict's independent count.
+# Round-21 plan (OPTIMIZATION round 1): this round changed executable
+# lines on MANY query paths — the per-operator optimization sweep
+# (mapInArrow conversion + vector-table compaction, loop_conf fixpoints,
+# windowed scalar branches, fused counts, shuffle-free span grams; see
+# OPTIMIZATION_r21.md) — so tier 1 floods the head for the first time
+# since r17. COHORT DEFINITION unchanged: "last driver-green rN" is read
+# from the CORRECTNESS_r0N.json files themselves.
 # (a) the smoke anchor;
-# (b) NO tier-1 rows this round: no executable line on any query's
-# path changed in r20 — the only non-comment source change is this
-# _PRIORITY rotation data itself (the list literal that sets driver
-# head ordering), plus comment rewrites (including the ADVICE-r19
-# rewording of this very attestation); rotation data touches no query
-# plan, so nothing qualifies for tier 1 (contrast r17, where a
-# behaviorally-dead but EXECUTABLE line in `_no_aqe` on a query's path
-# did qualify);
-# (c) the full 46-row r17 cohort, which hits the tier-2 three-round
-# staleness boundary after r20;
-# (d) THREE borrowed r18-cohort rows — the r19 verdict's suggested
-# picks: `curation_pipeline_e2e` (the one-job fused pipeline with the
-# ≤4-exchange plan gate), `kmeans_clusters` (integer fixed-point
-# clustering, bit-reproducible partials), `duplicated_spans`
-# (skew-splittable ExactSubstr-class span dedup) — filling the
-# remaining head slots early.
+# (b) FORTY-ONE tier-1 rows: every query whose plan or executable path
+# changed this round — the full similarity/vector surface (arrow_map +
+# _compact_ckpt + memoized init codebooks), the multimodal arrow_map
+# consumers, both doubling-loop lineage rows (loop_conf), the text rows
+# with windowed scalars / folded bm25 stats / the one-job textrank (and
+# the _dsir_scores / _unigram_lp downstream readers score_auc,
+# score_auc_parts, score_calibration, perplexity_buckets), the dedup
+# rows (single-pass lsh_dedup_recall, windowed source_overlap_matrix,
+# shuffle-free duplicated_spans, index-read simhash_fingerprints), the
+# fused-count catalog rows, the events rows (windowed ks_drift /
+# rate_anomaly / single-pass PSI shared with streaming_drift_psi /
+# memoized lateness scalar), and sensor_cursor_roundtrip;
+# (c) EIGHT r18-cohort rows (the r18 cohort hits its tier-2 three-round
+# boundary after r21; 41 tier-1 rows displace the rest): chunk_dedup,
+# columns_schema, contamination_check, schema_drift, scd2_history,
+# streaming_corpus_dedup, streaming_first_completed, zone_map_plan —
+# picked for structural diversity plus the two checkpointed streaming
+# rows, which exercise the session-conf restore paths loop_conf touches.
+# TIER-3 DEFERRAL (named, the at-most-once slip): the remaining 22
+# r18-cohort rows — column_histograms, discovered_objects,
+# doc_fingerprints, heavy_hitter_tokens, lang_profile, langid_trigram,
+# named_assets, normalized_dedup, object_count_rollup,
+# percentile_sketch_accuracy, pii_redaction, range_join_incidents,
+# skew_report, streaming_click_attribution, streaming_tumbling_hourly,
+# tables_enriched, time_rollup_multigrain, token_count_regex,
+# top_orders_per_customer, user_count_accuracy, value_deciles,
+# weighted_sample_topk — slip to four rounds ONCE (their code paths did
+# not change this round) and MUST lead the r22 head ahead of any
+# non-tier-1 row. All 146 queries re-passed the local strict oracle at
+# this HEAD regardless (ORACLE_LOCAL_r21.log), so the deferral risk is
+# driver-evidence staleness, not unverified code.
 #
-# Head math: 1 anchor + 46 r17 cohort + 3 borrows = 50 rows, exactly
-# the observed cap. 46 + anchor + THREE tier-1-or-borrow rows fits the
-# 50-row cap; each additional tier-1 row displaces a borrow first, then
-# a cohort row, via the same displacement mechanic r16/r17 executed
-# (displaced rows rejoin at their cohort's next tier-2 boundary).
-# After this run no query's last driver-green round is older than r18.
-# `approx_user_counts` stays pinned to the very TAIL of the full
-# ordering (see _ordered_names): its row is permanently `no_oracle`
-# (engine-specific HLL sketch values — rows-only by design) and must
-# not burn a head-of-rotation slot.
+# Head math: 1 anchor + 41 tier-1 + 8 r18-cohort = 50 rows, the
+# observed driver cap. `approx_user_counts` stays pinned to the very
+# TAIL (permanently rows-only by design).
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (c) the 46-row r17 cohort at the tier-2 boundary (alphabetical)
+    # (b) tier-1: changed-path rows this round (alphabetical)
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "ann_recall",
-    "asset_specs",
-    "balance_percent_rank",
-    "bloom_contamination_check",
-    "bpe_pair_counts",
-    "compaction_plan",
-    "curated_corpus",
-    "dedup_retention",
-    "dedup_threshold_sweep",
-    "describe_detail",
+    "bm25_scores",
     "drift_psi",
-    "epoch_shuffle",
-    "event_dedup_windowed",
-    "event_type_pivot",
-    "event_type_stats",
-    "expectations_report",
-    "funnel_conversion",
-    "fuzzy_match_probe",
-    "incremental_dedup",
-    "incremental_pricing_summary",
+    "dsir_importance_weights",
+    "duplicated_spans",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "image_resize",
     "int8_quantize",
-    "latest_update_per_entity",
-    "length_outliers",
-    "lineage_closure",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_capped",
-    "per_source_dedup_rate",
-    "pricing_summary",
-    "quality_filter",
-    "repetition_signals",
-    "retention_cohorts",
-    "run_output_lookup",
+    "ivf_ann_topk",
+    "kmeans_assign",
+    "kmeans_clusters",
+    "ks_drift",
+    "lateness_report",
+    "lineage_closure_deep",
+    "lsh_bucket_stats",
+    "lsh_dedup_recall",
+    "media_features",
+    "mixture_weights",
+    "mixture_weights_temperature",
+    "multimodal_meta",
+    "observability_report",
+    "perplexity_buckets",
+    "rate_anomaly",
+    "score_auc",
+    "score_auc_parts",
+    "score_calibration",
     "semantic_dedup",
     "sensor_cursor_roundtrip",
-    "sequence_packing",
-    "shipping_priority",
-    "simhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "source_overlap_matrix",
+    "stratified_sample",
     "streaming_drift_psi",
-    "table_files_meta",
-    "tumbling_hourly",
-    "url_canonical_dedup",
-    "url_host_stats",
-    "vocab_coverage",
-    "zorder_key",
-    # (d) three borrowed r18-cohort rows (r19 verdict's suggested picks)
-    "curation_pipeline_e2e",
-    "kmeans_clusters",
-    "duplicated_spans",
+    "table_profiles",
+    "textrank_keywords",
+    "topo_levels",
+    "unigram_kl",
+    "unigram_logprob",
+    "unimax_allocation",
+    # (c) eight r18-cohort rows at their tier-2 boundary
+    "chunk_dedup",
+    "columns_schema",
+    "contamination_check",
+    "schema_drift",
+    "scd2_history",
+    "streaming_corpus_dedup",
+    "streaming_first_completed",
+    "zone_map_plan",
 ]
 
 

@@ -45,7 +45,7 @@ COMMENTARY = {
         "broadcast; no cartesian/nested-loop join anywhere."
     ),
     "ann_bruteforce_topk": (
-        "Single MapInPandas scan of the checkpointed norm table against the "
+        "Single MapInArrow scan (worker-reusing runner, functions/arrowmap.py) of the checkpointed norm table against the "
         "broadcast 10-row query matrix — no join operator at all; the only "
         "exchange feeds the per-query ranking window."
     ),
@@ -84,7 +84,7 @@ COMMENTARY = {
         "rows. The full vocabulary never funnels through one reducer."
     ),
     "kmeans_assign": (
-        "One Arrow-batched pass (MapInPandas) against the broadcast K x 64 "
+        "One Arrow-batched pass (MapInArrow since r21) against the broadcast K x 64 "
         "codebook assigns every vector: no join, no shuffle of the "
         "embedding payload, constant driver traffic. The iterative "
         "kmeans_clusters form repeats this E-step and adds a map-side-"
@@ -181,7 +181,7 @@ COMMENTARY = {
     ),
     "media_features": (
         "Multimodal feature extraction: blobs stay on executors, decode "
-        "runs in Arrow-batched mapInPandas with an explicit schema, and "
+        "runs in an Arrow-batched kernel (mapInArrow via functions/arrowmap.py) with an explicit schema, and "
         "the array posexplodes to scalar (dim, value) rows — "
         "driver-canonicalizable and fully oracle-checked (features are "
         "sha256-derived)."
