@@ -1907,13 +1907,17 @@ def source_overlap_matrix(t: dict[str, DataFrame]) -> DataFrame:
     matrix and the denominators — no second walk over the gram frame.
     Integer basis points, zero floats until the report divide.
     """
+    # digest-keyed shuffles (r21, guide §2.3 + the duplicated_spans
+    # discipline): the distinct and the gram fold shuffle the 16-byte
+    # md5 of the gram, never the gram TEXT — same equality classes, a
+    # fraction of the bytes per row at any corpus scale
     sg = (
         _shingled(t)
         .join(t["documents"].select("doc_id", "source"), on="doc_id")
-        .select("source", "shingle")
+        .select("source", F.unhex(F.md5("shingle")).alias("g"))
         .distinct()
     )
-    src_sets = sg.groupBy("shingle").agg(F.collect_set("source").alias("ss"))
+    src_sets = sg.groupBy("g").agg(F.collect_set("source").alias("ss"))
     matrix = (
         src_sets.select(
             F.explode(

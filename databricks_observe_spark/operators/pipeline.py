@@ -128,10 +128,15 @@ def curation_pipeline_e2e(
     )
 
     # stage 4: decontamination — side branch off the RAW scan (per-doc
-    # property; commutes with the row filters above)
+    # property; commutes with the row filters above). Digest-keyed (r21,
+    # guide §2.3): the eval-set dedup shuffle and the broadcast flagging
+    # join carry the 16-byte md5 of the 4-gram, never the gram TEXT —
+    # same equality classes (and the same discipline as
+    # duplicated_spans / source_overlap_matrix), a fraction of the
+    # bytes at corpus scale
     sh = docs.select(
-        "doc_id", F.explode(shingle_regex_expr(CONTAM_K)).alias("s")
-    )
+        "doc_id", F.explode(shingle_regex_expr(CONTAM_K)).alias("g")
+    ).select("doc_id", F.unhex(F.md5("g")).alias("s"))
     ev = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select("s")
