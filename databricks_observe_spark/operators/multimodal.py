@@ -2,8 +2,9 @@
 
 Treats media as opaque ``binary`` columns with typed metadata, per the
 100 TB design stance: the bytes never leave the executor, metadata travels
-in columns, and decode/feature-extraction runs in Arrow-batched
-``mapInPandas`` with an explicit output schema.
+in columns, and decode/feature-extraction runs in Arrow-batched kernels
+(``arrow_map`` — the mapInPandas contract on the worker-reusing
+mapInArrow runner) with an explicit output schema.
 
 The container has no image/audio codecs, so the actual decode is STUBBED:
 ``decode_media`` raises ``NotImplementedError`` for real formats, and the
@@ -121,7 +122,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over a blobs frame via
-    ``mapInPandas``: explicit output schema, batch iterator (constant
+    ``arrow_map``: explicit output schema, batch iterator (constant
     memory), blob bytes never leave the executor. Swap
     ``fake_decode_features`` for a real decoder when codecs exist.
     """
@@ -338,7 +339,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def image_resize(t: dict[str, DataFrame]) -> DataFrame:
-    """Resize plumbing for image blobs via Arrow-batched ``mapInPandas``:
+    """Resize plumbing for image blobs via Arrow-batched ``arrow_map``:
     integer-exact output geometry (longest edge -> {THUMB}, aspect
     preserved via integer division) plus a content-addressed thumbnail
     digest computed from the blob bytes inside the UDF.

@@ -1989,10 +1989,12 @@ def bm25_scores(t: dict[str, DataFrame]) -> DataFrame:
     per-doc score is an exact INTEGER sum — order-independent under any
     partitioning. Ranking ties break on doc_id.
 
-    Plan: the memoized tf index joins the broadcast probe terms (tiny)
-    and the single-row corpus stats; the document-frequency frame is
-    vocab-sized and the document-length frame is CORPUS-sized, so
-    neither carries a broadcast hint — AQE broadcasts them at runtime
+    Plan: the memoized tf index joins the broadcast probe terms (tiny);
+    the (n_docs, avgdl) corpus scalars ride the df index since r21
+    (folded at setup build — no 1-row cross join at query time); the
+    document-frequency frame is vocab-sized and the document-length
+    frame is CORPUS-sized, so neither carries a broadcast hint — AQE
+    broadcasts them at runtime
     when they actually fit (they do at fixture scale) and falls back to
     shuffled hash joins at 100 TB, exactly the tfidf_keywords rule. One
     (query, doc) aggregate, then a per-query rank window over candidate

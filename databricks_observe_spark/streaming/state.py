@@ -734,8 +734,9 @@ def streaming_drift_psi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming_drift_psi did not finish its availableNow run within 300s"
         )
-    # same shared-consumer checkpoint discipline as the batch operator:
-    # the PSI tail reads the tiny final state twice (totals + grid fill)
+    # same checkpoint discipline as the batch operator; since r21 the
+    # PSI tail reads the tiny final state exactly ONCE (the map-exploded
+    # grid in psi_from_counts fused the totals branch and the fill join)
     counts = spark.table(name).localCheckpoint()
     return psi_from_counts(counts)
 
