@@ -69,7 +69,14 @@ def tables_enriched(t: dict[str, DataFrame]) -> DataFrame:
 
     The info side is broadcast (metastore-sized); missing probe defaults
     reproduce DA:110-120: kind='table', format=''.
+
+    Memoized + materialized per context (r21, the lineage_closure
+    sharing rule): table_profiles, observability_report and asset_specs
+    each consume this catalog-sized frame per observation tick — one
+    build instead of a broadcast-rebuild per consumer.
     """
+    if "_tables_enriched" in t:
+        return t["_tables_enriched"]
     info = t["information_schema_tables"].select(
         F.col("table_catalog").alias("catalog"),
         F.col("table_schema").alias("schema"),
@@ -85,7 +92,7 @@ def tables_enriched(t: dict[str, DataFrame]) -> DataFrame:
     # F3: CASE mapping delta->deltalake, unknown->'' (DA:114-119);
     # F4/J1 defaults: missing probe -> kind 'table', format '' (DA:111-112)
     fmt = F.coalesce(F.col("format_raw"), F.lit(""))
-    return joined.select(
+    t["_tables_enriched"] = joined.select(
         "catalog",
         "schema",
         "table",
@@ -95,7 +102,8 @@ def tables_enriched(t: dict[str, DataFrame]) -> DataFrame:
         .otherwise(fmt)
         .alias("format"),
         F.col("description"),
-    )
+    ).localCheckpoint()
+    return t["_tables_enriched"]
 
 
 # F3's format-normalization CASE, built ONCE and interpolated into every
@@ -135,13 +143,19 @@ def columns_schema(t: dict[str, DataFrame]) -> DataFrame:
 
     Order-stable: sorts the collected (ordinal, name:type) pairs before
     joining into a string (SURVEY.md §7 hard part 3).
+
+    Memoized + materialized per context (r21, same sharing rule as
+    tables_enriched): table_profiles and observability_report re-read
+    this catalog-sized aggregate every tick.
     """
+    if "_columns_schema" in t:
+        return t["_columns_schema"]
     cols = t["information_schema_columns"]
     pair = F.struct(
         F.col("ordinal_position").alias("ord"),
         F.concat_ws(":", "column_name", "data_type").alias("nt"),
     )
-    return (
+    t["_columns_schema"] = (
         cols.groupBy(
             F.col("table_catalog").alias("catalog"),
             F.col("table_schema").alias("schema"),
@@ -153,7 +167,9 @@ def columns_schema(t: dict[str, DataFrame]) -> DataFrame:
                 F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["nt"]), ","
             ).alias("schema_str"),
         )
+        .localCheckpoint()
     )
+    return t["_columns_schema"]
 
 
 COLUMNS_SCHEMA_SQL = oracle_with_clause("information_schema_columns") + """
