@@ -189,7 +189,7 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(out))
-    # LAST stdout line = a compact (<1 kB) machine-readable summary. The
+    # LAST stdout line = a compact (<1.9 kB) machine-readable summary. The
     # driver archives only the final ~2 kB of stdout and parses the last
     # line; the full per-query map above overflows that window (BENCH_r07
     # recorded parsed=null), so the authoritative totals repeat here in a
@@ -213,7 +213,30 @@ def main() -> None:
             sorted(timings.items(), key=lambda kv: -kv[1])[:8]
         ),
     }
-    print(json.dumps(compact))
+    # r22: the driver archives only the final ~2000 BYTES of stdout and
+    # its PERF per-query comparison reads `queries` from the line it
+    # parses there — which the full map above never reaches (the 93 query
+    # names alone are ~1.9 kB, so no ordering makes the complete map fit;
+    # r21's PERF recorded per_query={} for exactly this reason). The
+    # compact line therefore now ALSO carries the largest SLOWEST-FIRST
+    # subset of the per-query map that keeps the whole line inside the
+    # capture window: the heavy queries — the only ones whose per-query
+    # regression/scaling signal rises above the per-job scheduling floor —
+    # always parse, and the omitted tail rows are floor-bound sub-0.3 s
+    # entries. Subset keys are inserted slowest-first, so consumers can
+    # also read it as a ranked slow-list. The FULL map still prints above
+    # (first line) for tools/scale_sweep.py and humans; no entry was
+    # removed or renamed there.
+    budget = 1900
+    subset: dict[str, float] = {}
+    for qname, qsec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        trial = dict(compact)
+        trial["queries"] = {**subset, qname: qsec}
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        subset[qname] = qsec
+    compact["queries"] = subset
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

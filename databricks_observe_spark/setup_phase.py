@@ -12,6 +12,8 @@ separately as ``setup_sec``.
 
 from __future__ import annotations
 
+import os
+
 # names published in bench.py's "setup" JSON field. 1:1 with the
 # builders, in builder order — `setup_builders()` returns the same
 # names keyed to their builder callables and a test pins the equality,
@@ -29,6 +31,49 @@ SETUP_INDEX_NAMES = [
     "dsir_score_table", "unigram_lp_table", "bpe_encoded_vocab",
     "bloom_eval_bitmap",
 ]
+
+
+# Builder dependency graph (r22, guide §2.6 "overlap independent jobs"):
+# edges name every OTHER builder whose memoized ctx keys a builder reads.
+# Derived empirically — each builder was run against a FRESH ctx and the
+# set of memo keys it created recorded; A depends on B iff A's run also
+# creates B's own keys — and pinned structurally by
+# tests/test_fixture_contract.py (key set, validity, acyclicity). The
+# topological thread pool in build_setup_indexes only overlaps builders
+# with no path between them, so no two concurrent builders ever touch
+# the same memo key: every shared key belongs to a completed dependency.
+# (No builder mutates session confs — loop_conf is query-side only — so
+# overlapping them is safe; guide §2.6's FIFO back-fill does the rest.)
+SETUP_DEPS: dict[str, list[str]] = {
+    "doc_tokens": [],
+    "shingle_index": [],
+    "shingle_df": ["shingle_index"],
+    "shingle_sizes": ["shingle_index"],
+    "simhash_fingerprints": ["doc_tokens"],
+    "minhash_signatures": ["shingle_index"],
+    "lsh_buckets": ["vector_norms"],
+    "char_trigrams": [],
+    "tfidf_tf": ["doc_tokens"],
+    "bm25_doclen_df_stats": ["doc_tokens", "tfidf_tf"],
+    "langid_trained_profiles": ["char_trigrams"],
+    "textrank_cooccurrence_graph": ["doc_tokens"],
+    "vector_norms": [],
+    "kmeans_fixed_point": ["vector_norms"],
+    "ann_query_set": ["vector_norms"],
+    "ivf_assignment": ["kmeans_fixed_point", "vector_norms"],
+    "int8_quantized_vectors": ["vector_norms"],
+    "near_dup_cluster_labels": ["shingle_df", "shingle_index", "shingle_sizes"],
+    "file_listing": [],
+    "semdedup_assignment": ["vector_norms"],
+    "jaccard_pairs_capped": ["shingle_df", "shingle_index", "shingle_sizes"],
+    "hist_value_agg": [],
+    "contam_gram_index": [],
+    "contam_eval_set": ["contam_gram_index"],
+    "dsir_score_table": ["doc_tokens", "tfidf_tf"],
+    "unigram_lp_table": ["doc_tokens", "tfidf_tf"],
+    "bpe_encoded_vocab": ["doc_tokens"],
+    "bloom_eval_bitmap": ["contam_eval_set", "contam_gram_index"],
+}
 
 
 def setup_builders() -> dict:
@@ -107,9 +152,55 @@ def setup_builders() -> dict:
 def build_setup_indexes(spark, ctx, sf_dir: str) -> None:
     """Materialize every shared derived index into ``ctx`` and warm the
     long-lived runtimes (Arrow python workers, Structured Streaming
-    execution threads — both persistent on a real cluster)."""
-    for build in setup_builders().values():
-        build(ctx)
+    execution threads — both persistent on a real cluster).
+
+    The builds OVERLAP (r22, guide §2.6): Spark happily runs several
+    jobs at once inside one application — the 28 index builds were only
+    sequential because this loop called them sequentially, leaving most
+    of the cluster idle through every build's straggler tail. A small
+    thread pool submits each builder the moment its ``SETUP_DEPS``
+    dependencies finish, so the next build's tasks back-fill executors
+    freed by the current build's tail. Job descriptions are thread-local,
+    so each build stays correctly labelled in the UI. The pool width is
+    a driver-side concurrency knob (``SPARK_GRAFT_SETUP_THREADS``,
+    default 8, ``1`` restores the serial build) — it bounds how many
+    independent DRIVER submissions are in flight, not task parallelism,
+    so it is not tuned to the local core count."""
+    builders = setup_builders()
+    n_threads = int(os.environ.get("SPARK_GRAFT_SETUP_THREADS", "8"))
+    if n_threads <= 1:
+        for name, build in builders.items():
+            build(ctx)
+    else:
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        def _run(name: str, build) -> str:
+            spark.sparkContext.setJobDescription(f"setup: {name}")
+            try:
+                build(ctx)
+            finally:
+                spark.sparkContext.setJobDescription(None)
+            return name
+
+        pending = dict(builders)
+        running: dict = {}
+        done: set[str] = set()
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            while pending or running:
+                ready = [
+                    n for n in pending
+                    if all(d in done for d in SETUP_DEPS[n])
+                ]
+                for n in ready:
+                    running[pool.submit(_run, n, pending.pop(n))] = n
+                if not running:  # pragma: no cover - guarded by the acyclicity pin
+                    raise RuntimeError(
+                        f"setup builders deadlocked; unrunnable: {sorted(pending)}"
+                    )
+                finished, _ = wait(running, return_when=FIRST_COMPLETED)
+                for f in finished:
+                    running.pop(f)
+                    done.add(f.result())  # re-raises a failed build
 
     # warm the Arrow python workers (long-lived on a real cluster) so
     # Arrow-path timings measure execution, not process spawn. The

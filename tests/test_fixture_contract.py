@@ -120,3 +120,53 @@ def test_setup_names_one_to_one_with_builders():
     )
 
     assert list(setup_builders().keys()) == SETUP_INDEX_NAMES
+
+
+def test_setup_deps_graph_is_well_formed():
+    """The overlapped setup build (r22, guide §2.6) is only race-free if
+    SETUP_DEPS names every cross-builder memo dependency: the topological
+    pool serializes exactly the (dep, dependent) pairs, so the graph must
+    cover every builder, reference only builders, and be acyclic (a cycle
+    would deadlock the pool)."""
+    from databricks_observe_spark.setup_phase import (
+        SETUP_DEPS,
+        SETUP_INDEX_NAMES,
+    )
+
+    assert sorted(SETUP_DEPS) == sorted(SETUP_INDEX_NAMES)
+    for name, deps in SETUP_DEPS.items():
+        assert set(deps) <= set(SETUP_INDEX_NAMES), (name, deps)
+        assert name not in deps, name
+    # acyclic: Kahn's peel must consume every node
+    done: set[str] = set()
+    while True:
+        ready = [
+            n for n in SETUP_DEPS
+            if n not in done and all(d in done for d in SETUP_DEPS[n])
+        ]
+        if not ready:
+            break
+        done.update(ready)
+    assert done == set(SETUP_DEPS), set(SETUP_DEPS) - done
+
+
+def test_overlapped_setup_builds_every_index(tables, spark):
+    """Smoke the concurrent build end-to-end on the test fixture: every
+    builder's memo key must exist afterwards and the pool must not have
+    raced a dependency (a missing key or an exception would surface
+    here). Uses the session ctx, so later tests reuse the same memos."""
+    from databricks_observe_spark.setup_phase import build_setup_indexes
+
+    build_setup_indexes(spark, tables, "/root/testdata/sf0.001")
+    for key in (
+        "_doc_tokens", "_doc_shingles", "_shingle_df", "_shingle_sizes",
+        "_simhash_fps", "_minhash_sig", "_emb_buckets", "_doc_trigrams",
+        "_tfidf_tf", "_bm25_index", "_langid_profiles", "_textrank_graph",
+        "_textrank_n", "_emb_norms",
+        "_ivf_centroids_bc", "_ann_queries_bc", "_ivf_assign", "_kmeans_q",
+        "_ndc_labels", "_file_stats", "_semdedup_assigned",
+        "_jaccard_pairs_capped", "_hist_vals", "_contam_grams",
+        "_contam_eval_set", "_dsir_scores", "_unigram_lp",
+        "_bpe_encodings", "_bloom_filter_df",
+    ):
+        assert key in tables, key
