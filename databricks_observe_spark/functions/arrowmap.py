@@ -49,6 +49,21 @@ def arrow_map(
     from_pandas=True)`` — the pandas-runner semantics (NaN -> null,
     integer downcasts checked) — so results match ``mapInPandas``
     bit-for-bit for the numeric/string/list types the engine uses.
+
+    Output frames are RE-SLICED to the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (read at plan time,
+    like the runners do) before conversion, mirroring ``mapInPandas``'s
+    output slicing: a kernel that emits one large frame per task — e.g.
+    a rescore over a whole candidate partition — otherwise produces one
+    unbounded Arrow batch on the JVM side (r21 ADVICE).
+
+    Cast semantics are deliberately STRICTER than ``mapInPandas`` under
+    ``convertToArrowArraySafely=false``: ``pa.array`` defaults to SAFE
+    casting, so a kernel output that would silently truncate or wrap
+    (e.g. a float column handed to a long field, an int64 overflowing an
+    int32) raises ``ArrowInvalid`` here instead of corrupting data. The
+    engine's kernels all emit exactly-typed columns, so the strictness
+    is a tripwire, not a behavior change.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -57,6 +72,13 @@ def arrow_map(
     )
     target = to_arrow_schema(spark_schema)
     names = [f.name for f in spark_schema.fields]
+    max_records = int(
+        df.sparkSession.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+        )
+    )
+    if max_records <= 0:  # Spark treats non-positive as "no limit"
+        max_records = None
 
     def arrow_kernel(batches):
         import pyarrow as pa
@@ -66,12 +88,18 @@ def arrow_map(
                 yield b.to_pandas()
 
         for out in kernel(pdfs()):
-            if not len(out):
+            n = len(out)
+            if not n:
                 continue
-            arrs = [
-                pa.array(out[name], type=target.field(i).type, from_pandas=True)
-                for i, name in enumerate(names)
-            ]
-            yield pa.RecordBatch.from_arrays(arrs, schema=target)
+            step = max_records or n
+            for lo in range(0, n, step):
+                piece = out.iloc[lo : lo + step] if step < n else out
+                arrs = [
+                    pa.array(
+                        piece[name], type=target.field(i).type, from_pandas=True
+                    )
+                    for i, name in enumerate(names)
+                ]
+                yield pa.RecordBatch.from_arrays(arrs, schema=target)
 
     return df.mapInArrow(arrow_kernel, spark_schema)

@@ -262,36 +262,44 @@ def zone_map_plan(t: dict[str, DataFrame]) -> DataFrame:
 
     At 100 TB the same plan reads the real per-file footer min/max
     instead of computing them — this operator is the sizing for that
-    layout, run on the column the files would be clustered by. The
-    cross join multiplies the scan by the predicate count (3x here) —
-    stated, bounded, and embarrassingly parallel.
+    layout, run on the column the files would be clustered by.
+
+    r22 (guide §2.3/§2.4): the predicates are LITERALS, so the audit no
+    longer cross-joins them onto the scan (which multiplied the corpus
+    scan and the pre-exchange rows by the predicate count): ONE
+    per-block aggregate carries a conditional-sum column per predicate,
+    and the (predicate, block) rows explode from a literal struct array
+    AFTER aggregation — same exact integers, one scan instead of three,
+    and the exchange carries blocks x 1 rows instead of blocks x 3.
     """
-    spark = t["lineitem"].sparkSession
-    preds = spark.createDataFrame(
-        [(n, lo, hi) for n, lo, hi in ZONE_PREDICATES],
-        "predicate string, lo_s string, hi_s string",
-    ).select(
-        "predicate",
-        F.col("lo_s").cast("timestamp").alias("lo"),
-        F.col("hi_s").cast("timestamp").alias("hi"),
-    )
     d = t["lineitem"].select(F.col("l_shipdate").alias("d"))
     block = (F.year("d") * 2 + (F.month("d") > 6).cast("int")).alias("block")
-    per_block = (
-        d.crossJoin(F.broadcast(preds))
-        .groupBy("predicate", block)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("d").alias("mn"),
-            F.max("d").alias("mx"),
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    per_block_wide = d.groupBy(block).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("mn"),
+        F.max("d").alias("mx"),
+        *[
             F.sum(
-                ((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
-                .cast("bigint")
-            ).alias("matching"),
-            F.min("lo").alias("lo"),
-            F.max("hi").alias("hi"),
-        )
+                ((F.col("d") >= ts(lo)) & (F.col("d") <= ts(hi))).cast("bigint")
+            ).alias(f"matching_{i}")
+            for i, (_n, lo, hi) in enumerate(ZONE_PREDICATES)
+        ],
     )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("predicate"),
+                ts(lo).alias("lo"),
+                ts(hi).alias("hi"),
+                F.col(f"matching_{i}").alias("matching"),
+            )
+            for i, (n, lo, hi) in enumerate(ZONE_PREDICATES)
+        ]
+    )
+    per_block = per_block_wide.select(
+        "block", "n_rows", "mn", "mx", F.explode(entries).alias("e")
+    ).select("block", "n_rows", "mn", "mx", "e.*")
     pruned = (F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi"))
     return (
         per_block.groupBy("predicate")

@@ -119,7 +119,7 @@ SELECT DISTINCT * FROM closure
 
 
 def transitive_closure_doubling(
-    edges: DataFrame, max_iters: int = 12
+    edges: DataFrame, max_iters: int = 12, pairs_per_part: int = 200_000
 ) -> tuple[DataFrame, int]:
     """Closure by PATH DOUBLING: each round composes the accumulated
     closure with itself, so round k covers every path of length <= 2^k —
@@ -135,6 +135,9 @@ def transitive_closure_doubling(
     output-sized. Cycle-tolerant for the same reason as the BFS form
     (UNION-dedup against the accumulated set reaches the finite
     fixpoint). Returns (closure, rounds) so callers can log the cadence.
+    ``pairs_per_part`` scales the measured-size partitioning (default
+    one partition per 200k pairs; tests shrink it to exercise the
+    width-growth re-pin on fixture-sized graphs).
 
     Rejected alternatives (measured r09, kept so they aren't re-tried):
     (a) fusing TWO doubling steps per job (quadrupling) to halve the job
@@ -160,15 +163,17 @@ def transitive_closure_doubling(
     # partitions (a pre-distinct coalesce alone would leave the
     # checkpoint at the exchange's width; round-8 review finding).
     def _parts(n_pairs: int) -> int:
-        return max(1, n_pairs // 200_000)
+        return max(1, n_pairs // pairs_per_part)
 
     # base materializes LAZILY: its own convergence count below is the
     # first action, so the checkpoint rides that job instead of paying a
     # separate eager-materialization job (r21: one fewer scheduling floor)
     base = base_edges(edges).localCheckpoint(eager=False)
     n = base.count()
-    with _loop_conf(edges.sparkSession, _parts(n)):
-        closure = base.coalesce(_parts(n))
+    spark = edges.sparkSession
+    cur_parts = _parts(n)
+    with _loop_conf(spark, cur_parts):
+        closure = base.coalesce(cur_parts)
         for it in range(1, max_iters + 1):
             # the hop side is the accumulated closure — metadata-sized for
             # a lineage graph (tables x upstream sets, not data rows). It
@@ -190,15 +195,26 @@ def transitive_closure_doubling(
             # driver floor IS the cost model, so the round body stays minimal.
             closure = (
                 closure.union(stepped)
-                .coalesce(_parts(n))
+                .coalesce(cur_parts)
                 .distinct()
-                .coalesce(_parts(n))
+                .coalesce(cur_parts)
                 .localCheckpoint(eager=False)
             )
             n2 = closure.count()
             if n2 == n:
                 return closure, it
             n = n2
+            # Re-derive the shuffle width from each round's MEASURED
+            # convergence count (r22, r21 verdict item 5 / ADVICE): the
+            # closure can far outgrow the base edge set over the doubling
+            # rounds (up to V^2 pairs on dense graphs), so a width pinned
+            # from round 1 would push late rounds' wide shuffle joins
+            # through too few partitions. The count is already collected,
+            # so the re-pin is free; the outer loop_conf scope still
+            # restores the caller's width on exit.
+            if _parts(n) != cur_parts:
+                cur_parts = _parts(n)
+                spark.conf.set("spark.sql.shuffle.partitions", str(cur_parts))
         raise RuntimeError(
             f"transitive_closure_doubling did not converge in {max_iters}"
             f" rounds — graph depth exceeds 2^{max_iters}; raise max_iters"
@@ -267,7 +283,9 @@ def _longest_paths_doubling(edges: DataFrame, max_iters: int = 12) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_seed = seed.count()
-    with _loop_conf(edges.sparkSession, max(1, n_seed // 200_000)):
+    spark = edges.sparkSession
+    cur_parts = max(1, n_seed // 200_000)
+    with _loop_conf(spark, cur_parts):
         paths = seed
         sig = None
         for _ in range(max_iters):
@@ -300,6 +318,12 @@ def _longest_paths_doubling(edges: DataFrame, max_iters: int = 12) -> DataFrame:
             if (row.n, row.s) == sig:
                 return paths
             sig = (row.n, row.s)
+            # same dynamic re-pin as transitive_closure_doubling (r22):
+            # the longest-path table can outgrow the seed edge set, and
+            # the fixpoint aggregate already materialized its row count
+            if max(1, row.n // 200_000) != cur_parts:
+                cur_parts = max(1, row.n // 200_000)
+                spark.conf.set("spark.sql.shuffle.partitions", str(cur_parts))
         raise RuntimeError(
             f"_longest_paths_doubling did not converge in {max_iters} rounds —"
             f" longest chain exceeds 2^{max_iters}; raise max_iters"

@@ -455,18 +455,17 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     into a checked one. The same scheme guards :func:`unigram_kl`.
     """
     tf = _tfidf_tf_frame(t)
-    # the corpus total rides the vocab-sized ctf frame as a single-
-    # partition window over its bounded rows (same exact integer as the
-    # old scalar-aggregate branch, which re-planned ctf and paid a
-    # broadcast-build job — r21, guide §2.4)
-    ctf = (
-        tf.groupBy("tok")
-        .agg(F.sum("tf").alias("ctf"))
-        .withColumn(
-            "total",
-            F.sum("ctf").over(Window.partitionBy(F.lit(1))).cast("double"),
-        )
-    )
+    ctf = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
+    # The corpus total is a SCALAR-AGGREGATE branch over the memoized tf
+    # index, broadcast onto the scored rows (r22): the r21 form rode it
+    # as sum() OVER (PARTITION BY lit(1)) on the ctf frame, but ctf is
+    # VOCAB-sized — unbounded at the 100 TB design point — so that window
+    # funnelled every distinct token through one reducer task (the exact
+    # anti-pattern the bounded-frame windows elsewhere are scoped to
+    # avoid; r21 ADVICE). The scalar branch map-side partially aggregates
+    # (one small agg of the checkpointed index, same exact integer:
+    # sum(tf) == sum(ctf)) at the cost of one broadcast-build job.
+    total = tf.agg(F.sum("tf").cast("double").alias("total"))
     r_nano = F.greatest(
         F.floor(F.col("ctf") / F.col("total") * F.lit(1e9) + F.lit(0.5)),
         F.lit(1),
@@ -474,7 +473,11 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     lp_micro = F.floor(
         F.log(r_nano / F.lit(1e9)) * F.lit(1000000.0) + F.lit(0.5)
     )
-    scored = tf.join(ctf, on="tok").withColumn("lp_micro", lp_micro)
+    scored = (
+        tf.join(ctf, on="tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp_micro", lp_micro)
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -1311,20 +1314,20 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
     # the cost of two index-sized aggregates and one doc-key join
     # (the tfidf_keywords rule: never re-explode what tf already knows).
     base = _tfidf_tf_frame(t)
-    # per-doc length as a window on the index (one doc-keyed exchange)
-    # and the scalar grand total as a single-partition window ON the
-    # vocab-sized cf frame (sum of per-token sums = sum(tf), the same
-    # exact integer): the old three side branches (doc-sum join, corpus
-    # total aggregate + broadcast) each re-planned their own exchange
-    # and broadcast-build job (r21, guide §2.4)
+    # per-doc length as a window on the index (one doc-keyed exchange,
+    # BOUNDED frames — a doc's distinct tokens). The scalar grand total
+    # is a scalar-aggregate branch over the memoized index, broadcast
+    # (r22): the r21 form rode it as sum() OVER (PARTITION BY lit(1)) on
+    # the cf frame, but cf is VOCAB-sized — unbounded at 100 TB — so
+    # that window funnelled every distinct token through one reducer
+    # task (r21 ADVICE). sum(tf) over the index == sum(cf), the same
+    # exact integer, map-side partially aggregated; one broadcast-build
+    # job is the price.
     tf = base.withColumn(
         "n", F.sum("tf").over(Window.partitionBy("doc_id"))
     )
-    cf = (
-        base.groupBy("tok")
-        .agg(F.sum("tf").alias("cf"))
-        .withColumn("total", F.sum("cf").over(Window.partitionBy(F.lit(1))))
-    )
+    cf = base.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    total_df = base.agg(F.sum("tf").alias("total"))
     p = F.col("tf").cast("double") / F.col("n")
     q = F.col("cf").cast("double") / F.col("total")
     r_nano = F.greatest(F.floor(p / q * F.lit(1e9) + F.lit(0.5)), F.lit(1))
@@ -1342,9 +1345,10 @@ def unigram_kl(t: dict[str, DataFrame]) -> DataFrame:
         (p * lr_micro) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("decimal(38,0)")
     # cf carries one row per distinct token — vocab-sized at 100 TB, so no
-    # broadcast hint (AQE decides); it now also carries the scalar total.
+    # broadcast hint (AQE decides); the 1-row total always broadcasts.
     return (
         tf.join(cf, on="tok")
+        .crossJoin(F.broadcast(total_df))
         .groupBy("doc_id", "n")
         .agg(
             round_half_up(

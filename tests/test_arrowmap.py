@@ -74,3 +74,33 @@ def test_arrow_map_matches_mapinpandas(spark):
 def test_arrow_map_empty_input(spark):
     src = _source(spark).filter("id < 0")
     assert arrow_map(src, _make_kernel(), SCHEMA).count() == 0
+
+
+def test_arrow_map_reslices_large_output_frames(spark):
+    """r22 (r21 ADVICE): a kernel that emits ONE big frame per task must
+    not produce one unbounded Arrow batch — arrow_map re-slices output
+    frames to spark.sql.execution.arrow.maxRecordsPerBatch, mirroring
+    mapInPandas's output slicing, with identical results."""
+
+    def _one_big_frame():
+        def kernel(batches):
+            import pandas as _pd
+
+            pdfs = [p for p in batches if len(p)]
+            if pdfs:
+                yield _pd.concat(pdfs, ignore_index=True)
+
+        return kernel
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")  # force many slices per output frame
+        src = _source(spark).coalesce(1)  # one task, one 200-row frame
+        out = arrow_map(src, _one_big_frame(), SCHEMA)
+        rows = sorted(out.collect(), key=lambda r: r.id)
+        base = sorted(src.collect(), key=lambda r: r.id)
+        assert [r.id for r in rows] == [r.id for r in base]
+        assert rows == base
+    finally:
+        spark.conf.set(key, prev)

@@ -131,6 +131,35 @@ def test_doubling_checkpoint_partitions_track_closure_size(tables):
     assert closure.rdd.getNumPartitions() == expect
 
 
+def test_doubling_width_repins_when_closure_outgrows_seed(spark):
+    """r22 (r21 verdict item 5 / ADVICE): the loop's pinned shuffle width
+    must TRACK the closure as it outgrows the base edge set, not stay at
+    the round-1 value. A 64-node chain's closure is 64*63/2 = 2016 pairs
+    from 63 seed edges (a 32x growth); with pairs_per_part shrunk to 500
+    the width must have re-pinned to 2016 // 500 = 4 by the final round —
+    observable as the materialized closure's partition count — while the
+    caller's session width is restored afterwards."""
+    from databricks_observe_spark.operators.lineage import (
+        transitive_closure_doubling,
+    )
+
+    edges = spark.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('c','s','n{i}','c','s','n{i + 1}')" for i in range(63)
+        )
+        + ") AS t(dst_catalog,dst_schema,dst_table,"
+        "src_catalog,src_schema,src_table)"
+    )
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    closure, rounds = transitive_closure_doubling(edges, pairs_per_part=500)
+    n = closure.count()
+    assert n == 64 * 63 // 2
+    assert closure.rdd.getNumPartitions() == n // 500
+    assert rounds <= 8  # O(log d) cadence intact
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_width
+
+
 def test_loop_conf_scope_applies_inside_and_restores_after(spark):
     """r16 drift-watch escalation pin, extended r21: the doubling loops
     run with AQE elided AND the shuffle width pinned to the measured

@@ -664,11 +664,13 @@ def test_zone_map_plan_single_column_scan_two_exchanges(tables):
     plan = _plan(L.zone_map_plan(tables))
     # the audit reads ONLY the clustering column
     assert "ReadSchema: struct<l_shipdate:timestamp" in plan
-    # one (predicate, block) aggregate + the final per-predicate rollup;
-    # the only nested-loop shape is the 3-row predicate broadcast
+    # one per-block aggregate (per-predicate conditional sums ride it as
+    # columns) + the final per-predicate rollup; r22 removed the 3-row
+    # predicate cross join, so the scan runs ONCE and no join of any
+    # kind remains
     assert len(re.findall(r"\bExchange\b", plan)) <= 2
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
     # map-side combine before the block shuffle
     assert "partial_min" in plan and "partial_count" in plan
