@@ -534,7 +534,8 @@ def lateness_report(t: dict[str, DataFrame]) -> DataFrame:
     # 1-row scalar, memoized per context (r21): the blocking factor is a
     # pure function of the events fixture — the same ship-the-parameter
     # stance as the ANN query set, one column-pruned scan per context
-    # instead of per call
+    # instead of per call. Ctx lifetime contract applies (registry._ctx):
+    # a data refresh requires a NEW context, or this fold goes stale.
     if "_max_arrival" not in t:
         val = base.agg(F.max("arrival")).collect()[0][0]
         # empty stream: report is empty, any blocking works

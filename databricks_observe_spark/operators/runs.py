@@ -264,7 +264,9 @@ def sensor_cursor_roundtrip(t: dict[str, DataFrame]) -> DataFrame:
     # 1-row cursor-cut scalar, memoized per context (r21): a pure
     # function of the updates fixture — same ship-the-parameter stance
     # as lateness_report's max-arrival scalar; folding it to a literal
-    # also removes the broadcast cross join from the plan
+    # also removes the broadcast cross join from the plan. Ctx lifetime
+    # contract applies (registry._ctx): a data refresh requires a NEW
+    # context, or this fold goes stale.
     if "_updates_mid_us" not in t:
         t["_updates_mid_us"] = (
             u.agg(

@@ -503,6 +503,19 @@ _CTX: dict[tuple[int, str], dict] = {}
 
 
 def _ctx(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-(session, fixture) context dict.
+
+    LIFETIME CONTRACT (r22, per r21 ADVICE): a ctx is scoped to ONE
+    immutable fixture snapshot. Every memo it accumulates — derived
+    index frames AND folded 1-row scalars (`_max_arrival` in events.py,
+    `_updates_mid_us` in runs.py) — is a pure function of that
+    snapshot; if the underlying parquet were refreshed in place, the
+    scalar memos would go silently stale against the frames (which
+    re-scan). Consumers that refresh data must build a NEW context
+    (new session or new sf_dir), never mutate the fixture under a live
+    one. The driver, bench.py and the tests all satisfy this by
+    construction (fixtures are immutable for a process lifetime).
+    """
     key = (id(spark), sf_dir)
     if key not in _CTX:
         _CTX[key] = prepare(spark, sf_dir)
@@ -532,102 +545,98 @@ def _wrap(fn: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], Data
 #            class, a same-code-path sibling in the head): may slip to
 #            four rounds, at most once, named in this comment.
 #
-# Round-21 plan (OPTIMIZATION round 1): this round changed executable
-# lines on MANY query paths — the per-operator optimization sweep
-# (mapInArrow conversion + vector-table compaction, loop_conf fixpoints,
-# windowed scalar branches, fused counts, shuffle-free span grams; see
-# OPTIMIZATION_r21.md) — so tier 1 floods the head for the first time
-# since r17. COHORT DEFINITION unchanged: "last driver-green rN" is read
-# from the CORRECTNESS_r0N.json files themselves.
+# Round-22 plan (OPTIMIZATION round 2). ATTESTATION CORRECTION first
+# (r21 verdict "What's wrong" item 1): the r21 comment listed
+# tables_enriched among rows "whose code paths did not change this
+# round" — that was FALSE. Its body changed in r21 (catalog_ops.py:66,
+# memoize + localCheckpoint) and asset_specs consumes the memo, so both
+# missed the tier-1 slot they were owed; both lead this head, right
+# behind the anchor. COHORT DEFINITION unchanged: "last driver-green rN"
+# is read from the CORRECTNESS_r0N.json files themselves (recomputed at
+# r22 head build: r18=22, r19=32, r20=41, r21=50).
 # (a) the smoke anchor;
-# (b) FORTY-ONE tier-1 rows: every query whose plan or executable path
-# changed this round — the full similarity/vector surface (arrow_map +
-# _compact_ckpt + memoized init codebooks), the multimodal arrow_map
-# consumers, both doubling-loop lineage rows (loop_conf), the text rows
-# with windowed scalars / folded bm25 stats / the one-job textrank (and
-# the _dsir_scores / _unigram_lp downstream readers score_auc,
-# score_auc_parts, score_calibration, perplexity_buckets), the dedup
-# rows (single-pass lsh_dedup_recall, windowed source_overlap_matrix,
-# shuffle-free duplicated_spans, index-read simhash_fingerprints), the
-# fused-count catalog rows, the events rows (windowed ks_drift /
-# rate_anomaly / single-pass PSI shared with streaming_drift_psi /
-# memoized lateness scalar), and sensor_cursor_roundtrip;
-# (c) EIGHT r18-cohort rows (the r18 cohort hits its tier-2 three-round
-# boundary after r21; 41 tier-1 rows displace the rest): chunk_dedup,
-# columns_schema, contamination_check, schema_drift, scd2_history,
-# streaming_corpus_dedup, streaming_first_completed, zone_map_plan —
-# picked for structural diversity plus the two checkpointed streaming
-# rows, which exercise the session-conf restore paths loop_conf touches.
-# TIER-3 DEFERRAL (named, the at-most-once slip): the remaining 22
-# r18-cohort rows — column_histograms, discovered_objects,
-# doc_fingerprints, heavy_hitter_tokens, lang_profile, langid_trigram,
-# named_assets, normalized_dedup, object_count_rollup,
-# percentile_sketch_accuracy, pii_redaction, range_join_incidents,
-# skew_report, streaming_click_attribution, streaming_tumbling_hourly,
-# tables_enriched, time_rollup_multigrain, token_count_regex,
-# top_orders_per_customer, user_count_accuracy, value_deciles,
-# weighted_sample_topk — slip to four rounds ONCE (their code paths did
-# not change this round) and MUST lead the r22 head ahead of any
-# non-tier-1 row. All 146 queries re-passed the local strict oracle at
-# this HEAD regardless (ORACLE_LOCAL_r21.log), so the deferral risk is
-# driver-evidence staleness, not unverified code.
+# (b) the two r21 changed-path rows that missed their tier-1 slot:
+# tables_enriched (last driver-green r18) and asset_specs (r20);
+# (c) the TWENTY-ONE remaining r18-cohort rows at their named
+# at-most-once tier-3 boundary — the hard r22 obligation from the r21
+# verdict;
+# (d) SIXTEEN r22 tier-1 rows — every query whose executable path
+# changed this round: unigram_logprob + unigram_kl (vocab total back to
+# the scalar-aggregate branch) and the _unigram_lp reader
+# perplexity_buckets; zone_map_plan (single-scan block audit);
+# lineage_closure_deep + topo_levels (dynamic loop-width re-pin); and
+# the ten arrow_map consumers (output re-slicing to maxRecordsPerBatch
+# changed every kernel's transport path): ann_bruteforce_topk,
+# ann_lsh_topk, ivf_ann_topk, ann_recall, kmeans_assign,
+# kmeans_clusters, semantic_dedup, embedding_near_dup_lsh,
+# media_features, image_resize. (The overlapped setup phase changes NO
+# query plan — builders and frames are byte-identical, only their
+# submission order overlaps — so it creates no tier-1 rows.)
+# (e) TEN r19-cohort rows fill the head to 50, picked for structural
+# diversity: streaming_sessionize (checkpointed streaming),
+# exact_dedup, tfidf_keywords, local_supplier_revenue (broadcast-dim
+# relational), user_sessions, hash_split, merge_upsert,
+# bpe_apply_merges, corpus_card, text_stats.
 #
-# Head math: 1 anchor + 41 tier-1 + 8 r18-cohort = 50 rows, the
-# observed driver cap. `approx_user_counts` stays pinned to the very
-# TAIL (permanently rows-only by design).
+# Head math: 1 anchor + 2 missed-tier-1 + 21 r18-cohort + 16 tier-1 +
+# 10 r19 fill = 50 rows, the observed driver cap. After r22 no row's
+# last driver-green round is older than r19. `approx_user_counts` stays
+# pinned to the very TAIL (permanently rows-only by design).
 _PRIORITY = [
     "flagship_us_customers",  # smoke anchor, mirrors entry()
-    # (b) tier-1: changed-path rows this round (alphabetical)
+    # (b) the two r21 changed-path rows that missed their tier-1 slot
+    "tables_enriched",
+    "asset_specs",
+    # (c) the 21 remaining r18-cohort rows (named tier-3 boundary)
+    "column_histograms",
+    "discovered_objects",
+    "doc_fingerprints",
+    "heavy_hitter_tokens",
+    "lang_profile",
+    "langid_trigram",
+    "named_assets",
+    "normalized_dedup",
+    "object_count_rollup",
+    "percentile_sketch_accuracy",
+    "pii_redaction",
+    "range_join_incidents",
+    "skew_report",
+    "streaming_click_attribution",
+    "streaming_tumbling_hourly",
+    "time_rollup_multigrain",
+    "token_count_regex",
+    "top_orders_per_customer",
+    "user_count_accuracy",
+    "value_deciles",
+    "weighted_sample_topk",
+    # (d) r22 tier-1: changed-path rows this round
+    "unigram_logprob",
+    "unigram_kl",
+    "perplexity_buckets",
+    "zone_map_plan",
+    "lineage_closure_deep",
+    "topo_levels",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
-    "ann_recall",
-    "bm25_scores",
-    "drift_psi",
-    "dsir_importance_weights",
-    "duplicated_spans",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "image_resize",
-    "int8_quantize",
     "ivf_ann_topk",
+    "ann_recall",
     "kmeans_assign",
     "kmeans_clusters",
-    "ks_drift",
-    "lateness_report",
-    "lineage_closure_deep",
-    "lsh_bucket_stats",
-    "lsh_dedup_recall",
-    "media_features",
-    "mixture_weights",
-    "mixture_weights_temperature",
-    "multimodal_meta",
-    "observability_report",
-    "perplexity_buckets",
-    "rate_anomaly",
-    "score_auc",
-    "score_auc_parts",
-    "score_calibration",
     "semantic_dedup",
-    "sensor_cursor_roundtrip",
-    "simhash_fingerprints",
-    "source_overlap_matrix",
-    "stratified_sample",
-    "streaming_drift_psi",
-    "table_profiles",
-    "textrank_keywords",
-    "topo_levels",
-    "unigram_kl",
-    "unigram_logprob",
-    "unimax_allocation",
-    # (c) eight r18-cohort rows at their tier-2 boundary
-    "chunk_dedup",
-    "columns_schema",
-    "contamination_check",
-    "schema_drift",
-    "scd2_history",
-    "streaming_corpus_dedup",
-    "streaming_first_completed",
-    "zone_map_plan",
+    "embedding_near_dup_lsh",
+    "media_features",
+    "image_resize",
+    # (e) ten r19-cohort rows fill to the 50-row driver cap
+    "streaming_sessionize",
+    "exact_dedup",
+    "tfidf_keywords",
+    "local_supplier_revenue",
+    "user_sessions",
+    "hash_split",
+    "merge_upsert",
+    "bpe_apply_merges",
+    "corpus_card",
+    "text_stats",
 ]
 
 
