@@ -104,7 +104,11 @@ COMMENTARY = {
     "unigram_kl": (
         "Two map-side-combined aggregates (doc-term, corpus-term) meet in "
         "a broadcast join; per-term contributions are rounded and summed "
-        "as DECIMAL so the per-doc KL is partitioning-independent."
+        "as DECIMAL so the per-doc KL is partitioning-independent. The "
+        "corpus grand total is a scalar-aggregate branch broadcast as one "
+        "row (r22): its only SinglePartition exchange carries one partial "
+        "sum per map task — the full vocabulary never funnels through one "
+        "reducer."
     ),
     "semantic_dedup": (
         "SemDeDup: one Arrow E-step pass against the broadcast codebook "
@@ -196,7 +200,9 @@ COMMENTARY = {
         "vocab-sized corpus-frequency aggregate (AQE broadcasts it when "
         "it fits), per-token logprobs quantize to integer micro-units, "
         "and one groupBy(doc) accumulates exact integer sums — two "
-        "shuffles, nothing corpus-squared."
+        "shuffles, nothing corpus-squared. The corpus total is a "
+        "scalar-aggregate broadcast branch (r22), never a vocab-wide "
+        "single-partition window."
     ),
     "dedup_retention": (
         "Quality-aware retention: the label-propagation cluster frame "
@@ -318,13 +324,15 @@ COMMENTARY = {
         "quantize-before-log idf, nothing corpus-squared."
     ),
     "zone_map_plan": (
-        "Data-skipping audit: one projection scan of ONLY the clustering "
-        "column (ReadSchema is the single shipdate field), the 3-row "
-        "predicate table broadcast onto it, one (predicate, block) "
-        "aggregate with map-side combine, one per-predicate rollup. "
-        "Blocks are value-range defined — no global-sort ntile, no "
-        "single-task window. At 100 TB the same plan reads per-file "
-        "footer min/max instead of computing them."
+        "Data-skipping audit: ONE projection scan of ONLY the clustering "
+        "column (ReadSchema is the single shipdate field) feeding one "
+        "per-block aggregate whose per-predicate conditional sums ride as "
+        "columns; the (predicate, block) rows explode from a literal "
+        "struct array AFTER aggregation (r22 — the old 3-row predicate "
+        "cross join multiplied the scan by the predicate count; no join "
+        "of any kind remains). Blocks are value-range defined — no "
+        "global-sort ntile, no single-task window. At 100 TB the same "
+        "plan reads per-file footer min/max instead of computing them."
     ),
     "duplicated_spans": (
         "ExactSubstr-class triage: rolling 15-token windows from the "
